@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()``
+exposes every implemented operator from SURVEY.md §2 as
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB
+equivalent for the correctness gate. Registries live in the engine
+package — this file only aggregates them.
 """
 
 from __future__ import annotations
@@ -15,24 +15,47 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1-style pricing summary at sf0.001."""
+    from securities_data_pipeline_spark.plans.relational import q1_pricing_summary
+
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from securities_data_pipeline_spark.plans.relational import RELATIONAL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(RELATIONAL_QUERIES)
+    try:
+        from securities_data_pipeline_spark.operators import EXTENSION_QUERIES
+
+        out.update(EXTENSION_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from securities_data_pipeline_spark.streaming import STREAMING_QUERIES
+
+        out.update(STREAMING_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from securities_data_pipeline_spark.plans.relational import RELATIONAL_ORACLES
+
+    out: dict[str, str] = {}
+    out.update(RELATIONAL_ORACLES)
+    try:
+        from securities_data_pipeline_spark.operators import EXTENSION_ORACLES
+
+        out.update(EXTENSION_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from securities_data_pipeline_spark.streaming import STREAMING_ORACLES
+
+        out.update(STREAMING_ORACLES)
+    except ImportError:
+        pass
+    return out

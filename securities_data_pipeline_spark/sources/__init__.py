@@ -1,0 +1,3 @@
+from securities_data_pipeline_spark.sources.tables import TABLE_NAMES, load_tables, table
+
+__all__ = ["TABLE_NAMES", "load_tables", "table"]

@@ -1,0 +1,61 @@
+"""Parquet table loaders for the synthetic star schema.
+
+Mirrors the reference's named-table scans (dbt
+``{{ source("raw", ...) }}`` — dw_transformer/models/staging/*.sql) as
+plain ``spark.read.parquet`` scans registered as temp views, so both the
+DataFrame API and ``spark.sql`` can address them.
+
+Scans stay fully declarative: column pruning and predicate pushdown are
+Catalyst's job (reference does this by hand via ``columns=``/``filters=``
+arguments, py_pipeline/extract.py:88-95).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Pure ``spark.read.parquet`` — no caching, no hints.
+
+    TIMESTAMP(NANOS) parquet columns (the ``events.ts`` column) are read
+    as nanos-since-epoch longs (``spark.sql.legacy.parquet.nanosAsLong``)
+    and converted to microsecond timestamps at the scan, matching how
+    warehouse engines downcast ns→us. Conversion is a cheap projection —
+    pruning/pushdown on other columns is unaffected.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division — `/` would go through double and lose
+        # precision above 2^53 ns
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load tables and register each as a same-named temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,101 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column
+names, and order-insensitive values (columns sorted by name, rows sorted,
+floats rounded to 9 significant-ish decimals before hashing).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def canon(rows, cols):
+    """Canonicalize result rows: sort columns by name, normalize cells."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.9g}"
+        return str(v)
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as e
+    from securities_data_pipeline_spark.session import get_spark
+    from securities_data_pipeline_spark.sources.tables import TABLE_NAMES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(get_spark("oracle-check"), sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {ex}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows-only check) rows={len(srows)}")
+            continue
+        try:
+            res = con.sql(sql)
+            ocols = [c for c in res.columns]
+            orows = res.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {ex}")
+            continue
+        dt = time.time() - t0
+        if sorted(scols) != sorted(ocols):
+            failures.append(name)
+            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(srows)} != {len(orows)}")
+            continue
+        cs, co = canon(srows, scols), canon(orows, ocols)
+        if cs != co:
+            failures.append(name)
+            bad = next(i for i, (a, b) in enumerate(zip(cs, co)) if a != b)
+            print(f"FAIL {name}: values differ, first at sorted-row {bad}:")
+            print(f"  spark:  {cs[bad]}")
+            print(f"  oracle: {co[bad]}")
+            continue
+        print(f"PASS {name} rows={len(srows)} ({dt:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
