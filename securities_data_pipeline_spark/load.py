@@ -1,0 +1,150 @@
+"""Merge-upsert sinks — the dlt/Delta load path on Spark.
+
+Reference semantics (py_pipeline/load.py:40-123):
+
+- ``merge``: upsert by primary key — incoming rows replace matching PK
+  rows, others insert. PKs: prices ``(date_stamp, symbol)``, stock
+  symbols ``(symbol, date_stamp)``.
+- ``replace``: full overwrite (FX symbols, load.py:52-53).
+- Idempotent: re-loading the same batch leaves the table unchanged
+  (asserted by the reference's tests/load_test.py:92-157).
+- dlt tolerates duplicate PKs inside one batch; Delta MERGE would
+  error — so incoming batches are deduped on PK first (keep a
+  deterministic row), SURVEY §7 risk #4.
+
+Physical strategy (100 TB design):
+
+- **With Delta available** (cluster path): ``DeltaTable.merge`` on the
+  PK — documented in ``_delta_merge``; used automatically if the
+  ``delta`` package is importable.
+- **Plain-parquet fallback** (this container): tables are
+  **partitioned by date_stamp** and merged via *dynamic partition
+  overwrite* — only partitions present in the incoming batch are read
+  (partition pruning), anti-joined, unioned, rewritten. A daily
+  incremental batch touches 1-2 partitions of a multi-year table, so
+  the rewrite cost is O(batch), not O(table) — same asymptotics as a
+  Delta MERGE with partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not installed in the test container
+    from delta.tables import DeltaTable
+
+    HAVE_DELTA = True
+except ImportError:
+    HAVE_DELTA = False
+
+
+def dedupe_on_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Keep exactly one row per PK, deterministically (last by the
+    remaining columns' descending sort — stable across engines/runs,
+    unlike ``dropDuplicates``)."""
+    others = [c for c in df.columns if c not in keys]
+    order = [F.col(c).desc_nulls_last() for c in others] or [F.lit(1)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def _delta_merge(spark: SparkSession, incoming: DataFrame, path: str, keys: list[str]) -> None:
+    """Cluster path: Delta MERGE INTO keyed on the PK."""
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(incoming.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    *,
+    mode: str = "merge",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Upsert ``incoming`` into the table at ``path`` keyed on ``keys``.
+
+    ``mode='replace'`` overwrites the whole table (FX symbols
+    semantics). ``partition_by`` should name a prefix of ``keys``
+    present in every row (``date_stamp`` for price tables) to get
+    partition-pruned merges.
+    """
+    incoming = dedupe_on_keys(incoming, keys)
+    # NB: dynamic-partition-overwrite commits don't leave a top-level
+    # _SUCCESS marker, so "table exists" = directory with any content
+    exists = os.path.isdir(path) and bool(os.listdir(path))
+
+    writer = incoming.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+
+    if mode == "replace" or not exists:
+        writer.mode("overwrite").parquet(path)
+        spark.catalog.refreshByPath(path)
+        return
+
+    if HAVE_DELTA and os.path.isdir(os.path.join(path, "_delta_log")):
+        _delta_merge(spark, incoming, path, keys)
+        return
+
+    target = spark.read.parquet(path)
+    if partition_by:
+        # restrict the rewrite to partitions present in the batch:
+        # IN-list on partition values → partition pruning at the scan
+        pvals = [r[0] for r in incoming.select(*partition_by).distinct().collect()]
+        pcol = partition_by[0]
+        target = target.where(F.col(pcol).isin(pvals))
+        survivors = target.join(incoming.select(*keys), keys, "left_anti")
+        merged = survivors.unionByName(incoming.select(*target.columns))
+        # materialize before overwriting the partitions being read;
+        # dynamic overwrite is scoped to this write (writer option, not
+        # session conf) so unrelated writes keep static semantics
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.partitionBy(*partition_by)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    else:
+        survivors = target.join(incoming.select(*keys), keys, "left_anti")
+        merged = survivors.unionByName(incoming.select(*target.columns))
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+
+    # clear the shared file-status cache so *new* reads list the
+    # rewritten files. NB: DataFrames created BEFORE this merge hold
+    # their own captured file listing and become invalid once the
+    # overwrite deletes those files — plain parquet has no snapshot
+    # isolation (Delta's txn log is the cluster answer; see module
+    # docstring). Re-obtain handles after a merge.
+    spark.catalog.refreshByPath(path)
+
+
+def load_prices(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Price-table sink: PK (date_stamp, symbol), partitioned by date
+    (py_pipeline/load.py:61-62)."""
+    merge_upsert(spark, df, path, ["date_stamp", "symbol"], partition_by=("date_stamp",))
+
+
+def load_stock_symbols(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Stock-symbols sink: PK (symbol, date_stamp) (load.py:48-51)."""
+    merge_upsert(spark, df, path, ["symbol", "date_stamp"], partition_by=("date_stamp",))
+
+
+def load_fx_symbols(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """FX-symbols sink: replace disposition (load.py:52-53)."""
+    merge_upsert(spark, df, path, ["symbol"], mode="replace")
