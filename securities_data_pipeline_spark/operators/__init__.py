@@ -1,0 +1,29 @@
+"""Extension operators: dedup, similarity search, text analysis,
+multimodal plumbing — the training-data-pipeline surface."""
+
+from securities_data_pipeline_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from securities_data_pipeline_spark.operators.multimodal import (
+    MULTIMODAL_ORACLES,
+    MULTIMODAL_QUERIES,
+)
+from securities_data_pipeline_spark.operators.similarity import (
+    SIMILARITY_ORACLES,
+    SIMILARITY_QUERIES,
+)
+from securities_data_pipeline_spark.operators.textops import TEXT_ORACLES, TEXT_QUERIES
+
+EXTENSION_QUERIES = {
+    **TEXT_QUERIES,
+    **DEDUP_QUERIES,
+    **SIMILARITY_QUERIES,
+    **MULTIMODAL_QUERIES,
+}
+
+EXTENSION_ORACLES = {
+    **TEXT_ORACLES,
+    **DEDUP_ORACLES,
+    **SIMILARITY_ORACLES,
+    **MULTIMODAL_ORACLES,
+}
+
+__all__ = ["EXTENSION_QUERIES", "EXTENSION_ORACLES"]

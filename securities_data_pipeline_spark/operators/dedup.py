@@ -1,0 +1,310 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each a ``queries()`` entry with a DuckDB oracle over the
+documents table:
+
+- **exact** — md5 fingerprint of normalized text, groupBy keep-min.
+  One shuffle on the 16-byte hash (never on the full text).
+- **MinHash** — k seeded 60-bit hashes over 3-word shingles; signature
+  = per-seed min. Narrow (explode → groupBy doc): one shuffle keyed by
+  doc_id.
+- **MinHash LSH candidate pairs** — signatures banded (b bands × r
+  rows); docs sharing any band-key become candidate pairs, then exact
+  shingle-Jaccard verifies. The band join is the scale path: instead
+  of O(n²) comparisons it shuffles on band keys, and only
+  hash-colliding docs meet. Skewed buckets (boilerplate docs) are
+  AQE-skew-split; a production run would also cap bucket size.
+- **SimHash** — 16-bit fingerprint: per bit, sign of Σ over words of
+  (±1 by word-hash bit); near-dups differ in ≤k bits.
+
+All hashes are the md5-derived ``stable_hash64`` family
+(functions/hashing.py) so Spark and the oracle agree bit-for-bit.
+
+The n-gram-Jaccard pair scorer blocks on the ``source`` column
+(candidate generation by metadata) and computes
+|A∩B| / (|A|+|B|−|A∩B|) via an explode/self-join — the same plan shape
+MinHash-LSH verification uses, so it doubles as that verifier.
+
+100 TB notes: every operator shuffles on short keys (hash, doc_id,
+band-key), never wide text; shingle sets are never collected; the only
+O(pairs) stage is bounded by LSH collision rate. SimHash/MinHash
+signatures are 8-64 bytes/doc → a 100 TB corpus yields a ~TB-scale
+signature table, joinable on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.functions.hashing import (
+    seeded_hash64,
+    sql_seeded_hash64,
+)
+from securities_data_pipeline_spark.operators.textops import _sql_words, fingerprint, words_col
+from securities_data_pipeline_spark.sources.tables import table
+
+SHINGLE_K = 3
+N_MINHASH = 8
+LSH_BANDS = 4  # 4 bands × 2 rows each over the 8-seed signature
+JACCARD_THRESHOLD = 0.2
+
+
+def shingles_col(text="text", k: int = SHINGLE_K):
+    """Distinct k-word shingles of the normalized text (array column).
+
+    Docs shorter than k words produce their full (shorter) word join —
+    one shingle — so no document is silently dropped.
+    """
+    words = words_col(text)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    )
+
+
+def _sql_shingles(expr: str = "text", k: int = SHINGLE_K) -> str:
+    w = _sql_words(expr)
+    # DuckDB list slicing is 1-based inclusive: [i : i+k-1] is k items
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({w}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(({w})[i : i + {k - 1}], ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: fingerprint → min doc_id is canonical,
+    others are dupes. Output one row per distinct fingerprint."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5(array_to_string({_sql_words()}, ' ')) AS fp,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """doc_id → minhash signature columns mh0..mh{n-1}.
+
+    explode(shingles) → per-seed min aggregate: one shuffle on doc_id
+    with map-side partial mins.
+    """
+    exploded = docs.select("doc_id", F.explode(shingles_col()).alias("shingle"))
+    aggs = [
+        F.min(seeded_hash64(F.col("shingle"), s)).alias(f"mh{s}") for s in range(n_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(table(spark, sf_dir, "documents"))
+
+
+def _sql_minhash(n_hashes: int = N_MINHASH) -> str:
+    mins = ", ".join(
+        f"MIN({sql_seeded_hash64('s.shingle', s)}) AS mh{s}" for s in range(n_hashes)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+)
+SELECT doc_id, {mins} FROM sh s GROUP BY doc_id
+"""
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, bands: int = LSH_BANDS, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ≥1 full band.
+
+    Band key = concatenated row hashes; self-join on (band, key) with
+    a<b dedup. This is the O(collisions) scale path replacing O(n²).
+    """
+    sig = minhash_signatures(docs, n_hashes)
+    rows = n_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        key = F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        band_rows.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("key")))
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(table(spark, sf_dir, "documents"))
+
+
+def _sql_lsh_pairs(bands: int = LSH_BANDS, n_hashes: int = N_MINHASH) -> str:
+    rows = n_hashes // bands
+    selects = []
+    for b in range(bands):
+        key = " || '_' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    banded = " UNION ALL ".join(selects)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id,
+         {', '.join(f"MIN({sql_seeded_hash64('shingle', s)}) AS mh{s}" for s in range(n_hashes))}
+  FROM sh GROUP BY doc_id
+), banded AS ({banded})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+SIMHASH_BITS = 16
+
+
+def simhash_col(bits: int = SIMHASH_BITS):
+    """16-bit SimHash over unigram hashes: bit b set iff
+    Σ_words (2·bit_b(hash(w)) − 1) > 0. Uses *distinct* words so both
+    engines agree regardless of duplicate handling."""
+    words = F.array_distinct(words_col())
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        contrib = F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.shiftright(seeded_hash64(w, 0), b).bitwiseAND(F.lit(1)) * 2
+            - 1,
+        )
+        total = total + F.when(contrib > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return total
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_col().alias("simhash"))
+
+
+def _sql_simhash(bits: int = SIMHASH_BITS) -> str:
+    w = f"list_distinct({_sql_words()})"
+    h = sql_seeded_hash64("x", 0)
+    terms = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform({w}, "
+        f"x -> (({h} >> {b}) & 1) * 2 - 1), 'sum') > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard pairs (also the LSH verifier)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, block_col: str = "source", threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact shingle-Jaccard ≥ threshold for doc pairs sharing a block
+    key: explode → self-join on (block, shingle) → |A∩B| via groupBy →
+    join per-doc sizes → filter. Never materializes the O(n²) grid."""
+    sh = docs.select(
+        F.col("doc_id"), F.col(block_col).alias("blk"), F.explode(shingles_col()).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+def _sql_jaccard(threshold: float = JACCARD_THRESHOLD) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, source AS blk, unnest({_sql_shingles()}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b
+    ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= {threshold}
+"""
+
+
+DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signature": dedup_minhash_signature,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+DEDUP_ORACLES: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_signature": _sql_minhash(),
+    "dedup_minhash_pairs": _sql_lsh_pairs(),
+    "dedup_simhash": _sql_simhash(),
+    "dedup_ngram_jaccard": _sql_jaccard(),
+}

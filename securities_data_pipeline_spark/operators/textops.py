@@ -1,0 +1,214 @@
+"""Text-analysis operators over the documents table.
+
+Training-data-pipeline surface (BASELINE.json north star): token
+counting, quality scoring, language ID, document fingerprinting. All
+pure ``pyspark.sql.functions`` — JVM-side, whole-stage codegen, no
+Python in the hot path — so a 100 TB documents table processes at scan
+speed with zero shuffles (every operator here is a narrow projection).
+
+Each operator also emits an equivalent DuckDB oracle; both sides are
+generated from the same constants (stopword lists, regexes) so the
+semantics can't drift.
+
+The language-ID heuristic is the real stopword-profile plumbing with
+deliberately tiny profiles (the synthetic corpus shares one vocabulary
+across langs — detection quality is meaningless there, determinism is
+what the gate checks). Swap ``LANG_PROFILES`` for real per-language
+stopword/n-gram profiles in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.sources.tables import table
+
+# one source of truth for both engines
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "fast"),
+    "de": ("der", "und", "hash", "window"),
+    "fr": ("le", "et", "query", "merge"),
+    "es": ("el", "y", "table", "scan"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # deterministic tie-break priority
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+WS_RE = r"\s+"
+
+
+def words_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), WS_RE)
+
+
+def _sql_words(expr: str = "text") -> str:
+    return f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+
+
+def token_count(text: Column | str = "text") -> Column:
+    return F.size(words_col(text))
+
+
+def stopword_count(text: Column | str = "text", stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(words_col(text), lambda w: F.array_contains(sw, w)))
+
+
+def quality_score(text: Column | str = "text") -> Column:
+    """Length + stopword-ratio + mean-token-length composite in [0,~1].
+
+    score = 0.4·min(n_tokens/100, 1)
+          + 0.3·min(stopword_ratio·5, 1)
+          + 0.3·min(avg_token_len/8, 1), rounded to 6 dp.
+    """
+    n = token_count(text).cast("double")
+    sw = stopword_count(text).cast("double")
+    chars = F.length(F.array_join(words_col(text), "")).cast("double")
+    score = (
+        F.lit(0.4) * F.least(n / 100.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(sw / n * 5.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(chars / n / 8.0, F.lit(1.0))
+    )
+    return F.round(score, 6)
+
+
+def lang_scores(text: Column | str = "text") -> dict[str, Column]:
+    words = words_col(text)
+    out = {}
+    for lang, profile in LANG_PROFILES.items():
+        prof = F.array(*[F.lit(w) for w in profile])
+        out[lang] = F.size(F.filter(words, lambda w: F.array_contains(prof, w)))
+    return out
+
+
+def lang_id(text: Column | str = "text") -> Column:
+    """Stopword-profile argmax with fixed priority tie-break; 'und'
+    (undetermined) when no profile matches at all.
+
+    Built as a forward when-chain — the first satisfied branch wins,
+    exactly like the oracle's ``CASE WHEN ... WHEN ... ELSE``.
+    """
+    scores = lang_scores(text)
+    case: Column | None = None
+    for lang in LANG_ORDER:
+        cond = scores[lang] > 0
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            # ties go to the earlier lang in LANG_ORDER: >= against
+            # later langs, strict > against earlier ones
+            if LANG_ORDER.index(other) > LANG_ORDER.index(lang):
+                cond = cond & (scores[lang] >= scores[other])
+            else:
+                cond = cond & (scores[lang] > scores[other])
+        case = F.when(cond, lang) if case is None else case.when(cond, lang)
+    return case.otherwise("und")
+
+
+def fingerprint(text: Column | str = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    return F.md5(F.array_join(words_col(text), " "))
+
+
+# ---------------------------------------------------------------------------
+# query registry entries
+
+
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n = token_count().alias("n_tokens")
+    return docs.select(
+        "doc_id",
+        n,
+        stopword_count().alias("n_stopwords"),
+        F.round(
+            F.length(F.array_join(words_col(), "")).cast("double") / token_count(), 6
+        ).alias("avg_token_len"),
+    )
+
+
+T_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len({_sql_words()}) AS n_tokens,
+       len(list_filter({_sql_words()}, w -> w IN {STOPWORDS!r})) AS n_stopwords,
+       round(CAST(len(array_to_string({_sql_words()}, '')) AS DOUBLE)
+             / len({_sql_words()}), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score().alias("quality"))
+
+
+def _sql_quality() -> str:
+    w = _sql_words()
+    return f"""
+SELECT doc_id,
+  round(0.4 * least(CAST(len({w}) AS DOUBLE)/100.0, 1.0)
+      + 0.3 * least(CAST(len(list_filter({w}, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                    / CAST(len({w}) AS DOUBLE) * 5.0, 1.0)
+      + 0.3 * least(CAST(len(array_to_string({w}, '')) AS DOUBLE)
+                    / CAST(len({w}) AS DOUBLE) / 8.0, 1.0), 6) AS quality
+FROM documents
+"""
+
+
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id().alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    w = _sql_words()
+    score = {
+        lang: f"len(list_filter({w}, x -> x IN {profile!r}))"
+        for lang, profile in LANG_PROFILES.items()
+    }
+    # same argmax logic: earlier lang in LANG_ORDER wins ties (>=
+    # against later langs, > against earlier)
+    cases = []
+    for lang in LANG_ORDER:
+        conds = []
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            op = ">=" if LANG_ORDER.index(other) > LANG_ORDER.index(lang) else ">"
+            conds.append(f"{score[lang]} {op} {score[other]}")
+        conds.append(f"{score[lang]} > 0")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+SELECT doc_id, lang,
+       CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint().alias("fp"))
+
+
+T_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5(array_to_string({_sql_words()}, ' ')) AS fp
+FROM documents
+"""
+
+
+TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_token_stats": t_token_stats,
+    "t_quality": t_quality,
+    "t_lang_id": t_lang_id,
+    "t_fingerprint": t_fingerprint,
+}
+
+TEXT_ORACLES: dict[str, str] = {
+    "t_token_stats": T_TOKEN_STATS_SQL,
+    "t_quality": _sql_quality(),
+    "t_lang_id": _sql_lang_id(),
+    "t_fingerprint": T_FINGERPRINT_SQL,
+}

@@ -1,0 +1,132 @@
+"""Structured Streaming ingestion — the incremental path the reference
+approximates with cron + merge (SURVEY §2.9).
+
+The reference is a scheduled batch system (cron ``0 0 * * 2-6``,
+prefect.cloud.yaml:29-30) whose incrementality is date-bounded extract
++ PK merge (py_pipeline/load.py:46-62). Structured Streaming subsumes
+that pattern:
+
+- file/Delta source → ``readStream`` over a landing path;
+- ``withWatermark`` bounds state for late daily bars;
+- tumbling ``F.window(ts, '1 day')`` rolls intraday events into daily
+  bars; ``dropDuplicates``/``dropDuplicatesWithinWatermark`` dedups
+  replayed events;
+- ``foreachBatch`` + ``merge_upsert`` is the exact streaming analog of
+  the reference's load path — each micro-batch merges on PK.
+
+Oracle-checked queries run with ``Trigger.AvailableNow`` (process all
+available input, then stop) against a memory sink, so a streaming
+execution produces a deterministic static result comparable to ANSI
+SQL. Scale: state is keyed by (window, event_type) / dedup key and
+bounded by the watermark; shuffle partitioning of stateful ops follows
+``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events landing file(s), with the same ns→µs
+    timestamp normalization as the batch scan (sources/tables.py)."""
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame with AvailableNow into a memory
+    sink; return the final static result."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def s_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window rollup of the event stream (the intraday→
+    daily bar aggregation), with a 1-day watermark bounding state."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.to_date(F.col("w.start")).alias("day"), "event_type", "n_events", "sum_value"
+    )
+
+
+S_DAILY_ROLLUP_SQL = """
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def s_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first occurrence per (user_id,
+    event_type) across all micro-batches; key-only projection so the
+    result is order-insensitive."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return run_to_memory(deduped, "append")
+
+
+S_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def stream_merge_into(
+    spark: SparkSession,
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """foreachBatch merge sink — the streaming equivalent of the
+    reference's ``load_to_s3`` delta merge (py_pipeline/load.py:78-84):
+    every micro-batch upserts on PK, so replays are idempotent."""
+    from securities_data_pipeline_spark.load import merge_upsert
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        merge_upsert(spark, batch_df, path, keys, partition_by=partition_by)
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s_stream_daily_rollup": s_stream_daily_rollup,
+    "s_stream_dedup_keys": s_stream_dedup_keys,
+}
+
+STREAMING_ORACLES: dict[str, str] = {
+    "s_stream_daily_rollup": S_DAILY_ROLLUP_SQL,
+    "s_stream_dedup_keys": S_DEDUP_SQL,
+}

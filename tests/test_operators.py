@@ -1,0 +1,109 @@
+"""Extension-operator behavior on controlled inputs (the oracle gate
+covers cross-engine parity; these pin semantics)."""
+
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash_col,
+)
+from securities_data_pipeline_spark.operators.multimodal import (
+    decode_stub,
+    documents_as_media,
+    extract_features,
+)
+from securities_data_pipeline_spark.operators.textops import (
+    fingerprint,
+    lang_id,
+    token_count,
+)
+
+import pytest
+
+DOCS = "doc_id long, text string, source string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS)
+
+
+def test_token_count_and_fingerprint_normalization(spark):
+    df = _docs(spark, [(1, "  Hello   World ", "s"), (2, "hello world", "s")])
+    out = {r.doc_id: r for r in df.select("doc_id", token_count().alias("n"), fingerprint().alias("fp")).collect()}
+    assert out[1].n == 2
+    # case + whitespace normalization → identical fingerprints
+    assert out[1].fp == out[2].fp
+
+
+def test_shingles(spark):
+    df = _docs(spark, [(1, "a b c d", "s"), (2, "a b", "s")])
+    out = {r.doc_id: r.sh for r in df.select("doc_id", shingles_col().alias("sh")).collect()}
+    assert sorted(out[1]) == ["a b c", "b c d"]
+    assert out[2] == ["a b"]  # shorter than k → single short shingle
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps", "s"),
+                       (2, "the quick brown fox jumps", "s"),
+                       (3, "completely different words here now", "s")])
+    sig = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(df).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_lsh_pairs_find_exact_dups_and_skip_distinct(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog", "s"),
+                       (2, "the quick brown fox jumps over the lazy dog", "s"),
+                       (3, "entirely unrelated text with other tokens present", "s")])
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_for_same_word_set(spark):
+    # distinct-word based: word order / duplication must not matter
+    df = _docs(spark, [(1, "alpha beta gamma", "s"), (2, "gamma alpha beta alpha", "s")])
+    out = {r.doc_id: r.sh for r in df.select("doc_id", simhash_col().alias("sh")).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**16
+
+
+def test_ngram_jaccard_pairs_blocked_and_thresholded(spark):
+    df = _docs(spark, [
+        (1, "w1 w2 w3 w4 w5 w6", "blockA"),
+        (2, "w1 w2 w3 w4 w5 zz", "blockA"),   # high overlap, same block
+        (3, "w1 w2 w3 w4 w5 w6", "blockB"),   # identical text, different block
+        (4, "q1 q2 q3 q4 q5 q6", "blockA"),   # no overlap
+    ])
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(df).collect()}
+    assert (1, 2) in out and 0 < out[(1, 2)] < 1
+    assert (1, 3) not in out  # blocking: cross-block pairs never compared
+    assert all(4 not in k for k in out)
+
+
+def test_decode_stub_modes():
+    feat = decode_stub(b"some payload bytes", "text/plain")
+    assert len(feat) == 8 and all(isinstance(x, float) for x in feat)
+    assert feat == decode_stub(b"some payload bytes", "text/plain")  # deterministic
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"x", "image/png", strict=True)
+
+
+def test_extract_features_plumbing(spark):
+    media = documents_as_media(spark, "/root/testdata/sf0.001")
+    out = extract_features(media.limit(20))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert out.columns == ["doc_id", "media_type", "n_bytes", "feature"]
+    r = rows[0]
+    assert r.n_bytes > 0 and len(r.feature) == 8
+
+
+def test_lang_id_deterministic_priority(spark):
+    df = _docs(spark, [(1, "the value fast a", "s"), (2, "xyz pqr", "s")])
+    out = {r.doc_id: r.lang for r in df.select("doc_id", lang_id().alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "und"

@@ -1,0 +1,71 @@
+"""Structured Streaming: availableNow rollups, stateful dedup,
+watermarked late-data handling, foreachBatch merge ingestion."""
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.streaming.ingest import (
+    events_stream,
+    run_to_memory,
+    s_stream_daily_rollup,
+    stream_merge_into,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_daily_rollup_matches_batch(spark):
+    got = {
+        (str(r.day), r.event_type): (r.n_events, r.sum_value)
+        for r in s_stream_daily_rollup(spark, SF).collect()
+    }
+    from securities_data_pipeline_spark.sources.tables import table
+
+    exp = {
+        (str(r.day), r.event_type): (r.n_events, r.sum_value)
+        for r in table(spark, SF, "events")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first of two replays
+    arriving within the watermark interval."""
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), "click"),
+        (1, dt.datetime(2024, 1, 1, 10, 30), "click"),  # replay within watermark
+        (2, dt.datetime(2024, 1, 1, 11, 0), "view"),
+    ]
+    spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string").write.parquet(
+        src + "/batch1.parquet"
+    )
+    stream = spark.readStream.schema("event_id long, ts timestamp, event_type string").parquet(
+        src + "/*"
+    )
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    out = run_to_memory(deduped, "append")
+    got = sorted((r.event_id, r.event_type) for r in out.collect())
+    assert got == [(1, "click"), (2, "view")]
+
+
+def test_foreach_batch_merge_idempotent_replay(spark, tmp_path):
+    """Replaying the stream must not duplicate rows (PK merge sink —
+    the streaming analog of the reference's idempotent load tests)."""
+    path = str(tmp_path / "events_table")
+    stream = events_stream(spark, SF).select("event_id", "ts", "user_id", "event_type", "value")
+    stream_merge_into(spark, stream, path, keys=["event_id"])
+    n1 = spark.read.parquet(path).count()
+    # replay the whole stream into the same table
+    stream_merge_into(spark, events_stream(spark, SF).select("event_id", "ts", "user_id", "event_type", "value"), path, keys=["event_id"])
+    n2 = spark.read.parquet(path).count()
+    assert n1 == n2 == 1000  # sf0.001 events table size, unchanged by replay
