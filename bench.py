@@ -28,6 +28,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "j_asof_latest_order",
+    "w4_session_windows",
     "s_stream_daily_rollup",
 ]
 

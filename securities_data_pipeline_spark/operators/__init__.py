@@ -1,6 +1,7 @@
 """Extension operators: dedup, similarity search, text analysis,
 multimodal plumbing — the training-data-pipeline surface."""
 
+from securities_data_pipeline_spark.operators.asof import ASOF_ORACLES, ASOF_QUERIES
 from securities_data_pipeline_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
 from securities_data_pipeline_spark.operators.multimodal import (
     MULTIMODAL_ORACLES,
@@ -17,6 +18,7 @@ EXTENSION_QUERIES = {
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
+    **ASOF_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -24,6 +26,7 @@ EXTENSION_ORACLES = {
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
     **MULTIMODAL_ORACLES,
+    **ASOF_ORACLES,
 }
 
 __all__ = ["EXTENSION_QUERIES", "EXTENSION_ORACLES"]

@@ -1,0 +1,194 @@
+"""As-of and range joins — time-series operators Spark lacks natively.
+
+The reference's star schema serves daily-bar time series; as-of joins
+("latest quote at or before t") and band/range joins are the canonical
+query patterns over such data.
+
+**As-of join, the scale path.** The naive plan — inequality join then
+argmax per left row — explodes to O(|L|·matches) intermediate rows. The
+implementation here is the classic union-sort-fill:
+
+1. tag left rows (probe) and right rows (reference) and union them on
+   a shared (key, time) spine;
+2. one window pass partitioned by key, ordered by (time, side) with
+   right-before-left at equal times (backward-inclusive semantics);
+   ``F.last(payload, ignorenulls=True)`` carries the latest right
+   payload forward;
+3. keep left rows.
+
+Cost: ONE shuffle on the join key, zero row explosion — at 100 TB this
+is a single sort-merge pass, the same asymptotics kdb/QuestDB use for
+``aj``. Payload travels as one struct so every matched column comes
+from the *same* right row (no column tearing), with a deterministic
+tie-break on the ordering columns.
+
+**Range join** joins a fact to a small bands table on interval
+containment — broadcast nested-loop by design (the bands side is tiny;
+never shuffle the fact).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.sources.tables import table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: for each left row, the right row
+    with the greatest ``right_time <= left_time`` per ``on`` key
+    (ties broken by greatest ``tiebreak``). Unmatched → nulls.
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+        payload,
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).alias("__tb"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # right rows (side=0) sort before left rows (side=1) at equal time
+    # → backward-INCLUSIVE; among right ties the greatest __tb wins
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = r.unionByName(l)
+    filled = unioned.withColumn("__match", F.last("__p", ignorenulls=True).over(w))
+    out = filled.where(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__match")[c].alias(c) for c in payload_cols],
+    )
+    return out
+
+
+def j_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the user's most recent order at-or-before the
+    event time (left as-of; users with no orders keep nulls)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    return asof_join(
+        ev.withColumnRenamed("user_id", "k"),
+        orders.withColumnRenamed("o_custkey", "k"),
+        on="k",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    ).select(
+        "event_id", F.col("k").alias("user_id"), "ts", "o_orderkey", "o_orderdate"
+    )
+
+
+J_ASOF_SQL = """
+WITH cand AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM cand WHERE rn = 1
+"""
+
+
+VALUE_BANDS = [(0.0, 20.0, "low"), (20.0, 60.0, "mid"), (60.0, 1e9, "high")]
+
+
+def j_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events against a tiny value-band interval table —
+    broadcast nested loop on the bands side (never shuffles the fact),
+    then a per-band rollup."""
+    ev = table(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(VALUE_BANDS, "lo double, hi double, band string")
+    return (
+        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+J_RANGE_SQL = f"""
+WITH bands(lo, hi, band) AS (
+  VALUES {', '.join(f"({lo}, {hi}, '{b}')" for lo, hi, b in VALUE_BANDS)}
+)
+SELECT band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+def w4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user over the
+    event stream — Spark's ``session_window`` in batch mode. The
+    oracle spells out the same islands logic with lag + running sum."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+W4_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+ASOF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "j_asof_latest_order": j_asof_latest_order,
+    "j_range_band": j_range_band,
+    "w4_session_windows": w4_session_windows,
+}
+
+ASOF_ORACLES: dict[str, str] = {
+    "j_asof_latest_order": J_ASOF_SQL,
+    "j_range_band": J_RANGE_SQL,
+    "w4_session_windows": W4_SESSION_SQL,
+}

@@ -108,10 +108,17 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
 
     explode(shingles) → per-seed min aggregate: one shuffle on doc_id
     with map-side partial mins.
+
+    The hash family is 8 disjoint 16-bit slices of ONE md5 per shingle
+    (md5 bits are independent, the standard one-hash-many-slices trick)
+    — 8× fewer md5 evaluations than 8 seeded hashes, and byte-identical
+    in any engine with md5.
     """
+    md5 = F.md5(F.col("shingle"))
     exploded = docs.select("doc_id", F.explode(shingles_col()).alias("shingle"))
     aggs = [
-        F.min(seeded_hash64(F.col("shingle"), s)).alias(f"mh{s}") for s in range(n_hashes)
+        F.min(F.conv(F.substring(md5, 4 * s + 1, 4), 16, 10).cast("long")).alias(f"mh{s}")
+        for s in range(n_hashes)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
 
@@ -120,15 +127,17 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(table(spark, sf_dir, "documents"))
 
 
+def _sql_minhash_slice(s: int, expr: str = "shingle") -> str:
+    return f"MIN(CAST(concat('0x', substring(md5({expr}), {4 * s + 1}, 4)) AS BIGINT))"
+
+
 def _sql_minhash(n_hashes: int = N_MINHASH) -> str:
-    mins = ", ".join(
-        f"MIN({sql_seeded_hash64('s.shingle', s)}) AS mh{s}" for s in range(n_hashes)
-    )
+    mins = ", ".join(f"{_sql_minhash_slice(s)} AS mh{s}" for s in range(n_hashes))
     return f"""
 WITH sh AS (
   SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
 )
-SELECT doc_id, {mins} FROM sh s GROUP BY doc_id
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id
 """
 
 
@@ -142,13 +151,22 @@ def lsh_candidate_pairs(
     """
     sig = minhash_signatures(docs, n_hashes)
     rows = n_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        band_rows.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("key")))
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    # explode one band-struct array — the signature aggregation runs
+    # once, not once per band (a 4-way union would recompute it)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+                    "key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands_arr).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -178,7 +196,7 @@ WITH sh AS (
   SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
 ), sig AS (
   SELECT doc_id,
-         {', '.join(f"MIN({sql_seeded_hash64('shingle', s)}) AS mh{s}" for s in range(n_hashes))}
+         {', '.join(f"{_sql_minhash_slice(s)} AS mh{s}" for s in range(n_hashes))}
   FROM sh GROUP BY doc_id
 ), banded AS ({banded})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
