@@ -23,9 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from securities_data_pipeline_spark.plans.relational import RELATIONAL_QUERIES
+    from securities_data_pipeline_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(RELATIONAL_QUERIES)
+    out.update(RELATIONAL_EXT_QUERIES)
     try:
         from securities_data_pipeline_spark.operators import EXTENSION_QUERIES
 
@@ -43,9 +45,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from securities_data_pipeline_spark.plans.relational import RELATIONAL_ORACLES
+    from securities_data_pipeline_spark.plans.relational_ext import RELATIONAL_EXT_ORACLES
 
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
+    out.update(RELATIONAL_EXT_ORACLES)
     try:
         from securities_data_pipeline_spark.operators import EXTENSION_ORACLES
 

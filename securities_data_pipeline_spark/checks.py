@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -137,6 +137,34 @@ def check_relationships(
     rows = orphans.distinct().limit(sample).collect()
     n = orphans.count()
     return CheckResult(f"relationships({child_key}->{parent_key})", n == 0, n, rows)
+
+
+def quarantine_split(
+    df: DataFrame, predicates: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (valid, quarantined) by named validity
+    predicates — the error-channel side output (reference: failed
+    symbol downloads accumulate in YF_ERRORS and load continues with
+    the good subset, py_pipeline/extract.py:122-137 +
+    orchestration.py:110-119).
+
+    The quarantine frame carries a ``__violations`` array naming every
+    failed predicate. Both outputs are lazy filters over the same scan
+    (no extra pass); at scale write the quarantine side to its own
+    table and keep loading the valid side.
+    """
+    viols = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+                for name, pred in predicates.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("__violations", viols)
+    valid = tagged.where(F.size("__violations") == 0).drop("__violations")
+    quarantined = tagged.where(F.size("__violations") > 0)
+    return valid, quarantined
 
 
 def run_checks(checks: list[CheckResult], *, raise_on_failure: bool = False) -> list[CheckResult]:

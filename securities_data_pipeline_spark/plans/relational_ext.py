@@ -1,0 +1,185 @@
+"""Extended relational surface: set ops, grouping sets, pivot/unpivot,
+percentiles, multi-distinct aggregates, approximate sketches.
+
+None of these exist in the reference (SURVEY §2.4/2.7 notes) — Spark
+provides them natively and the star schema exists to be queried this
+way, so the engine exposes them as first-class, oracle-checked
+operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.plans.relational import DEC2, _as_double, _dec2
+from securities_data_pipeline_spark.sources.tables import table
+
+SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def u5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sup = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(sup)
+
+
+U5_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def u6_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): nations with customers but no suppliers."""
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sup = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract = EXCEPT DISTINCT (set semantics, matching the SQL
+    # EXCEPT oracle); exceptAll would be bag semantics
+    return cust.subtract(sup)
+
+
+U6_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all grouping sets."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _as_double(F.sum(_dec2("o_totalprice"))).alias("sum_totalprice"),
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def f_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: customer count per nation × market segment (wide). The
+    oracle is the equivalent conditional aggregation."""
+    cust = table(spark, sf_dir, "customer")
+    out = (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", list(SEGMENTS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(SEGMENTS))
+    )
+    return out.select("c_nationkey", *[F.col(s).alias(s.lower()) for s in SEGMENTS])
+
+
+F_PIVOT_SQL = f"""
+SELECT c_nationkey,
+       {', '.join(f"COUNT(*) FILTER (c_mktsegment = '{s}') AS {s.lower()}" for s in SEGMENTS)}
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+def f_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: lineitem measures → long (measure, value) rows —
+    the same reshape the price pipeline uses, as a query operator."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") % 1000 == 0).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+F_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, u.measure, u.value
+FROM lineitem,
+LATERAL (VALUES ('l_quantity', l_quantity),
+                ('l_extendedprice', l_extendedprice),
+                ('l_discount', l_discount)) AS u(measure, value)
+WHERE l_orderkey % 1000 = 0
+"""
+
+
+def a5_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates in one pass per group."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        _as_double(F.sum(_dec2("c_acctbal"))).alias("sum_acctbal"),
+    )
+
+
+A5_SQL = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics) of
+    order totals per priority, rounded for cross-engine stability."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+A7_SQL = """
+SELECT o_orderpriority,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def a6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count of order keys per
+    month. Sketch internals are engine-specific, so this query has NO
+    SQL oracle (the driver records a rows-only check); the companion
+    test asserts the estimate lands within the configured 2% rsd of
+    the exact count."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"))
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+    )
+
+
+RELATIONAL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "u5_intersect": u5_intersect,
+    "u6_except": u6_except,
+    "agg_cube": agg_cube,
+    "f_pivot_segments": f_pivot_segments,
+    "f_unpivot_measures": f_unpivot_measures,
+    "a5_multi_distinct": a5_multi_distinct,
+    "a7_percentiles": a7_percentiles,
+    "a6_approx_distinct": a6_approx_distinct,
+}
+
+RELATIONAL_EXT_ORACLES: dict[str, str] = {
+    "u5_intersect": U5_SQL,
+    "u6_except": U6_SQL,
+    "agg_cube": AGG_CUBE_SQL,
+    "f_pivot_segments": F_PIVOT_SQL,
+    "f_unpivot_measures": F_UNPIVOT_SQL,
+    "a5_multi_distinct": A5_SQL,
+    "a7_percentiles": A7_SQL,
+    # a6_approx_distinct: intentionally no oracle (sketch-based)
+}

@@ -121,12 +121,93 @@ def stream_merge_into(
     q.awaitTermination()
 
 
+def s_stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 day long, 6 h slide): each event lands in 4
+    overlapping windows — late-bar smoothing for intraday series."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+# each ts belongs to windows starting at the 4 preceding 6-hour marks
+S_SLIDING_SQL = """
+WITH slid AS (
+  SELECT event_type,
+         make_timestamp(CAST((floor(epoch(ts)/21600)*21600 - k.k*21600) AS BIGINT) * 1000000)
+           AS window_start
+  FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM slid
+GROUP BY 1, 2
+"""
+
+
+def s_stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum) accumulated across micro-batches,
+    emitted at timeout/end. The state dict is the engine-managed
+    per-key store — the pattern for bespoke accumulators that
+    window/agg built-ins can't express. Oracle: plain GROUP BY (the
+    final state equals the batch aggregate).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 4)]}
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(result, "update")
+    # update mode re-emits a row per micro-batch; keep the final state
+    # per user (max n_events is the last emission)
+    return (
+        out.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "sum_value"), "n_events").alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.sum_value").alias("sum_value"))
+    )
+
+
+S_USER_STATS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_daily_rollup": s_stream_daily_rollup,
     "s_stream_dedup_keys": s_stream_dedup_keys,
+    "s_stream_sliding_rollup": s_stream_sliding_rollup,
+    "s_stream_user_stats_stateful": s_stream_user_stats_stateful,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
     "s_stream_daily_rollup": S_DAILY_ROLLUP_SQL,
     "s_stream_dedup_keys": S_DEDUP_SQL,
+    "s_stream_sliding_rollup": S_SLIDING_SQL,
+    "s_stream_user_stats_stateful": S_USER_STATS_SQL,
 }

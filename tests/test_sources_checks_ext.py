@@ -1,0 +1,55 @@
+"""Quarantine split (error-channel side output) and the two-level
+header wide-CSV source."""
+
+import textwrap
+
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.checks import quarantine_split
+from securities_data_pipeline_spark.sources.wide_csv import read_wide_price_csv
+
+
+def test_quarantine_split(spark):
+    df = spark.createDataFrame(
+        [("A", 1.0), (None, 2.0), ("C", -5.0), (None, -1.0)],
+        "symbol string, price double",
+    )
+    good, bad = quarantine_split(
+        df,
+        {
+            "symbol_not_null": F.col("symbol").isNotNull(),
+            "price_positive": F.col("price") > 0,
+        },
+    )
+    assert [tuple(r) for r in good.collect()] == [("A", 1.0)]
+    q = {(r.symbol, r.price): set(r["__violations"]) for r in bad.collect()}
+    assert q[(None, 2.0)] == {"symbol_not_null"}
+    assert q[("C", -5.0)] == {"price_positive"}
+    assert q[(None, -1.0)] == {"symbol_not_null", "price_positive"}
+
+
+def test_read_wide_price_csv(spark, tmp_path):
+    """yfinance-style CSV: Price header row, Ticker header row, then
+    dated rows (reference tests/data/raw_*.csv shape)."""
+    csv = textwrap.dedent(
+        """\
+        Price,Open,Open,Close,Close,Volume,Volume
+        Ticker,AAA,BBB,AAA,BBB,AAA,BBB
+        2025-01-01 00:00:00+00:00,1.5,2.5,1.6,2.6,100,200
+        2025-01-02 00:00:00+00:00,1.7,,1.8,,300,
+        """
+    )
+    p = tmp_path / "raw.csv"
+    p.write_text(csv)
+    df = read_wide_price_csv(spark, str(p))
+    assert df.columns == ["date", "Open_AAA", "Open_BBB", "Close_AAA", "Close_BBB", "Volume_AAA", "Volume_BBB"]
+    rows = sorted((str(r.date), r.Open_AAA, r.Open_BBB, r.Volume_BBB) for r in df.collect())
+    assert len(rows) == 2  # the two header lines are dropped
+    assert rows[0] == ("2025-01-01 00:00:00", 1.5, 2.5, 200)
+    assert rows[1][2] is None  # missing cell → null
+
+    # and it feeds straight into the price transform
+    from securities_data_pipeline_spark.functions.cleaning import transform_prices
+
+    long_df = transform_prices(df, "sp_stocks")
+    assert {r.symbol for r in long_df.collect()} == {"AAA", "BBB"}
