@@ -134,6 +134,28 @@ def merge_upsert(
     spark.catalog.refreshByPath(path)
 
 
+def compact_table(
+    spark: SparkSession, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """Rewrite a table to one file per partition (one file total when
+    unpartitioned) — the small-files maintenance job that incremental
+    merges eventually need (Delta's OPTIMIZE analog). Hash-partitioning
+    on the partition columns puts each partition value in exactly one
+    task → one output file per partition. Content is unchanged; run
+    out-of-band."""
+    df = spark.read.parquet(path)
+    if partition_by:
+        df = df.repartition(*[F.col(c) for c in partition_by])
+    else:
+        df = df.coalesce(1)
+    df = df.localCheckpoint(eager=True)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode("overwrite").parquet(path)
+    spark.catalog.refreshByPath(path)
+
+
 def load_prices(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Price-table sink: PK (date_stamp, symbol), partitioned by date
     (py_pipeline/load.py:61-62)."""
