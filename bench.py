@@ -30,6 +30,8 @@ HEADLINE = [
     "sim_ivf_topk",
     "j_asof_latest_order",
     "w4_session_windows",
+    "g_user_trend",
+    "sec_stg_ffill",
     "s_stream_daily_rollup",
 ]
 

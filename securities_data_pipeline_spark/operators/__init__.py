@@ -3,6 +3,7 @@ multimodal plumbing — the training-data-pipeline surface."""
 
 from securities_data_pipeline_spark.operators.asof import ASOF_ORACLES, ASOF_QUERIES
 from securities_data_pipeline_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from securities_data_pipeline_spark.operators.grouped import GROUPED_ORACLES, GROUPED_QUERIES
 from securities_data_pipeline_spark.operators.multimodal import (
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
@@ -19,6 +20,7 @@ EXTENSION_QUERIES = {
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
     **ASOF_QUERIES,
+    **GROUPED_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -27,6 +29,7 @@ EXTENSION_ORACLES = {
     **SIMILARITY_ORACLES,
     **MULTIMODAL_ORACLES,
     **ASOF_ORACLES,
+    **GROUPED_ORACLES,
 }
 
 __all__ = ["EXTENSION_QUERIES", "EXTENSION_ORACLES"]
