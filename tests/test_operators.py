@@ -65,8 +65,17 @@ def test_lsh_pairs_find_exact_dups_and_skip_distinct(spark):
 
 def test_simhash_identical_for_same_word_set(spark):
     # distinct-word based: word order / duplication must not matter
+    from pyspark.sql import functions as F
+
+    from securities_data_pipeline_spark.functions.hashing import seeded_hash64
+    from securities_data_pipeline_spark.operators.textops import words_col
+
     df = _docs(spark, [(1, "alpha beta gamma", "s"), (2, "gamma alpha beta alpha", "s")])
-    out = {r.doc_id: r.sh for r in df.select("doc_id", simhash_col().alias("sh")).collect()}
+    hashed = df.select(
+        "doc_id",
+        F.transform(F.array_distinct(words_col()), lambda w: seeded_hash64(w, 0)).alias("_swh"),
+    )
+    out = {r.doc_id: r.sh for r in hashed.select("doc_id", simhash_col().alias("sh")).collect()}
     assert out[1] == out[2]
     assert 0 <= out[1] < 2**16
 
