@@ -181,12 +181,141 @@ SELECT query_id, rank, vec_id, label, sim FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (hyperplane LSH blocking + exact verify)
+
+EMB_DIM = 64
+HP_BITS = 16
+HP_BANDS = 4  # 4 bands × 4 bits
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def _plane_signs(p: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic ±1 hyperplane components from md5 — the same
+    literals are embedded in the Spark plan AND the oracle SQL, so the
+    two engines share one hash family by construction."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"hp:{p}:{d}".encode()).digest()[0] & 1 else -1.0
+        for d in range(dim)
+    ]
+
+
+HYPERPLANES: list[list[float]] = [_plane_signs(p) for p in range(HP_BITS)]
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    return embedding_cosine_pairs(table(spark, sf_dir, "embeddings"), threshold)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Embedding near-dup pairs: sign-random-projection (SimHash for
+    vectors) LSH blocking, then exact cosine verification.
+
+    Per vector, 16 hyperplane sign bits → 4 bands of 4 bits; vectors
+    sharing any band key become candidates (groupBy bucket +
+    in-bucket pair expansion — ONE narrow shuffle of (band, key,
+    vec_id) rows, never a crossJoin). Candidates are verified with
+    exact cosine ≥ threshold. At 100 TB: the sketch is 2 bytes/vector,
+    buckets shard the corpus ~16× per band, and only colliding pairs
+    ever read two full vectors (the verify join shuffles on vec_id).
+
+    Corpus-scale recall is tuned by (bands, rows): this demo setting
+    (4×4 over random synthetic vectors) is chosen so the gate has
+    non-trivial candidates, not for production recall.
+    """
+    from securities_data_pipeline_spark.operators.dedup import _pair_array
+
+    bit_cols = [
+        (_dot(F.col("embedding"), F.array(*[F.lit(s) for s in HYPERPLANES[p]])) > 0)
+        .cast("int")
+        .alias(f"bit{p}")
+        for p in range(HP_BITS)
+    ]
+    bits = emb.select("vec_id", *bit_cols)
+    rows = HP_BITS // HP_BANDS
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (F.col(f"bit{b * rows + r}") * (1 << r) for r in range(rows)),
+                    F.lit(0),
+                ).alias("key"),
+            )
+            for b in range(HP_BANDS)
+        ]
+    )
+    banded = bits.select("vec_id", F.explode(band_arr).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(_pair_array(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def _sql_embedding_dedup(threshold: float = COSINE_DUP_THRESHOLD) -> str:
+    rows = HP_BITS // HP_BANDS
+
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(str(s) for s in HYPERPLANES[p]) + "]"
+
+    bit_exprs = ", ".join(
+        f"(CASE WHEN {_SQL_DOT.format(a='embedding', b=plane_lit(p))} > 0 "
+        f"THEN 1 ELSE 0 END) AS bit{p}"
+        for p in range(HP_BITS)
+    )
+    key_exprs = ", ".join(
+        " + ".join(f"bit{b * rows + r} * {1 << r}" for r in range(rows)) + f" AS k{b}"
+        for b in range(HP_BANDS)
+    )
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM keys" for b in range(HP_BANDS)
+    )
+    return f"""
+WITH bits AS (
+  SELECT vec_id, {bit_exprs} FROM embeddings
+), keys AS (
+  SELECT vec_id, {key_exprs} FROM bits
+), banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, {_sql_cosine('ea.embedding', 'eb.embedding')} AS sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {_sql_cosine('ea.embedding', 'eb.embedding')} >= {threshold}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
     "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,
+    "dedup_embedding_cosine": _sql_embedding_dedup(),
 }

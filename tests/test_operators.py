@@ -116,3 +116,20 @@ def test_lang_id_deterministic_priority(spark):
     out = {r.doc_id: r.lang for r in df.select("doc_id", lang_id().alias("lang")).collect()}
     assert out[1] == "en"
     assert out[2] == "und"
+
+
+def test_embedding_cosine_pairs_finds_planted_dup(spark):
+    from securities_data_pipeline_spark.operators.similarity import (
+        EMB_DIM,
+        embedding_cosine_pairs,
+    )
+
+    base = [1.0] + [0.0] * (EMB_DIM - 1)
+    near = [1.0, 0.05] + [0.0] * (EMB_DIM - 2)   # cosine ≈ 0.999
+    anti = [-1.0] + [0.0] * (EMB_DIM - 1)        # cosine = -1, opposite bits
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, anti)], "vec_id long, embedding array<float>"
+    )
+    out = {(r.vec_a, r.vec_b): r.sim for r in embedding_cosine_pairs(df).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.99
+    assert all(3 not in k for k in out)
