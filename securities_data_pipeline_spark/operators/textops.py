@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from securities_data_pipeline_spark.functions.hashing import sql_stable_hash64
 from securities_data_pipeline_spark.sources.tables import table
 
 # one source of truth for both engines
@@ -199,11 +200,112 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE-ish subword tokenization (regex-based)
+
+# letter runs / digit runs / single punctuation — the word-boundary
+# pre-split every byte-pair tokenizer applies before merges; identical
+# RE2/Java-regex semantics in both engines
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def t_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish token stats: count + distinct count of regex
+    pre-tokens. Narrow projection — scan-speed at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+    )
+
+
+T_TOKEN_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS n_unique_bpe
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document sketch)
+
+WINNOW_K = 8  # character k-gram length
+WINNOW_W = 4  # winnowing window (k-grams per window)
+
+
+def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS sketch): hash every k-char gram of the normalized text, then
+    keep the minimum hash of each sliding window of w grams; the
+    distinct selected hashes are the document's fingerprint set.
+
+    Guarantees at least one fingerprint per window-length match
+    between documents — the standard plagiarism/near-dup sketch that,
+    unlike MinHash, localizes WHERE the overlap is.
+
+    All per-row expression work in ONE projection, with ``let``
+    bindings so the normalized text and the gram-hash array each
+    evaluate once per row (a naive chained-select version gets
+    CollapseProject-inlined into the window lambda and goes O(n²) —
+    see functions/expr.py). Output explodes to (doc_id, fp) rows
+    ready for an inverted-index join. ~|text| md5s per doc; at 100 TB
+    the sketch is computed at scan speed and only the fingerprints
+    (8 bytes × |text|/w) shuffle, never the text.
+    """
+    from securities_data_pipeline_spark.functions.expr import let
+    from securities_data_pipeline_spark.functions.hashing import stable_hash64
+
+    docs = table(spark, sf_dir, "documents")
+    fps = let(
+        F.array_join(words_col(), " "),
+        lambda t: let(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - (WINNOW_K - 1), F.lit(1))),
+                lambda i: stable_hash64(F.substring(t, i, WINNOW_K)),
+            ),
+            lambda hs: F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(hs) - (WINNOW_W - 1), F.lit(1))
+                    ),
+                    lambda j: F.array_min(F.slice(hs, j, WINNOW_W)),
+                )
+            ),
+        ),
+    )
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def _sql_winnow(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    gram_hash = sql_stable_hash64(f"substring(t, CAST(i AS INT), {k})")
+    return f"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, array_to_string({_sql_words()}, ' ') AS t FROM documents
+), grams AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                        i -> {gram_hash}) AS hs
+  FROM norm
+), sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - {w - 1}, 1) + 1),
+                                      j -> list_aggregate(hs[j : j + {w - 1}], 'min'))) AS fps
+  FROM grams
+)
+SELECT doc_id, unnest(fps) AS fp FROM sel
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_token_stats": t_token_stats,
     "t_quality": t_quality,
     "t_lang_id": t_lang_id,
     "t_fingerprint": t_fingerprint,
+    "t_token_bpe": t_token_bpe,
+    "t_winnow_fingerprint": t_winnow_fingerprint,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -211,4 +313,6 @@ TEXT_ORACLES: dict[str, str] = {
     "t_quality": _sql_quality(),
     "t_lang_id": _sql_lang_id(),
     "t_fingerprint": T_FINGERPRINT_SQL,
+    "t_token_bpe": T_TOKEN_BPE_SQL,
+    "t_winnow_fingerprint": _sql_winnow(),
 }
