@@ -24,12 +24,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from securities_data_pipeline_spark.plans.relational import RELATIONAL_QUERIES
     from securities_data_pipeline_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
+    from securities_data_pipeline_spark.plans.subqueries import SUBQUERY_QUERIES
 
     from securities_data_pipeline_spark.plans.securities_demo import SECURITIES_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(RELATIONAL_QUERIES)
     out.update(RELATIONAL_EXT_QUERIES)
+    out.update(SUBQUERY_QUERIES)
     out.update(SECURITIES_QUERIES)
     try:
         from securities_data_pipeline_spark.operators import EXTENSION_QUERIES
@@ -49,12 +51,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from securities_data_pipeline_spark.plans.relational import RELATIONAL_ORACLES
     from securities_data_pipeline_spark.plans.relational_ext import RELATIONAL_EXT_ORACLES
+    from securities_data_pipeline_spark.plans.subqueries import SUBQUERY_ORACLES
 
     from securities_data_pipeline_spark.plans.securities_demo import SECURITIES_ORACLES
 
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
     out.update(RELATIONAL_EXT_ORACLES)
+    out.update(SUBQUERY_ORACLES)
     out.update(SECURITIES_ORACLES)
     try:
         from securities_data_pipeline_spark.operators import EXTENSION_ORACLES

@@ -28,6 +28,23 @@ from securities_data_pipeline_spark.sources.tables import table
 
 
 def g_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event values over time, entirely
+    JVM-side: ``regr_slope`` is a built-in declarative aggregate, so
+    the plan is scan → partial agg → final agg (one shuffle, no
+    Python). This is the headline-bench path; the grouped-map Pandas
+    variant below (``g_user_trend_udf``) computes the same thing and
+    exists to exercise §2.10 — built-ins beat per-group Python by ~10×
+    when groups are small (100k events / ~25k users: per-group Arrow
+    batch + Python call overhead dominates)."""
+    ev = table(spark, sf_dir, "events")
+    t = F.unix_micros("ts") / F.lit(1e6)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.regr_slope(F.col("value"), t) * 86400.0, 6).alias("slope_per_day"),
+    )
+
+
+def g_user_trend_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user linear trend of event values over time (slope per
     day + mean), via grouped-map applyInPandas."""
     import pandas as pd
@@ -65,8 +82,10 @@ GROUP BY user_id
 
 GROUPED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_user_trend": g_user_trend,
+    "g_user_trend_udf": g_user_trend_udf,
 }
 
 GROUPED_ORACLES: dict[str, str] = {
     "g_user_trend": G_USER_TREND_SQL,
+    "g_user_trend_udf": G_USER_TREND_SQL,
 }

@@ -59,15 +59,23 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_stub(payload: bytes, media_type: str, *, strict: bool = False) -> list[float]:
     """STUB for the real codec. In production this dispatches on
     media_type to PIL/ffmpeg/torchaudio; here it is a deterministic
-    fake (byte-histogram moments) so the distributed plumbing is
-    testable end-to-end."""
+    fake — the seeded stable hash of the payload (the same
+    ``md5(seed || ':' || x)`` family as functions/hashing.py), reduced
+    mod 1e5 so every feature is an integer-valued float (exact in
+    float32 AND in a double-typed SQL oracle). That makes the whole
+    mapInPandas path value-checkable against DuckDB, not just
+    shape-checkable."""
     if strict:
         raise NotImplementedError(
             f"no codec for {media_type}: decode libraries are not available in this environment"
         )
-    n = max(len(payload), 1)
+    import hashlib
+
     return [
-        float(sum(payload[i::N_FAKE_FEATURES]) % 1000) / n for i in range(N_FAKE_FEATURES)
+        float(
+            int(hashlib.md5(f"{i}:".encode() + payload).hexdigest()[:15], 16) % 100000
+        )
+        for i in range(N_FAKE_FEATURES)
     ]
 
 
@@ -119,10 +127,147 @@ FROM documents
 """
 
 
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked decode path: the full binary→feature mapInPandas
+    pipeline, exploded to (doc_id, feat_idx, feat_val) rows. The
+    payload is UTF-8 text bytes and the stub feature is the seeded
+    stable hash, so a pure-SQL oracle reproduces every value — proving
+    the Arrow batch plumbing loses nothing."""
+    media = documents_as_media(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("feature").alias("feat_idx", "feat_val")
+    ).select("doc_id", "n_bytes", "feat_idx", F.col("feat_val").cast("double").alias("feat_val"))
+
+
+MM_FEATURE_EXTRACT_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(i AS INT) AS feat_idx,
+       CAST(CAST(concat('0x', substring(md5(concat(CAST(i AS VARCHAR), ':', text)), 1, 15))
+                 AS BIGINT) % 100000 AS DOUBLE) AS feat_val
+FROM documents, unnest(range(0, 8)) AS t(i)
+"""
+
+
+RESIZE_BYTES = 128
+
+
+def resize_stub(payload: bytes, media_type: str, target: int = RESIZE_BYTES) -> bytes:
+    """STUB for image/audio resampling. In production: PIL resize /
+    librosa resample dispatched on media_type. The fake is a
+    deterministic truncate-or-cycle to ``target`` bytes — payload in,
+    payload out, which is the plumbing shape that matters (binary →
+    binary, row count preserved, meta updated)."""
+    if not payload:
+        return b"\x00" * target
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def resize_media(media: DataFrame, *, target: int = RESIZE_BYTES) -> DataFrame:
+    """Binary→binary transform over mapInPandas: each payload replaced
+    by its resized form, meta.width updated to the new size. Output
+    rows = input rows; Arrow carries the blobs both ways so Python
+    never sees more than one batch at a time."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                resize_stub(p, m, target) for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out["meta"] = [
+                {**(m if isinstance(m, dict) else m.asDict() if hasattr(m, "asDict") else dict(m)), "width": target}
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked resize: digest of the resized payload per doc.
+    The cycle-to-length fake is SQL-expressible (repeat + substring),
+    so the binary round-trip through Arrow is value-checked."""
+    resized = resize_media(documents_as_media(spark, sf_dir))
+    return resized.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+        F.col("meta.width").alias("width"),
+    )
+
+
+MM_RESIZE_SQL = f"""
+SELECT doc_id,
+       {RESIZE_BYTES} AS n_bytes,
+       md5(substring(repeat(text, CAST(ceil({RESIZE_BYTES}.0 / len(text)) AS INT)),
+                     1, {RESIZE_BYTES})) AS digest,
+       {RESIZE_BYTES} AS width
+FROM documents
+"""
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 3
+
+
+def frame_sample(media: DataFrame, *, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame-sampling plumbing: one input blob → several sampled-frame
+    rows (every ``stride``-th fixed-size slice), the row-exploding
+    mapInPandas shape a video decoder needs (frame count is unknown to
+    the planner; output batches are built per input batch). The digest
+    stands in for the decoded frame tensor."""
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = -(-len(payload) // frame_bytes)
+                for j in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    digests.append(
+                        hashlib.md5(payload[j * frame_bytes : (j + 1) * frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_md5": pd.Series(digests, dtype="object")}
+            )
+
+    return media.mapInPandas(run, schema="doc_id long, frame_idx int, frame_md5 string")
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked frame sampling over the synthetic media table."""
+    return frame_sample(documents_as_media(spark, sf_dir))
+
+
+MM_FRAME_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(j AS INT) AS frame_idx,
+       md5(substring(text, CAST(j * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_md5
+FROM documents,
+     unnest(range(0, CAST(ceil(len(text) / {FRAME_BYTES}.0) AS BIGINT), {FRAME_STRIDE})) AS t(j)
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_binary_meta": mm_binary_meta,
+    "mm_feature_extract": mm_feature_extract,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_resize": mm_resize,
 }
 
 MULTIMODAL_ORACLES: dict[str, str] = {
     "mm_binary_meta": MM_BINARY_META_SQL,
+    "mm_feature_extract": MM_FEATURE_EXTRACT_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_resize": MM_RESIZE_SQL,
 }
