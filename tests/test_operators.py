@@ -133,3 +133,49 @@ def test_embedding_cosine_pairs_finds_planted_dup(spark):
     out = {(r.vec_a, r.vec_b): r.sim for r in embedding_cosine_pairs(df).collect()}
     assert (1, 2) in out and out[(1, 2)] > 0.99
     assert all(3 not in k for k in out)
+
+
+def test_resize_stub_edge_cases():
+    from securities_data_pipeline_spark.operators.multimodal import resize_stub
+
+    assert resize_stub(b"", "image/png", 16) == b"\x00" * 16
+    assert resize_stub(b"abc", "image/png", 8) == b"abcabcab"  # cycle up
+    assert resize_stub(b"0123456789", "image/png", 4) == b"0123"  # truncate
+    assert len(resize_stub(b"x" * 500, "image/png")) == 128
+
+
+def test_frame_sample_short_doc_one_frame(spark):
+    from securities_data_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample,
+    )
+
+    docs = _docs(spark, [(1, "short text", "s")]).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    )
+    media = docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    rows = frame_sample(media).collect()
+    # 10 bytes -> 1 frame (idx 0); digest of the whole payload
+    assert len(rows) == 1 and rows[0].frame_idx == 0
+
+
+def test_resize_media_preserves_rows_updates_meta(spark):
+    from securities_data_pipeline_spark.operators.multimodal import (
+        RESIZE_BYTES,
+        resize_media,
+    )
+
+    media = documents_as_media(spark, "/root/testdata/sf0.001").limit(7)
+    out = resize_media(media).collect()
+    assert len(out) == 7
+    assert all(len(r.payload) == RESIZE_BYTES and r.meta.width == RESIZE_BYTES for r in out)
