@@ -12,6 +12,7 @@ from securities_data_pipeline_spark.operators.similarity import (
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
 )
+from securities_data_pipeline_spark.operators.skew import SKEW_ORACLES, SKEW_QUERIES
 from securities_data_pipeline_spark.operators.textops import TEXT_ORACLES, TEXT_QUERIES
 
 EXTENSION_QUERIES = {
@@ -21,6 +22,7 @@ EXTENSION_QUERIES = {
     **MULTIMODAL_QUERIES,
     **ASOF_QUERIES,
     **GROUPED_QUERIES,
+    **SKEW_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -30,6 +32,7 @@ EXTENSION_ORACLES = {
     **MULTIMODAL_ORACLES,
     **ASOF_ORACLES,
     **GROUPED_ORACLES,
+    **SKEW_ORACLES,
 }
 
 __all__ = ["EXTENSION_QUERIES", "EXTENSION_ORACLES"]

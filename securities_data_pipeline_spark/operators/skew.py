@@ -1,0 +1,145 @@
+"""Skew mitigation + co-located (bucketed) joins — the two manual
+shuffle levers for 100 TB workloads (SURVEY §4 scale notes).
+
+AQE's skew-join splitting handles most skew at runtime; these are the
+explicit tools for the cases AQE can't fix:
+
+- ``salted_group_sum``: two-phase aggregation for a *skewed grouping
+  key* (one boilerplate symbol/document dominating). Phase 1 groups by
+  (key, salt) — the hot key's rows spread over ``n_salts`` reducers —
+  phase 2 groups the ~n_salts× smaller partials by key alone.
+  Algebraic aggregates (sum/count/min/max) compose exactly, so the
+  result is bit-identical to the unsalted plan.
+- ``salted_join``: broadcast-free join against a *skewed build side*:
+  the small side is replicated once per salt (explode), the big side
+  gets a deterministic salt from its row content, and the join key
+  becomes (key, salt) — the hot key's probe rows land on n_salts
+  reducers instead of one.
+- ``write_bucketed`` / bucketed reads: pre-shuffle a fact table ONCE
+  into ``n`` buckets by join key (`df.write.bucketBy`). Every later
+  equi-join/agg on that key reads co-located buckets and skips its
+  Exchange entirely — the batch analog of the reference's PK-clustered
+  warehouse tables (py_pipeline/load.py merge keys). Verified by a
+  plan test: the bucketed join has NO Exchange on the bucketed sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salted_group_sum(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-phase skew-safe groupBy: exact ``sum`` + ``count`` per key.
+
+    Output: ``keys + [sum_<c> ...] + n_rows``. Equal to the direct
+    ``groupBy(keys).agg(sum, count)`` for any input (algebraic
+    re-association), but the widest reducer sees ~1/n_salts of the
+    hottest key.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in df.columns]), F.lit(n_salts)).alias(
+        "_salt"
+    )
+    partial = (
+        df.select(*df.columns, salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            *[F.sum(c).alias(f"_psum_{c}") for c in sum_cols],
+            F.count(F.lit(1)).alias("_pcnt"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"_psum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        F.sum("_pcnt").alias("n_rows"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread across
+    ``n_salts`` reducers.
+
+    The small side is replicated n_salts times (one row per salt), the
+    big side is salted deterministically from its full row content, and
+    the shuffle key becomes (key, salt). Semantically identical to
+    ``big.join(small, key, how)`` for inner/left joins (each big row
+    still matches exactly the same small rows)."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int"),
+    )
+    joined = big_salted.join(small_rep, [key, "_salt"], how)
+    return joined.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_keys: list[str],
+    n_buckets: int = 8,
+) -> None:
+    """Materialize ``df`` as a bucketed+sorted catalog table: one
+    shuffle now, zero shuffles for every later join/agg on
+    ``bucket_keys``. (Spark bucketing metadata lives in the session
+    catalog; on a cluster this is the Delta/warehouse table layout.)"""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_keys)
+        .sortBy(*bucket_keys)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key —
+    planner emits SortMergeJoin with NO Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), key)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked query: the salted two-phase aggregate
+
+
+def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-returnflag quantity totals over lineitem via the
+    two-phase salted aggregate. The oracle is the plain GROUP BY —
+    the salting must be observationally invisible. Decimal sums keep
+    the re-association exact across engines."""
+    from securities_data_pipeline_spark.sources.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(18,2)").alias("q")
+    )
+    out = salted_group_sum(li, ["l_returnflag"], ["q"])
+    return out.select(
+        "l_returnflag", F.col("sum_q").cast("double").alias("sum_qty"), "n_rows"
+    )
+
+
+AGG_SALTED_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+SKEW_QUERIES = {"agg_salted_sum": agg_salted_sum}
+SKEW_ORACLES = {"agg_salted_sum": AGG_SALTED_SQL}
