@@ -162,6 +162,68 @@ def a6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-and-sum — date range + discount band
+    + quantity cap, all pushed to the parquet scan; single partial→
+    final agg, no join, no wide columns. The canonical "is the scan
+    fast" probe."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _as_double(
+                F.sum(_dec2("l_extendedprice") * F.col("l_discount").cast("decimal(18,4)"))
+            ).alias("revenue")
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast
+    dimension join (promo revenue share by ship month)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    disc = _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(24,6)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"))
+        .agg(
+            (F.lit(100.0) * _as_double(F.sum(promo)) / _as_double(F.sum(disc))).alias(
+                "promo_pct"
+            )
+        )
+    )
+
+
+Q14_SQL = """
+SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS ship_month,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+
 RELATIONAL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u5_intersect": u5_intersect,
     "u6_except": u6_except,
@@ -171,6 +233,8 @@ RELATIONAL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_multi_distinct": a5_multi_distinct,
     "a7_percentiles": a7_percentiles,
     "a6_approx_distinct": a6_approx_distinct,
+    "q6_banded_revenue": q6_banded_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
 }
 
 RELATIONAL_EXT_ORACLES: dict[str, str] = {
@@ -182,4 +246,6 @@ RELATIONAL_EXT_ORACLES: dict[str, str] = {
     "a5_multi_distinct": A5_SQL,
     "a7_percentiles": A7_SQL,
     # a6_approx_distinct: intentionally no oracle (sketch-based)
+    "q6_banded_revenue": Q6_SQL,
+    "q14_promo_revenue": Q14_SQL,
 }

@@ -179,3 +179,18 @@ def test_resize_media_preserves_rows_updates_meta(spark):
     out = resize_media(media).collect()
     assert len(out) == 7
     assert all(len(r.payload) == RESIZE_BYTES and r.meta.width == RESIZE_BYTES for r in out)
+
+
+def test_ivf_multiprobe_recall_vs_bruteforce(spark):
+    from securities_data_pipeline_spark.operators.similarity import (
+        sim_bruteforce_topk,
+        sim_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.query_id, r.vec_id) for r in sim_bruteforce_topk(spark, sf).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in sim_ivf_topk(spark, sf).collect()}
+    recall = len(bf & ivf) / len(bf)
+    # deterministic corpus + deterministic centroids -> stable value
+    # (0.96 at sf0.001); the floor guards against silent probe loss
+    assert recall >= 0.9, f"IVF multiprobe recall@10 degraded: {recall}"
