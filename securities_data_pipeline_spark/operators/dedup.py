@@ -390,15 +390,96 @@ WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= {th
 """
 
 
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list: every node
+    ends with ``component = min(doc_id in its component)``.
+
+    The iterative driver loop Spark needs for algorithms SQL can't
+    express in one pass: each round joins current labels across edges,
+    keeps the per-node min, and stops at fixpoint (≤ graph diameter
+    rounds — near-dup clusters are small, so 2-4 in practice).
+    Each round persists its result and unpersists the previous one:
+    lineage stays O(1) so the plan doesn't grow exponentially with
+    iterations (the classic iterative-Spark trap; at larger depth one
+    would ``checkpoint`` every k rounds).
+
+    ``edges`` columns: (doc_a, doc_b); ``nodes``: (doc_id,).
+    Output: (doc_id, component).
+    """
+    # materialize the adjacency once — every round joins against it,
+    # and an unpersisted edge list would re-run the whole upstream
+    # (LSH) pipeline per iteration
+    adj = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    adj.count()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        prop = adj.join(labels, adj.doc_b == labels.doc_id).select(
+            F.col("doc_a").alias("doc_id"), "component"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("doc_id").agg(F.min("component").alias("component"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH candidate pairs as edges →
+    connected components → (doc_id, component) with component = min
+    doc_id reachable. Docs with no near-dup edge are singletons."""
+    docs = table(spark, sf_dir, "documents")
+    edges = lsh_candidate_pairs(docs)
+    return connected_components(edges, docs.select("doc_id"))
+
+
+def _sql_components() -> str:
+    # transitive closure by recursive reachability (aggregate-free
+    # recursion, so any recursive-CTE engine accepts it), then
+    # component = min reachable id (including self)
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_lsh_pairs().strip()}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
+)
+SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+"""
+
+
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_components": dedup_components,
 }
 
 DEDUP_ORACLES: dict[str, str] = {
+    "dedup_components": _sql_components(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signature": _sql_minhash(),
     "dedup_minhash_pairs": _sql_lsh_pairs(),

@@ -194,3 +194,14 @@ def test_ivf_multiprobe_recall_vs_bruteforce(spark):
     # deterministic corpus + deterministic centroids -> stable value
     # (0.96 at sf0.001); the floor guards against silent probe loss
     assert recall >= 0.9, f"IVF multiprobe recall@10 degraded: {recall}"
+
+
+def test_connected_components_path_and_singleton(spark):
+    from securities_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(2, 3), (3, 4), (8, 9)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(2,), (3,), (4,), (7,), (8,), (9,)], "doc_id long")
+    got = {r.doc_id: r.component for r in connected_components(edges, nodes).collect()}
+    # path 2-3-4 collapses to min=2 (needs >1 propagation round),
+    # 8-9 to 8, isolated 7 stays itself
+    assert got == {2: 2, 3: 2, 4: 2, 7: 7, 8: 8, 9: 8}
