@@ -12,6 +12,10 @@ from securities_data_pipeline_spark.operators.similarity import (
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
 )
+from securities_data_pipeline_spark.operators.sampling import (
+    SAMPLING_ORACLES,
+    SAMPLING_QUERIES,
+)
 from securities_data_pipeline_spark.operators.skew import SKEW_ORACLES, SKEW_QUERIES
 from securities_data_pipeline_spark.operators.textops import TEXT_ORACLES, TEXT_QUERIES
 
@@ -23,6 +27,7 @@ EXTENSION_QUERIES = {
     **ASOF_QUERIES,
     **GROUPED_QUERIES,
     **SKEW_QUERIES,
+    **SAMPLING_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -33,6 +38,7 @@ EXTENSION_ORACLES = {
     **ASOF_ORACLES,
     **GROUPED_ORACLES,
     **SKEW_ORACLES,
+    **SAMPLING_ORACLES,
 }
 
 __all__ = ["EXTENSION_QUERIES", "EXTENSION_ORACLES"]
