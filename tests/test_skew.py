@@ -74,3 +74,32 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_stratified_sampling_deterministic_and_rate_bounded(spark):
+    from securities_data_pipeline_spark.operators.sampling import sample_stratified
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    kept = sample_stratified(df, "k", "s", {"a": 500, "b": 100})
+    counts = {r.s: r.n for r in kept.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    # ~50% of 1000 'a' rows, ~10% of 1000 'b' rows; generous bounds
+    assert 400 <= counts["a"] <= 600
+    assert 50 <= counts["b"] <= 160
+    # determinism: the same rows every run
+    again = {r.k for r in sample_stratified(df, "k", "s", {"a": 500, "b": 100}).collect()}
+    assert again == {r.k for r in kept.collect()}
+
+
+def test_token_budget_keeps_first_overflowing_doc(spark):
+    from securities_data_pipeline_spark.operators.sampling import token_budget_filter
+
+    df = spark.createDataFrame(
+        [(i, "x", 40) for i in range(10)], "doc_id long, lang string, n_tokens long"
+    )
+    kept = token_budget_filter(df, "doc_id", "lang", "n_tokens", 100)
+    got = kept.collect()
+    # 40+40 < 100, third doc overflows but is kept (before-sum 80 < 100)
+    assert len(got) == 3
