@@ -224,6 +224,29 @@ GROUP BY 1
 
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (status-only and priority-only
+    aggregates in one pass — the general form cube/rollup specialize;
+    Spark 4 DataFrame API). One shuffle, each input row expanded only
+    into its declared sets."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _as_double(F.sum(_dec2("o_totalprice"))).alias("sum_totalprice"),
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+
 RELATIONAL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u5_intersect": u5_intersect,
     "u6_except": u6_except,
@@ -235,6 +258,7 @@ RELATIONAL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_approx_distinct": a6_approx_distinct,
     "q6_banded_revenue": q6_banded_revenue,
     "q14_promo_revenue": q14_promo_revenue,
+    "agg_grouping_sets": agg_grouping_sets,
 }
 
 RELATIONAL_EXT_ORACLES: dict[str, str] = {
@@ -248,4 +272,5 @@ RELATIONAL_EXT_ORACLES: dict[str, str] = {
     # a6_approx_distinct: intentionally no oracle (sketch-based)
     "q6_banded_revenue": Q6_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
 }
