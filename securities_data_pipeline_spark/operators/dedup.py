@@ -404,37 +404,36 @@ def connected_components(
     express in one pass: each round joins current labels across edges,
     keeps the per-node min, and stops at fixpoint (≤ graph diameter
     rounds — near-dup clusters are small, so 2-4 in practice).
-    Each round persists its result and unpersists the previous one:
-    lineage stays O(1) so the plan doesn't grow exponentially with
-    iterations (the classic iterative-Spark trap; at larger depth one
-    would ``checkpoint`` every k rounds).
+    Every round ``localCheckpoint``s its result: lineage is truncated
+    to O(1) per round (the classic iterative-Spark trap is a plan that
+    doubles each iteration), nothing stays pinned after the result is
+    garbage-collected, and the returned DataFrame is already
+    materialized. On a cluster with unreliable executors use
+    reliable ``checkpoint`` to HDFS instead.
 
     ``edges`` columns: (doc_a, doc_b); ``nodes``: (doc_id,).
     Output: (doc_id, component).
     """
     # materialize the adjacency once — every round joins against it,
-    # and an unpersisted edge list would re-run the whole upstream
-    # (LSH) pipeline per iteration
+    # and a lazy edge list would re-run the whole upstream (LSH)
+    # pipeline per iteration
     adj = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    adj.count()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
-    labels.count()
+    ).localCheckpoint()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
     for _ in range(max_iter):
         prop = adj.join(labels, adj.doc_b == labels.doc_id).select(
             F.col("doc_a").alias("doc_id"), "component"
         )
         new_labels = (
             labels.unionByName(prop).groupBy("doc_id").agg(F.min("component").alias("component"))
-        ).persist()
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
