@@ -41,6 +41,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     warehouse engines downcast ns→us. Conversion is a cheap projection —
     pruning/pushdown on other columns is unaffected.
     """
+    if name == "events":
+        # runtime-settable; without these a session not built by our
+        # factory (e.g. a driver-provided one) rejects the
+        # TIMESTAMP(NANOS) parquet column outright, and the ns→µs
+        # epoch conversion below is only wall-clock-stable under UTC
+        # (SURVEY §7 risk 7)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division — `/` would go through double and lose

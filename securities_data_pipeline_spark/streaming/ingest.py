@@ -36,6 +36,11 @@ from pyspark.sql import types as T
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events landing file(s), with the same ns→µs
     timestamp normalization as the batch scan (sources/tables.py)."""
+    # runtime-settable; a driver-provided session without our factory
+    # config would otherwise reject the TIMESTAMP(NANOS) column, and
+    # the ns→µs conversion needs UTC for wall-clock stability
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(batch_schema)
