@@ -49,7 +49,18 @@ def asof_join(
     """Backward-inclusive as-of join: for each left row, the right row
     with the greatest ``right_time <= left_time`` per ``on`` key
     (ties broken by greatest ``tiebreak``). Unmatched → nulls.
+
+    ``payload_cols`` must not collide with left column names — the
+    output carries both sides under their own names, and a silent
+    duplicate would poison every later by-name reference
+    (AMBIGUOUS_REFERENCE on select, failure on write).
     """
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload_cols collide with left columns {sorted(clash)}; "
+            "rename one side before the as-of join"
+        )
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
     r = right.select(
         F.col(on).alias("__k"),

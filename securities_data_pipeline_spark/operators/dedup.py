@@ -187,6 +187,26 @@ def _pair_array(ids):
     )
 
 
+def bucket_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(band, key, id) rows → distinct co-bucketed id pairs (a < b).
+
+    The shared LSH candidate-generation plan: ONE shuffle groups ids
+    per (band, key) bucket, pairs expand in-bucket via nested
+    ``transform``, and a final distinct removes pairs that collided in
+    several bands. Used by both the MinHash (dedup) and hyperplane
+    (embedding) LSH paths — tune bucket-size caps here, once.
+    Output columns: doc_a, doc_b.
+    """
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(_pair_array(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame, bands: int = LSH_BANDS, n_hashes: int = N_MINHASH
 ) -> DataFrame:
@@ -203,6 +223,11 @@ def lsh_candidate_pairs(
     filter before pair expansion; the uncapped version here keeps the
     semantics oracle-exact.
     """
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must divide evenly into bands={bands}; "
+            "trailing hashes would be silently dropped"
+        )
     sig = minhash_signatures(docs, n_hashes)
     rows = n_hashes // bands
     # explode one band-struct array — the signature computation runs
@@ -221,16 +246,7 @@ def lsh_candidate_pairs(
     banded = sig.select("doc_id", F.explode(bands_arr).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    return (
-        buckets.select(F.explode(_pair_array(F.col("ids"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    return bucket_pairs(banded)
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,8 +452,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(a component chain longer than max_iter exists); raise max_iter — "
+        "propagation advances one hop per round"
+    )
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

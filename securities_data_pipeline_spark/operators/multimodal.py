@@ -190,8 +190,16 @@ def resize_media(media: DataFrame, *, target: int = RESIZE_BYTES) -> DataFrame:
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked resize: digest of the resized payload per doc.
     The cycle-to-length fake is SQL-expressible (repeat + substring),
-    so the binary round-trip through Arrow is value-checked."""
-    resized = resize_media(documents_as_media(spark, sf_dir))
+    so the binary round-trip through Arrow is value-checked.
+
+    NB: the SQL twin slices VARCHAR *characters* while the stub slices
+    payload *bytes* — equivalent only for ASCII text, which the
+    synthetic corpus guarantees (a production resize consumes bytes;
+    the oracle exists to check the Arrow plumbing, not codec
+    semantics). Empty docs are excluded on both sides so the oracle's
+    ceil-division is total."""
+    media = documents_as_media(spark, sf_dir).where(F.octet_length("payload") > 0)
+    resized = resize_media(media)
     return resized.select(
         "doc_id",
         F.octet_length("payload").alias("n_bytes"),
@@ -207,6 +215,7 @@ SELECT doc_id,
                      1, {RESIZE_BYTES})) AS digest,
        {RESIZE_BYTES} AS width
 FROM documents
+WHERE len(text) > 0
 """
 
 
@@ -245,8 +254,11 @@ def frame_sample(media: DataFrame, *, frame_bytes: int = FRAME_BYTES, stride: in
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checked frame sampling over the synthetic media table."""
-    return frame_sample(documents_as_media(spark, sf_dir))
+    """Oracle-checked frame sampling over the synthetic media table
+    (empty docs excluded; ASCII corpus makes the char-based SQL twin
+    byte-equivalent — see ``mm_resize``)."""
+    media = documents_as_media(spark, sf_dir).where(F.octet_length("payload") > 0)
+    return frame_sample(media)
 
 
 MM_FRAME_SAMPLE_SQL = f"""
@@ -255,6 +267,7 @@ SELECT doc_id,
        md5(substring(text, CAST(j * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_md5
 FROM documents,
      unnest(range(0, CAST(ceil(len(text) / {FRAME_BYTES}.0) AS BIGINT), {FRAME_STRIDE})) AS t(j)
+WHERE len(text) > 0
 """
 
 

@@ -254,20 +254,23 @@ def embedding_cosine_pairs(
     """Embedding near-dup pairs: sign-random-projection (SimHash for
     vectors) LSH blocking, then exact cosine verification.
 
-    Per vector, 16 hyperplane sign bits → 4 bands of 4 bits; vectors
-    sharing any band key become candidates (groupBy bucket +
-    in-bucket pair expansion — ONE narrow shuffle of (band, key,
-    vec_id) rows, never a crossJoin). Candidates are verified with
-    exact cosine ≥ threshold. At 100 TB: the sketch is 2 bytes/vector,
-    buckets shard the corpus ~16× per band, and only colliding pairs
+    Per vector, ``HP_BITS`` hyperplane sign bits → ``HP_BANDS`` bands
+    (currently 48 bits → 6 bands of 8 bits, 256 buckets/band — see the
+    tuning note on the constants above); vectors sharing any band key
+    become candidates (groupBy bucket + in-bucket pair expansion — ONE
+    narrow shuffle of (band, key, vec_id) rows, never a crossJoin).
+    Candidates are verified with exact cosine ≥ threshold. At 100 TB:
+    the sketch is HP_BITS/8 bytes/vector, and only colliding pairs
     ever read two full vectors (the verify join shuffles on vec_id).
 
-    Corpus-scale recall is tuned by (bands, rows): this demo setting
-    (4×4 over random synthetic vectors) is chosen so the gate has
-    non-trivial candidates, not for production recall.
+    Corpus-scale recall is tuned by (bands, bits-per-band); the
+    candidate plan is shared with MinHash LSH via
+    ``dedup.bucket_pairs``.
     """
-    from securities_data_pipeline_spark.operators.dedup import _pair_array
+    from securities_data_pipeline_spark.operators.dedup import bucket_pairs
 
+    if HP_BITS % HP_BANDS:
+        raise ValueError(f"HP_BITS={HP_BITS} must divide into HP_BANDS={HP_BANDS}")
     bit_cols = [
         (_dot(F.col("embedding"), F.array(*[F.lit(s) for s in HYPERPLANES[p]])) > 0)
         .cast("int")
@@ -291,13 +294,8 @@ def embedding_cosine_pairs(
     banded = bits.select("vec_id", F.explode(band_arr).alias("bk")).select(
         "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    cand = (
-        banded.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-        .select(F.explode(_pair_array(F.col("ids"))).alias("p"))
-        .select(F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b"))
-        .distinct()
+    cand = bucket_pairs(banded, id_col="vec_id").select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))

@@ -205,3 +205,34 @@ def test_connected_components_path_and_singleton(spark):
     # path 2-3-4 collapses to min=2 (needs >1 propagation round),
     # 8-9 to 8, isolated 7 stays itself
     assert got == {2: 2, 3: 2, 4: 2, 7: 7, 8: 8, 9: 8}
+
+
+def test_asof_join_rejects_payload_name_collision(spark):
+    from securities_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 5)], "k long, ts long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_time="ts", right_time="ts",
+                  payload_cols=["ts"])
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from securities_data_pipeline_spark.operators.dedup import connected_components
+
+    # a 6-node chain needs 5 propagation hops; max_iter=3 must raise,
+    # never silently return split components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, nodes, max_iter=3)
+
+
+def test_lsh_pairs_rejects_indivisible_bands(spark):
+    from securities_data_pipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _docs(spark, [(1, "a b c", "s")])
+    with pytest.raises(ValueError, match="divide"):
+        lsh_candidate_pairs(docs, bands=3, n_hashes=8)
