@@ -24,6 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from securities_data_pipeline_spark.plans.relational import RELATIONAL_QUERIES
     from securities_data_pipeline_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
+    from securities_data_pipeline_spark.plans.relational_tpch2 import TPCH2_QUERIES
     from securities_data_pipeline_spark.plans.subqueries import SUBQUERY_QUERIES
 
     from securities_data_pipeline_spark.plans.securities_demo import SECURITIES_QUERIES
@@ -31,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(RELATIONAL_QUERIES)
     out.update(RELATIONAL_EXT_QUERIES)
+    out.update(TPCH2_QUERIES)
     out.update(SUBQUERY_QUERIES)
     out.update(SECURITIES_QUERIES)
     try:
@@ -51,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from securities_data_pipeline_spark.plans.relational import RELATIONAL_ORACLES
     from securities_data_pipeline_spark.plans.relational_ext import RELATIONAL_EXT_ORACLES
+    from securities_data_pipeline_spark.plans.relational_tpch2 import TPCH2_ORACLES
     from securities_data_pipeline_spark.plans.subqueries import SUBQUERY_ORACLES
 
     from securities_data_pipeline_spark.plans.securities_demo import SECURITIES_ORACLES
@@ -58,6 +61,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
     out.update(RELATIONAL_EXT_ORACLES)
+    out.update(TPCH2_ORACLES)
     out.update(SUBQUERY_ORACLES)
     out.update(SECURITIES_ORACLES)
     try:
