@@ -242,6 +242,45 @@ def _plane_signs(p: int, dim: int = EMB_DIM) -> list[float]:
 HYPERPLANES: list[list[float]] = [_plane_signs(p) for p in range(HP_BITS)]
 
 
+def hyperplane_band_keys(
+    emb: DataFrame, id_col: str = "vec_id", bits: int = HP_BITS, bands: int = HP_BANDS
+) -> DataFrame:
+    """Sign-random-projection band keys: (id, band, key) — one row per
+    band per vector. ``bits`` sign bits packed into ``bands`` integer
+    band keys; the sketch is the only thing shuffled by LSH consumers
+    (bits/8 bytes/vector at 100 TB, never the full embedding).
+
+    Band width is the recall/candidate-load dial: long bands (8 bits)
+    for near-dup detection at cos ≥ 0.9, short bands (4 bits) when the
+    interesting neighbors sit at moderate cosine.
+    """
+    if bits % bands:
+        raise ValueError(f"bits={bits} must divide into bands={bands}")
+    bit_cols = [
+        (_dot(F.col("embedding"), F.array(*[F.lit(s) for s in HYPERPLANES[p]])) > 0)
+        .cast("int")
+        .alias(f"bit{p}")
+        for p in range(bits)
+    ]
+    bits_df = emb.select(id_col, *bit_cols)
+    rows = bits // bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (F.col(f"bit{b * rows + r}") * (1 << r) for r in range(rows)),
+                    F.lit(0),
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return bits_df.select(id_col, F.explode(band_arr).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
 ) -> DataFrame:
@@ -269,31 +308,7 @@ def embedding_cosine_pairs(
     """
     from securities_data_pipeline_spark.operators.dedup import bucket_pairs
 
-    if HP_BITS % HP_BANDS:
-        raise ValueError(f"HP_BITS={HP_BITS} must divide into HP_BANDS={HP_BANDS}")
-    bit_cols = [
-        (_dot(F.col("embedding"), F.array(*[F.lit(s) for s in HYPERPLANES[p]])) > 0)
-        .cast("int")
-        .alias(f"bit{p}")
-        for p in range(HP_BITS)
-    ]
-    bits = emb.select("vec_id", *bit_cols)
-    rows = HP_BITS // HP_BANDS
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    (F.col(f"bit{b * rows + r}") * (1 << r) for r in range(rows)),
-                    F.lit(0),
-                ).alias("key"),
-            )
-            for b in range(HP_BANDS)
-        ]
-    )
-    banded = bits.select("vec_id", F.explode(band_arr).alias("bk")).select(
-        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = hyperplane_band_keys(emb)
     cand = bucket_pairs(banded, id_col="vec_id").select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
@@ -343,14 +358,113 @@ WHERE {_sql_cosine('ea.embedding', 'eb.embedding')} >= {threshold}
 """
 
 
+# ANN banding: the synthetic corpus's nearest neighbors sit at cosine
+# 0.25-0.40 (near-random vectors), where 8-bit bands almost never
+# collide (0.6^8 ≈ 1.7%/band). 12 bands × 4 bits gives ~0.8 recall@10
+# at ~50% candidate fraction — the honest LSH tradeoff on low-sim
+# corpora; clustered/high-sim corpora would use longer bands, and IVF
+# (which exploits global structure) is the better scale path here.
+ANN_BITS = 48
+ANN_BANDS = 12
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k ANN: the third tier next to brute-force and
+    IVF — candidates are corpus vectors sharing ≥1 hyperplane band key
+    with the query, reranked by exact cosine.
+
+    Unlike IVF (fixed Voronoi buckets, recall tuned by n_probes), LSH
+    candidate volume adapts to the query's local density and needs no
+    centroid training. At 100 TB the banded sketch join shuffles only
+    (id, band, key) rows; full embeddings are fetched for the deduped
+    candidate set alone — a semi-join-shaped plan.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    banded = hyperplane_band_keys(emb, bits=ANN_BITS, bands=ANN_BANDS)
+    qb = banded.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "key"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(banded, ["band", "key"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select("vec_id", "embedding", "label")
+    scored = (
+        cand.join(F.broadcast(queries), "query_id")
+        .join(corpus, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "label", "sim")
+    )
+
+
+def _sql_lsh_topk() -> str:
+    rows = ANN_BITS // ANN_BANDS
+
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(str(s) for s in HYPERPLANES[p]) + "]"
+
+    bit_exprs = ", ".join(
+        f"(CASE WHEN {_SQL_DOT.format(a='embedding', b=plane_lit(p))} > 0 "
+        f"THEN 1 ELSE 0 END) AS bit{p}"
+        for p in range(ANN_BITS)
+    )
+    key_exprs = ", ".join(
+        " + ".join(f"bit{b * rows + r} * {1 << r}" for r in range(rows)) + f" AS k{b}"
+        for b in range(ANN_BANDS)
+    )
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM keys" for b in range(ANN_BANDS)
+    )
+    return f"""
+WITH bits AS (
+  SELECT vec_id, {bit_exprs} FROM embeddings
+), keys AS (
+  SELECT vec_id, {key_exprs} FROM bits
+), banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM banded q JOIN banded c ON q.band = c.band AND q.key = c.key
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.vec_id, e.label,
+         {_sql_cosine('qe.embedding', 'e.embedding')} AS sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings e  ON e.vec_id = cand.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, label, sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_lsh_topk": sim_lsh_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
     "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,
+    "sim_lsh_topk": _sql_lsh_topk(),
     "dedup_embedding_cosine": _sql_embedding_dedup(),
 }

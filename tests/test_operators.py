@@ -236,3 +236,40 @@ def test_lsh_pairs_rejects_indivisible_bands(spark):
     docs = _docs(spark, [(1, "a b c", "s")])
     with pytest.raises(ValueError, match="divide"):
         lsh_candidate_pairs(docs, bands=3, n_hashes=8)
+
+
+def test_lsh_topk_recall_and_candidate_reduction(spark):
+    from securities_data_pipeline_spark.operators.similarity import (
+        ANN_BANDS,
+        ANN_BITS,
+        hyperplane_band_keys,
+        sim_bruteforce_topk,
+        sim_lsh_topk,
+    )
+    from securities_data_pipeline_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.query_id, r.vec_id) for r in sim_bruteforce_topk(spark, sf).collect()}
+    lsh = {(r.query_id, r.vec_id) for r in sim_lsh_topk(spark, sf).collect()}
+    recall = len(bf & lsh) / len(bf)
+    # deterministic hyperplanes -> stable value (0.76 at sf0.001); the
+    # floor guards against band-packing regressions
+    assert recall >= 0.7, f"LSH recall@10 degraded: {recall}"
+
+    # candidate fraction: sharing >=1 of the 12 four-bit bands must
+    # prune, not degenerate to the full cross product
+    emb = table(spark, sf, "embeddings")
+    n = emb.count()
+    banded = hyperplane_band_keys(emb, bits=ANN_BITS, bands=ANN_BANDS)
+    qb = banded.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "band", "key"
+    )
+    n_cand = (
+        qb.join(banded, ["band", "key"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand < 0.7 * 5 * n, f"LSH candidates {n_cand} ~ cross product"
