@@ -299,6 +299,54 @@ SELECT doc_id, unnest(fps) AS fp FROM sel
 """
 
 
+N_IDF_TERMS = 20
+
+
+def t_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency / IDF: the inverted-index statistic
+    every quality/rarity filter needs. One explode of per-doc DISTINCT
+    terms (so df counts documents, not occurrences), one groupBy on
+    the term, and a one-row corpus-count broadcast for the IDF ratio.
+    At 100 TB the term aggregate partial-combines map-side; the
+    single-row cross join is a broadcast, never a shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        docs.select(F.explode(F.array_distinct(words_col())).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")), 6
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(N_IDF_TERMS)
+    )
+
+
+T_IDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(list_distinct({_sql_words()})) AS term FROM documents
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM terms WHERE term <> '' GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT term, df,
+       round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS idf
+FROM dfreq CROSS JOIN n
+ORDER BY df DESC, term ASC
+LIMIT {N_IDF_TERMS}
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_token_stats": t_token_stats,
     "t_quality": t_quality,
@@ -306,6 +354,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_fingerprint": t_fingerprint,
     "t_token_bpe": t_token_bpe,
     "t_winnow_fingerprint": t_winnow_fingerprint,
+    "t_idf_top_terms": t_idf_top_terms,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -315,4 +364,5 @@ TEXT_ORACLES: dict[str, str] = {
     "t_fingerprint": T_FINGERPRINT_SQL,
     "t_token_bpe": T_TOKEN_BPE_SQL,
     "t_winnow_fingerprint": _sql_winnow(),
+    "t_idf_top_terms": T_IDF_SQL,
 }

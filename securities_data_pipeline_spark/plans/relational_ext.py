@@ -274,3 +274,38 @@ RELATIONAL_EXT_ORACLES: dict[str, str] = {
     "q14_promo_revenue": Q14_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
 }
+
+
+def w6_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface: percent_rank / cume_dist / ntile over
+    o_totalprice within each order priority. One shuffle on the
+    partition key serves all three functions (same window spec).
+    ntile depends on absolute row position, so the ORDER BY carries a
+    unique tie-break (o_orderkey) to stay deterministic under equal
+    prices."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+W6_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+RELATIONAL_EXT_QUERIES["w6_rank_surface"] = w6_rank_surface
+RELATIONAL_EXT_ORACLES["w6_rank_surface"] = W6_SQL

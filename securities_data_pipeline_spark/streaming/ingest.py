@@ -203,11 +203,54 @@ GROUP BY user_id
 """
 
 
+def s_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchase attribution — each view
+    joined to the same user's purchases within the following hour.
+
+    Both sides carry a 1-day watermark and the join condition bounds
+    ``buy_ts`` to [view_ts, view_ts + 1h], so Spark can expire join
+    state: a view older than watermark + 1h can never match again and
+    is dropped. Without the time bound the state store would grow
+    unboundedly — the interval constraint IS the scale design. State
+    shuffles on user_id (the equi-join key).
+    """
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 day")
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"), "value")
+        .withWatermark("buy_ts", "1 day")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(F.col("v_user").alias("user_id"), "view_ts", "buy_ts", "value")
+    return run_to_memory(joined, "append")
+
+
+S_JOIN_ATTRIB_SQL = """
+SELECT a.user_id, a.ts AS view_ts, b.ts AS buy_ts, b.value
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_daily_rollup": s_stream_daily_rollup,
     "s_stream_dedup_keys": s_stream_dedup_keys,
     "s_stream_sliding_rollup": s_stream_sliding_rollup,
     "s_stream_user_stats_stateful": s_stream_user_stats_stateful,
+    "s_stream_join_attrib": s_stream_join_attrib,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -215,4 +258,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "s_stream_dedup_keys": S_DEDUP_SQL,
     "s_stream_sliding_rollup": S_SLIDING_SQL,
     "s_stream_user_stats_stateful": S_USER_STATS_SQL,
+    "s_stream_join_attrib": S_JOIN_ATTRIB_SQL,
 }

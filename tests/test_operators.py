@@ -273,3 +273,18 @@ def test_lsh_topk_recall_and_candidate_reduction(spark):
         .count()
     )
     assert n_cand < 0.7 * 5 * n, f"LSH candidates {n_cand} ~ cross product"
+
+
+def test_idf_monotone_and_bounded(spark):
+    import math
+
+    from securities_data_pipeline_spark.operators.textops import t_idf_top_terms
+
+    rows = t_idf_top_terms(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= 20
+    # df desc ordering, idf = ln(N/df) non-negative and increasing as df falls
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    assert all(r.idf >= 0 for r in rows)
+    idfs = [r.idf for r in rows]
+    assert idfs == sorted(idfs)

@@ -69,3 +69,31 @@ def test_foreach_batch_merge_idempotent_replay(spark, tmp_path):
     stream_merge_into(spark, events_stream(spark, SF).select("event_id", "ts", "user_id", "event_type", "value"), path, keys=["event_id"])
     n2 = spark.read.parquet(path).count()
     assert n1 == n2 == 1000  # sf0.001 events table size, unchanged by replay
+
+
+def test_stream_join_attrib_matches_batch(spark):
+    from securities_data_pipeline_spark.streaming.ingest import s_stream_join_attrib
+    from securities_data_pipeline_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in s_stream_join_attrib(spark, sf).collect()}
+    ev = table(spark, sf, "events")
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    buys = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"), "value"
+    )
+    want = {
+        tuple(r)
+        for r in views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("view_ts"))
+            & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(F.col("v_user").alias("user_id"), "view_ts", "buy_ts", "value")
+        .collect()
+    }
+    assert got == want

@@ -47,6 +47,7 @@ BNLJ_OK = {
     "j_range_band",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "t_idf_top_terms",
 }
 
 # queries that must show non-empty PushedFilters on a parquet scan
