@@ -19,6 +19,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q19_disjunctive_revenue",
+    "sim_lsh_topk",
+    "t_idf_top_terms",
+    "s_stream_join_attrib",
     "w1_ffill",
     "w2_moving_avg",
     "agg_rollup",

@@ -292,3 +292,101 @@ TPCH2_ORACLES: dict[str, str] = {
     "q16_supplier_count": Q16_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
 }
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: NATION_3 suppliers' fraction of
+    EUROPE-region revenue per year — a nested ratio aggregate.
+
+    Numerator and denominator are exact-decimal sums emitted as
+    doubles; the share is ONE double division at the end (identical
+    inputs → identical quotient in both engines). The conditional
+    numerator uses sum(CASE WHEN ...) so both sums come from a single
+    pass over the joined fact — no second scan or self-join.
+    """
+    nation_s = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nation_c = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem")
+    rev = _revenue()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                _as_double(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast(DEC2)))
+                )
+                / _as_double(F.sum(rev))
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN {_REVENUE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY 1
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional counts: high- vs low-priority order
+    counts per lineitem return flag (no shipmode column — returnflag
+    is the grouping surrogate). One join + one agg; the CASE branches
+    fold into the same aggregate pass."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+        )
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY l_returnflag
+"""
+
+TPCH2_QUERIES["q8_market_share"] = q8_market_share
+TPCH2_QUERIES["q12_priority_shipping"] = q12_priority_shipping
+TPCH2_ORACLES["q8_market_share"] = Q8_SQL
+TPCH2_ORACLES["q12_priority_shipping"] = Q12_SQL

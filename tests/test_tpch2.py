@@ -61,3 +61,21 @@ def test_dimension_joins_are_broadcast(spark):
     for fn in (q7_nation_volume, q9_profit_by_nation, q10_returned_items):
         plan = _plan(fn(spark, SF))
         assert "BroadcastHashJoin" in plan
+
+
+def test_q8_share_bounded(spark):
+    from securities_data_pipeline_spark.plans.relational_tpch2 import q8_market_share
+
+    out = q8_market_share(spark, SF).collect()
+    assert len(out) > 0
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in out)
+
+
+def test_q12_counts_partition_lineitems(spark):
+    from securities_data_pipeline_spark.plans.relational_tpch2 import (
+        q12_priority_shipping,
+    )
+
+    out = q12_priority_shipping(spark, SF).collect()
+    assert len(out) > 0
+    assert all(r.high_line_count + r.low_line_count > 0 for r in out)
