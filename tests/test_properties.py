@@ -104,3 +104,38 @@ def test_merge_upsert_idempotent_and_key_unique(spark, tmp_path_factory, first, 
     # `second` (in-batch ties resolved by the sink's keep-last dedupe)
     for k1, k2, _ in second:
         assert (k1, k2) in state
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda v: tuple(v),
+    )
+)
+def test_hyperplane_band_keys_properties(spark, vecs):
+    """Band keys are deterministic, bounded by band width, and
+    identical vectors always share every band key (the no-false-
+    -negative-on-exact-dup LSH guarantee)."""
+    from securities_data_pipeline_spark.operators.similarity import (
+        ANN_BANDS,
+        ANN_BITS,
+        hyperplane_band_keys,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(len(vecs), vecs[0])]  # dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = hyperplane_band_keys(emb, bits=ANN_BITS, bands=ANN_BANDS).collect()
+    per_vec = {}
+    for r in got:
+        assert 0 <= r.key < (1 << (ANN_BITS // ANN_BANDS))
+        per_vec.setdefault(r.vec_id, {})[r.band] = r.key
+    assert all(len(b) == ANN_BANDS for b in per_vec.values())
+    # exact duplicate vectors collide on EVERY band
+    assert per_vec[0] == per_vec[len(vecs)]
