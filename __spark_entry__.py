@@ -25,6 +25,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from securities_data_pipeline_spark.plans.relational import RELATIONAL_QUERIES
     from securities_data_pipeline_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
     from securities_data_pipeline_spark.plans.relational_tpch2 import TPCH2_QUERIES
+    from securities_data_pipeline_spark.plans.relational_tpch3 import TPCH3_QUERIES
     from securities_data_pipeline_spark.plans.subqueries import SUBQUERY_QUERIES
 
     from securities_data_pipeline_spark.plans.securities_demo import SECURITIES_QUERIES
@@ -33,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(RELATIONAL_QUERIES)
     out.update(RELATIONAL_EXT_QUERIES)
     out.update(TPCH2_QUERIES)
+    out.update(TPCH3_QUERIES)
     out.update(SUBQUERY_QUERIES)
     out.update(SECURITIES_QUERIES)
     try:
@@ -54,6 +56,7 @@ def oracle_sql() -> dict[str, str]:
     from securities_data_pipeline_spark.plans.relational import RELATIONAL_ORACLES
     from securities_data_pipeline_spark.plans.relational_ext import RELATIONAL_EXT_ORACLES
     from securities_data_pipeline_spark.plans.relational_tpch2 import TPCH2_ORACLES
+    from securities_data_pipeline_spark.plans.relational_tpch3 import TPCH3_ORACLES
     from securities_data_pipeline_spark.plans.subqueries import SUBQUERY_ORACLES
 
     from securities_data_pipeline_spark.plans.securities_demo import SECURITIES_ORACLES
@@ -62,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(RELATIONAL_ORACLES)
     out.update(RELATIONAL_EXT_ORACLES)
     out.update(TPCH2_ORACLES)
+    out.update(TPCH3_ORACLES)
     out.update(SUBQUERY_ORACLES)
     out.update(SECURITIES_ORACLES)
     try:

@@ -1,0 +1,316 @@
+"""Remaining TPC-H query shapes: Q13 (outer-join distribution), Q15
+(argmax against a derived view), Q21 (multi-EXISTS self-join), plus
+Q2/Q20 adaptations (no partsupp table — the part<->supplier
+relationship comes from ``lineitem(l_partkey, l_suppkey)``; lineitem
+has no commitdate/receiptdate, so "late" means shipped more than 60
+days after the order date).
+
+The reference has no explicit joins (SURVEY §2.3; star schema joined
+at query time) — these cover the left-outer aggregate, scalar-argmax,
+and correlated-anti-self-join planning shapes.
+
+Scale notes (100 TB):
+- Q13 pre-aggregates orders by custkey BEFORE the customer join, so
+  the join input is one row per customer, not one per order.
+- Q15 computes per-supplier revenue once; the argmax is a broadcast
+  of a 1-row aggregate, not a re-scan.
+- Q21 replaces the textbook double-correlated EXISTS/NOT EXISTS
+  (two extra lineitem scans) with ONE per-order aggregate —
+  count_distinct(supplier) and count_distinct(late supplier) — then a
+  row-level filter. One lineitem⋈orders shuffle on orderkey total.
+- Q2/Q20 derive the part↔supplier edge list with a distinct on
+  (partkey, suppkey) partial-aggregated map-side before the exchange.
+
+Cross-engine determinism per plans/relational.py: exact-decimal sums
+emitted as double once; ties broken on unique keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.plans.relational import DEC2, DEC4, _as_double, _dec2, _dec4
+from securities_data_pipeline_spark.sources.tables import table
+
+
+def _revenue():
+    return _dec2("l_extendedprice") * (F.lit(1).cast(DEC4) - _dec4("l_discount"))
+
+
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+_LATE = "INTERVAL 60 DAYS"  # Spark spelling
+_LATE_SQL = "INTERVAL 60 DAY"  # DuckDB spelling
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of customers by order count,
+    counting only non-urgent orders (no o_comment column — the
+    NOT LIKE '%special%requests%' filter becomes a priority filter).
+
+    Orders pre-aggregate to one row per custkey before the customer
+    join, so the left join probes with |customer| rows and the
+    zero-order customers surface via coalesce(cnt, 0) — no row
+    explosion at fact scale.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    ord_cnt = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        cust.join(ord_cnt, cust.c_custkey == ord_cnt.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the maximum revenue over a
+    quarter — argmax against a derived per-supplier revenue view.
+
+    The revenue view is computed once (one lineitem scan + one
+    exchange on suppkey); the scalar max is a single-row broadcast
+    compared row-wise. Revenue is an exact decimal sum cast to double
+    once, so the equality against the max is bit-exact in both
+    engines.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1996-03-31").cast("timestamp")
+        )
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _as_double(F.sum(_revenue())).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: suppliers whose late shipment was the ONLY
+    late one in a multi-supplier finalized order.
+
+    The textbook plan runs EXISTS + NOT EXISTS as two extra
+    correlated lineitem scans; here both collapse into one per-order
+    aggregate — n_supp = count_distinct(suppkey), n_late =
+    count_distinct(suppkey | late) — and a row filter
+    (late AND n_supp > 1 AND n_late = 1). Late lines from the sole
+    late supplier count per line, matching the EXISTS semantics
+    (COUNT(*) over qualifying l1 rows). One lineitem⋈orders shuffle
+    on orderkey; supplier/nation broadcast. Top-20 tie-broken on
+    s_name.
+    """
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(_LATE)
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lines.where(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+Q21_SQL = f"""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + {_LATE_SQL}
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + {_LATE_SQL}
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated-min: for each large part shipped in
+    the data, the ASIA supplier with the minimum account balance among
+    its shippers (no partsupp → supplier set per part comes from
+    distinct lineitem (l_partkey, l_suppkey) pairs; min(ps_supplycost)
+    becomes min(s_acctbal)).
+
+    The edge list distinct partial-aggregates map-side before its
+    exchange; the per-part min is a window over that deduped edge
+    list, not a second scan. Supplier/nation/region/part are all
+    broadcast. Deterministic top-50 via (s_acctbal desc, p_partkey).
+    """
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    sup = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part").where(F.col("p_size") >= 40).select(
+        "p_partkey", "p_type", "p_size"
+    )
+    edges = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    asia_sup = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        edges.join(F.broadcast(part), edges.l_partkey == part.p_partkey)
+        .join(F.broadcast(asia_sup), edges.l_suppkey == F.col("s_suppkey"))
+        .withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc(), F.col("s_name").asc())
+        .limit(50)
+    )
+
+
+Q2_SQL = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) edges
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND p_size >= 40
+  AND s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) e2
+    JOIN supplier s2 ON e2.l_suppkey = s2.s_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE e2.l_partkey = edges.l_partkey AND r2.r_name = 'ASIA'
+  )
+ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+LIMIT 50
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers of promo parts who shipped more than
+    400 units of some such part in 1995 (no partsupp availqty — the
+    threshold is a fixed quantity sum over the year's shipments).
+
+    The inner per-(part, supplier) quantity sum partial-aggregates
+    before one exchange; its distinct supplier set then semi-joins the
+    broadcast supplier dimension. Quantities sum as exact decimals.
+    """
+    part = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1995-12-31").cast("timestamp")
+        )
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .where(F.col("qty") > F.lit("400").cast("decimal(12,2)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    return (
+        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+    GROUP BY l_partkey, l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(400 AS DECIMAL(12,2))
+  )
+"""
+
+
+TPCH3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+    "q20_excess_suppliers": q20_excess_suppliers,
+}
+
+TPCH3_ORACLES: dict[str, str] = {
+    "q13_customer_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
+    "q2_min_acctbal_supplier": Q2_SQL,
+    "q20_excess_suppliers": Q20_SQL,
+}
