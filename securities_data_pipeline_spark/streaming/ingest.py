@@ -52,19 +52,40 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+def run_to_memory(
+    df: DataFrame, output_mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame with AvailableNow into a memory
-    sink; return the final static result."""
+    sink; return the final static result.
+
+    Stateful operators allocate one state store per shuffle partition,
+    and that per-partition overhead (store init, commit, snapshot)
+    dominates when state is small — a stream-stream join at test scale
+    runs 3× faster on 8 state partitions than on 32. The partition
+    count is fixed at query start, so it must be sized to the stream's
+    volume, not the batch default: ``SPARK_GRAFT_STREAM_PARTITIONS``
+    (default 8 here; hundreds on a real cluster, chosen so per-key
+    state fits executor memory). The batch setting is restored after
+    the stream finishes.
+    """
+    spark = df.sparkSession
+    if state_partitions is None:
+        state_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def s_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
