@@ -256,29 +256,35 @@ def hyperplane_band_keys(
     """
     if bits % bands:
         raise ValueError(f"bits={bits} must divide into bands={bands}")
-    bit_cols = [
-        (_dot(F.col("embedding"), F.array(*[F.lit(s) for s in HYPERPLANES[p]])) > 0)
-        .cast("int")
-        .alias(f"bit{p}")
-        for p in range(bits)
-    ]
-    bits_df = emb.select(id_col, *bit_cols)
+    # The bit expressions are built as SQL strings parsed JVM-side in
+    # one call each: constructing them as Column objects means
+    # bits × dim (≈3000) py4j literal round-trips, which costs seconds
+    # of driver time per query — 10× the actual execution time at test
+    # scale. Semantics are identical to
+    # _dot(embedding, plane) > 0 (same sequential fold, and the ±1
+    # plane components are exactly representable doubles).
+    def plane_sql(p: int) -> str:
+        arr = ", ".join("1.0D" if s > 0 else "-1.0D" for s in HYPERPLANES[p])
+        return (
+            f"aggregate(zip_with(embedding, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    bits_df = emb.selectExpr(
+        id_col, *[f"CAST({plane_sql(p)} > 0 AS INT) AS bit{p}" for p in range(bits)]
+    )
     rows = bits // bands
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    (F.col(f"bit{b * rows + r}") * (1 << r) for r in range(rows)),
-                    F.lit(0),
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
+    band_structs = ", ".join(
+        "struct({b} AS band, {key} AS key)".format(
+            b=b,
+            key=" + ".join(f"bit{b * rows + r} * {1 << r}" for r in range(rows)),
+        )
+        for b in range(bands)
     )
-    return bits_df.select(id_col, F.explode(band_arr).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    return bits_df.selectExpr(
+        id_col, f"explode(array({band_structs})) AS bk"
+    ).selectExpr(id_col, "bk.band AS band", "bk.key AS key")
 
 
 def dedup_embedding_cosine(
@@ -308,7 +314,9 @@ def embedding_cosine_pairs(
     """
     from securities_data_pipeline_spark.operators.dedup import bucket_pairs
 
-    banded = hyperplane_band_keys(emb)
+    # bucket_pairs self-joins the sketch — checkpoint so the banded
+    # projection is computed and analyzed once (see sim_lsh_topk)
+    banded = hyperplane_band_keys(emb).localCheckpoint(eager=False)
     cand = bucket_pairs(banded, id_col="vec_id").select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
@@ -380,7 +388,12 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set alone — a semi-join-shaped plan.
     """
     emb = table(spark, sf_dir, "embeddings")
-    banded = hyperplane_band_keys(emb, bits=ANN_BITS, bands=ANN_BANDS)
+    # the sketch feeds both join sides — materialize it once (the
+    # at-scale pattern: band keys are written once and reused) instead
+    # of analyzing/executing the 48-fold projection twice
+    banded = hyperplane_band_keys(emb, bits=ANN_BITS, bands=ANN_BANDS).localCheckpoint(
+        eager=False
+    )
     qb = banded.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "key"
     )
