@@ -309,3 +309,64 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey 
 
 RELATIONAL_EXT_QUERIES["w6_rank_surface"] = w6_rank_surface
 RELATIONAL_EXT_ORACLES["w6_rank_surface"] = W6_SQL
+
+
+def g_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel attribution: each user's first view and the first
+    purchase at-or-after it, with the conversion lag in seconds — the
+    two-stage conditional-min shape behind activation/conversion
+    dashboards.
+
+    Stage 1 aggregates views to one (user, first_view) row; stage 2
+    left-joins purchases behind that row-count reduction, so the range
+    condition (purchase_ts >= first_view) probes |users| rows rather
+    than |views| × |purchases|. Both stages shuffle on user_id — AQE
+    reuses the partitioning. The conversion lag is a microsecond-exact
+    integer subtraction (``unix_micros`` ↔ ``epoch_us``) —
+    second-granularity APIs disagree across engines on fractional
+    seconds (Spark truncates, DuckDB's double→bigint cast rounds).
+    """
+    ev = table(spark, sf_dir, "events")
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        first_view.join(
+            purch,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("first_view")),
+            "left",
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("p_ts").alias("first_purchase"))
+        .select(
+            "user_id",
+            "first_view",
+            "first_purchase",
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias(
+                "lag_us"
+            ),
+        )
+    )
+
+
+G_FUNNEL_SQL = """
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT f.user_id, f.first_view,
+       MIN(p.ts) AS first_purchase,
+       epoch_us(MIN(p.ts)) - epoch_us(f.first_view) AS lag_us
+FROM first_view f
+LEFT JOIN events p
+  ON p.user_id = f.user_id AND p.event_type = 'purchase' AND p.ts >= f.first_view
+GROUP BY f.user_id, f.first_view
+"""
+
+RELATIONAL_EXT_QUERIES["g_funnel_conversion"] = g_funnel_conversion
+RELATIONAL_EXT_ORACLES["g_funnel_conversion"] = G_FUNNEL_SQL

@@ -176,6 +176,57 @@ GROUP BY 1, 2
 """
 
 
+def s_stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute inactivity gap) per user —
+    ``F.session_window`` under append mode, the one windowed shape that
+    cannot run in complete mode (sessions merge as events arrive, so
+    only watermark-finalized sessions are emitted).
+
+    With a 0-second watermark delay the final watermark is the max
+    event time, so every session whose ``end = last_event + gap`` is
+    ≤ max(ts) flushes; sessions still open at end-of-stream stay in
+    state — the honest streaming answer. The oracle mirrors exactly
+    that: gaps-and-islands sessionization MINUS sessions whose end
+    passes the stream's max timestamp. State is keyed by (user,
+    session) and bounded by the watermark at scale.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, "append")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+S_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT MAX(ts) FROM events)
+"""
+
+
 def s_stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running (count, sum) accumulated across micro-batches,
@@ -272,6 +323,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_sliding_rollup": s_stream_sliding_rollup,
     "s_stream_user_stats_stateful": s_stream_user_stats_stateful,
     "s_stream_join_attrib": s_stream_join_attrib,
+    "s_stream_session_rollup": s_stream_session_rollup,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -280,4 +332,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "s_stream_sliding_rollup": S_SLIDING_SQL,
     "s_stream_user_stats_stateful": S_USER_STATS_SQL,
     "s_stream_join_attrib": S_JOIN_ATTRIB_SQL,
+    "s_stream_session_rollup": S_SESSION_SQL,
 }
