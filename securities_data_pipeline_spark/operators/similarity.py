@@ -468,11 +468,97 @@ SELECT query_id, rank, vec_id, label, sim FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+KNN_K = 5
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph over the whole corpus: each vector's
+    top-``KNN_K`` LSH-candidate neighbors by exact cosine — the graph
+    behind near-dup clustering, diversity sampling, and
+    semantic-dedup pipelines (edges feed dedup_components).
+
+    The all-pairs version of sim_lsh_topk: the banded sketch
+    self-joins on (band, key) — a narrow shuffle of (id, band, key)
+    rows — then full vectors are fetched only for colliding pairs and
+    reranked per source node. At 100 TB candidate volume is bounded by
+    the band-width dial (longer bands → sparser buckets) plus a
+    per-bucket cap; no crossJoin appears at any scale.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    banded = hyperplane_band_keys(emb, bits=ANN_BITS, bands=ANN_BANDS).localCheckpoint(
+        eager=False
+    )
+    other = banded.select(
+        F.col("vec_id").alias("nbr_id"), F.col("band").alias("band"), F.col("key").alias("key")
+    )
+    cand = (
+        banded.join(other, ["band", "key"])
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("emb_b"))
+    scored = (
+        cand.join(ea, "src")
+        .join(eb, "dst")
+        .select("src", "dst", cosine(F.col("emb_a"), F.col("emb_b")).alias("sim"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "rank", "dst", "sim")
+    )
+
+
+def _sql_knn_graph() -> str:
+    rows = ANN_BITS // ANN_BANDS
+
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(str(s) for s in HYPERPLANES[p]) + "]"
+
+    bit_exprs = ", ".join(
+        f"(CASE WHEN {_SQL_DOT.format(a='embedding', b=plane_lit(p))} > 0 "
+        f"THEN 1 ELSE 0 END) AS bit{p}"
+        for p in range(ANN_BITS)
+    )
+    key_exprs = ", ".join(
+        " + ".join(f"bit{b * rows + r} * {1 << r}" for r in range(rows)) + f" AS k{b}"
+        for b in range(ANN_BANDS)
+    )
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM keys" for b in range(ANN_BANDS)
+    )
+    return f"""
+WITH bits AS (
+  SELECT vec_id, {bit_exprs} FROM embeddings
+), keys AS (
+  SELECT vec_id, {key_exprs} FROM bits
+), banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id <> b.vec_id
+), scored AS (
+  SELECT cand.src, cand.dst, {_sql_cosine('ea.embedding', 'eb.embedding')} AS sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.src
+  JOIN embeddings eb ON eb.vec_id = cand.dst
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+  FROM scored
+)
+SELECT src, rank, dst, sim FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "sim_knn_graph": sim_knn_graph,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
@@ -480,4 +566,5 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "sim_ivf_topk": SIM_IVF_SQL,
     "sim_lsh_topk": _sql_lsh_topk(),
     "dedup_embedding_cosine": _sql_embedding_dedup(),
+    "sim_knn_graph": _sql_knn_graph(),
 }
