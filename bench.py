@@ -39,6 +39,11 @@ HEADLINE = [
     "g_user_trend",
     "sec_stg_ffill",
     "s_stream_daily_rollup",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "sim_knn_graph",
+    "g_funnel_conversion",
+    "s_stream_session_rollup",
 ]
 
 

@@ -477,17 +477,21 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind near-dup clustering, diversity sampling, and
     semantic-dedup pipelines (edges feed dedup_components).
 
-    The all-pairs version of sim_lsh_topk: the banded sketch
-    self-joins on (band, key) — a narrow shuffle of (id, band, key)
-    rows — then full vectors are fetched only for colliding pairs and
-    reranked per source node. At 100 TB candidate volume is bounded by
-    the band-width dial (longer bands → sparser buckets) plus a
-    per-bucket cap; no crossJoin appears at any scale.
+    The all-pairs version of sim_lsh_topk, but with the LONG near-dup
+    bands (6×8 bits), not the short ANN bands: an all-pairs graph at
+    50% candidate fraction is quadratic at any scale, while 8-bit
+    bands keep a random pair's collision odds at 6/256 so candidate
+    volume stays near-linear — the graph concentrates on
+    high-similarity edges, which is what a dedup/diversity graph is
+    for. The banded sketch self-joins on (band, key) — a narrow
+    shuffle of (id, band, key) rows — then full vectors are fetched
+    only for colliding pairs. Per-vector norms are precomputed so
+    pair scoring does ONE fold (the dot product), not three; the
+    quotient is bit-identical to inline cosine (same per-vector
+    sequential folds).
     """
     emb = table(spark, sf_dir, "embeddings")
-    banded = hyperplane_band_keys(emb, bits=ANN_BITS, bands=ANN_BANDS).localCheckpoint(
-        eager=False
-    )
+    banded = hyperplane_band_keys(emb).localCheckpoint(eager=False)
     other = banded.select(
         F.col("vec_id").alias("nbr_id"), F.col("band").alias("band"), F.col("key").alias("key")
     )
@@ -497,12 +501,27 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("emb_b"))
+    ea = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        _norm(F.col("embedding")).alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        _norm(F.col("embedding")).alias("norm_b"),
+    )
     scored = (
         cand.join(ea, "src")
         .join(eb, "dst")
-        .select("src", "dst", cosine(F.col("emb_a"), F.col("emb_b")).alias("sim"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
     return (
@@ -513,7 +532,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_knn_graph() -> str:
-    rows = ANN_BITS // ANN_BANDS
+    rows = HP_BITS // HP_BANDS
 
     def plane_lit(p: int) -> str:
         return "[" + ", ".join(str(s) for s in HYPERPLANES[p]) + "]"
@@ -521,14 +540,14 @@ def _sql_knn_graph() -> str:
     bit_exprs = ", ".join(
         f"(CASE WHEN {_SQL_DOT.format(a='embedding', b=plane_lit(p))} > 0 "
         f"THEN 1 ELSE 0 END) AS bit{p}"
-        for p in range(ANN_BITS)
+        for p in range(HP_BITS)
     )
     key_exprs = ", ".join(
         " + ".join(f"bit{b * rows + r} * {1 << r}" for r in range(rows)) + f" AS k{b}"
-        for b in range(ANN_BANDS)
+        for b in range(HP_BANDS)
     )
     banded = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, k{b} AS key FROM keys" for b in range(ANN_BANDS)
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM keys" for b in range(HP_BANDS)
     )
     return f"""
 WITH bits AS (
