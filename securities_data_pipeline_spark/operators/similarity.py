@@ -320,12 +320,30 @@ def embedding_cosine_pairs(
     cand = bucket_pairs(banded, id_col="vec_id").select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # norms precomputed per vector: verify-join scoring is one fold
+    # (the dot) per candidate pair, and the quotient is bit-identical
+    # to inline cosine (same per-vector sequential folds)
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        _norm(F.col("embedding")).alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        _norm(F.col("embedding")).alias("norm_b"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("sim"),
+        )
         .where(F.col("sim") >= threshold)
     )
 
