@@ -97,10 +97,80 @@ WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp
 """
 
 
+def sec_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample + gap-fill: each symbol's daily spine from its
+    first to last active day (``sequence`` + ``explode`` — generated
+    per symbol, no shuffle beyond the range aggregate), left-joined to
+    the observed bars, missing days flagged and closed forward with an
+    IGNORE-NULLS running last — the query-time companion to the
+    staging ffill (which only fills nulls on EXISTING rows; this op
+    materializes the missing rows themselves).
+
+    The user-day activity matrix is naturally sparse (< 1 event per
+    user-day), so the spine genuinely synthesizes rows. At 100 TB the
+    explode output is bounded by symbols × calendar days — orders of
+    magnitude under the fact table — and the fill window rides the
+    same symbol partitioning as every other per-symbol window.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(F.max("value").alias("close"))
+    rng = bars.groupBy("symbol").agg(
+        F.min("date_stamp").alias("d0"), F.max("date_stamp").alias("d1")
+    )
+    spine = rng.select(
+        "symbol",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("date_stamp"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("date_stamp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(bars, ["symbol", "date_stamp"], "left")
+        .select(
+            "symbol",
+            "date_stamp",
+            F.col("close").isNull().alias("is_synthetic"),
+            F.last("close", ignorenulls=True).over(w).alias("close_filled"),
+        )
+    )
+
+
+SEC_CALENDAR_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         MAX(value) AS close
+  FROM events
+  GROUP BY 1, 2
+), rng AS (
+  SELECT symbol, MIN(date_stamp) AS d0, MAX(date_stamp) AS d1 FROM bars GROUP BY symbol
+), spine AS (
+  SELECT symbol, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date_stamp
+  FROM rng
+)
+SELECT s.symbol, s.date_stamp,
+       b.close IS NULL AS is_synthetic,
+       last_value(b.close IGNORE NULLS) OVER (
+         PARTITION BY s.symbol ORDER BY s.date_stamp
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled
+FROM spine s
+LEFT JOIN bars b ON b.symbol = s.symbol AND b.date_stamp = s.date_stamp
+"""
+
+
 SECURITIES_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sec_stg_ffill": sec_stg_ffill,
+    "sec_calendar_spine": sec_calendar_spine,
 }
 
 SECURITIES_ORACLES: dict[str, str] = {
     "sec_stg_ffill": SEC_STG_FFILL_SQL,
+    "sec_calendar_spine": SEC_CALENDAR_SQL,
 }
