@@ -314,3 +314,51 @@ TPCH3_ORACLES: dict[str, str] = {
     "q2_min_acctbal_supplier": Q2_SQL,
     "q20_excess_suppliers": Q20_SQL,
 }
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts whose NATION_7-supplied value exceeds
+    0.1% of that nation's total — an aggregate HAVING against a
+    global scalar of the SAME aggregation (no partsupp — value is
+    discounted revenue through the nation's suppliers).
+
+    The per-part aggregate is computed once; the global total re-sums
+    the per-part rows (tiny) rather than re-scanning the fact, and
+    joins back as a broadcast scalar. The share test is decimal-exact
+    multiplication (val * 1000 > total), never a decimal division.
+    Sums are narrowed to DECIMAL(28,6) before the comparison so the
+    x1000 product stays under Spark's precision-38 ceiling.
+    """
+    nation = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).cast("decimal(28,6)").alias("val"))
+    )
+    total = per_part.agg(F.sum("val").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("val") * F.lit(1000).cast("decimal(4,0)") > F.col("total"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+Q11_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey, CAST(SUM({_REVENUE_SQL}) AS DECIMAL(28,6)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS value
+FROM pv
+WHERE val * CAST(1000 AS DECIMAL(4,0)) > (SELECT SUM(val) FROM pv)
+"""
+
+TPCH3_QUERIES["q11_important_parts"] = q11_important_parts
+TPCH3_ORACLES["q11_important_parts"] = Q11_SQL
