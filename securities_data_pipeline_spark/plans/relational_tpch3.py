@@ -337,6 +337,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).cast("decimal(28,6)").alias("val"))
+        # feeds both the HAVING filter and the global total —
+        # materialize once or the fact table is scanned twice
+        .localCheckpoint(eager=False)
     )
     total = per_part.agg(F.sum("val").alias("total"))
     return (

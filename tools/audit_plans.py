@@ -42,6 +42,7 @@ PY_OK = {
 # list) and the fact side never shuffles — the correct 100 TB shape
 # for non-equi joins against small inputs
 BNLJ_OK = {
+    "q11_important_parts",
     "sq_rich_inactive_customers",
     "dedup_embedding_cosine",
     "j_range_band",
