@@ -100,8 +100,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1996-01-01").cast("timestamp"), F.lit("1996-03-31").cast("timestamp")
         )
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _as_double(F.sum(_revenue())).alias("total_revenue")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_as_double(F.sum(_revenue())).alias("total_revenue"))
+        # feeds both the argmax scalar and the equality join —
+        # materialize the (tiny) per-supplier view once instead of
+        # scanning lineitem twice
+        .localCheckpoint(eager=False)
     )
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -137,9 +142,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     count_distinct(suppkey | late) — and a row filter
     (late AND n_supp > 1 AND n_late = 1). Late lines from the sole
     late supplier count per line, matching the EXISTS semantics
-    (COUNT(*) over qualifying l1 rows). One lineitem⋈orders shuffle
-    on orderkey; supplier/nation broadcast. Top-20 tie-broken on
-    s_name.
+    (COUNT(*) over qualifying l1 rows). The per-order distinct counts
+    run as WINDOW functions (size of collect_set over the orderkey
+    partition), so they ride the partitioning the lineitem⋈orders
+    join just produced — ONE pass over the joined fact, no
+    re-aggregation join and no second scan. Supplier broadcasts;
+    top-20 tie-broken on s_name.
     """
     orders = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
@@ -149,15 +157,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey", "l_suppkey", late.alias("is_late")
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
-    )
+    w = Window.partitionBy("l_orderkey")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lines.where(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        lines.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)),
+        )
+        .where(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))

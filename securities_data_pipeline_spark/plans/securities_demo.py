@@ -115,10 +115,17 @@ def sec_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
-    bars = ev.groupBy(
-        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
-        F.to_date("ts").alias("date_stamp"),
-    ).agg(F.max("value").alias("close"))
+    bars = (
+        ev.groupBy(
+            F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+            F.to_date("ts").alias("date_stamp"),
+        )
+        .agg(F.max("value").alias("close"))
+        # feeds both the range aggregate and the spine join —
+        # materialize the (symbol-day sized) bars once instead of
+        # scanning events twice
+        .localCheckpoint(eager=False)
+    )
     rng = bars.groupBy("symbol").agg(
         F.min("date_stamp").alias("d0"), F.max("date_stamp").alias("d1")
     )
