@@ -370,3 +370,61 @@ GROUP BY f.user_id, f.first_view
 
 RELATIONAL_EXT_QUERIES["g_funnel_conversion"] = g_funnel_conversion
 RELATIONAL_EXT_ORACLES["g_funnel_conversion"] = G_FUNNEL_SQL
+
+
+def g_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by signup week, counted
+    distinct in each subsequent activity week — the cohort matrix
+    behind every retention dashboard.
+
+    Activity collapses to distinct (user, week) BEFORE the cohort
+    join, so the join probes one row per user-week, not one per
+    event; the signup side is one row per user. Week arithmetic stays
+    integral (both engines truncate to ISO Monday; offsets are exact
+    multiples of 7 days), so no float drift is possible.
+    """
+    ev = table(spark, sf_dir, "events")
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        activity.join(signup, "user_id")
+        .where(F.col("act_week") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy(
+            # DuckDB's date_trunc('week') yields DATE; Spark's yields
+            # timestamp — emit DATE so the hash compare agrees
+            F.to_date("cohort_week").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+G_COHORT_SQL = """
+WITH signup AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, act_week) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a
+JOIN signup s ON a.user_id = s.user_id
+WHERE act_week >= cohort_week
+GROUP BY 1, 2
+"""
+
+RELATIONAL_EXT_QUERIES["g_cohort_retention"] = g_cohort_retention
+RELATIONAL_EXT_ORACLES["g_cohort_retention"] = G_COHORT_SQL
