@@ -181,3 +181,58 @@ SECURITIES_ORACLES: dict[str, str] = {
     "sec_stg_ffill": SEC_STG_FFILL_SQL,
     "sec_calendar_spine": SEC_CALENDAR_SQL,
 }
+
+
+def sec_rolling_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol daily log returns and 7-day rolling volatility
+    (sample stddev of returns) — the canonical risk window over the
+    derived bar table.
+
+    One shuffle on symbol serves both window functions (lag and the
+    rolling frame share the partition/order spec). Returns are
+    per-row double math (deterministic); the windowed stddev
+    accumulates over an identical 7-row frame in both engines and is
+    rounded to 6 dp. Emitted per (symbol, day) with the return row
+    itself so the oracle pins both levels of the computation.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(F.max("value").alias("close"))
+    wlag = Window.partitionBy("symbol").orderBy("date_stamp")
+    ret = F.round(F.log(F.col("close") / F.lag("close").over(wlag)), 6)
+    with_ret = bars.select("symbol", "date_stamp", ret.alias("log_ret"))
+    wroll = wlag.rowsBetween(-6, 0)
+    return with_ret.select(
+        "symbol",
+        "date_stamp",
+        "log_ret",
+        F.round(F.stddev_samp("log_ret").over(wroll), 6).alias("vol_7d"),
+    )
+
+
+SEC_ROLLING_VOL_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         MAX(value) AS close
+  FROM events
+  GROUP BY 1, 2
+), with_ret AS (
+  SELECT symbol, date_stamp,
+         round(ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY date_stamp)), 6)
+           AS log_ret
+  FROM bars
+)
+SELECT symbol, date_stamp, log_ret,
+       round(stddev_samp(log_ret) OVER (
+         PARTITION BY symbol ORDER BY date_stamp
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS vol_7d
+FROM with_ret
+"""
+
+SECURITIES_QUERIES["sec_rolling_vol"] = sec_rolling_vol
+SECURITIES_ORACLES["sec_rolling_vol"] = SEC_ROLLING_VOL_SQL
