@@ -2,6 +2,10 @@
 multimodal plumbing — the training-data-pipeline surface."""
 
 from securities_data_pipeline_spark.operators.asof import ASOF_ORACLES, ASOF_QUERIES
+from securities_data_pipeline_spark.operators.curation import (
+    CURATION_ORACLES,
+    CURATION_QUERIES,
+)
 from securities_data_pipeline_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
 from securities_data_pipeline_spark.operators.grouped import GROUPED_ORACLES, GROUPED_QUERIES
 from securities_data_pipeline_spark.operators.multimodal import (
@@ -21,6 +25,7 @@ from securities_data_pipeline_spark.operators.textops import TEXT_ORACLES, TEXT_
 
 EXTENSION_QUERIES = {
     **TEXT_QUERIES,
+    **CURATION_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
@@ -32,6 +37,7 @@ EXTENSION_QUERIES = {
 
 EXTENSION_ORACLES = {
     **TEXT_ORACLES,
+    **CURATION_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
     **MULTIMODAL_ORACLES,

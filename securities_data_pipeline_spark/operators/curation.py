@@ -1,0 +1,414 @@
+"""Corpus-curation operators: repetition filtering, benchmark
+decontamination, quantile quality gating, and k-means clustering.
+
+The standard curation stages of a large-scale training-data pipeline
+(BASELINE.json north star), beyond the sketch-dedup family in
+``operators/dedup.py``:
+
+- **Repetition filter** (Gopher-style): per-document duplicate-word
+  fraction and top-bigram coverage; documents dominated by repeated
+  n-grams are flagged. Two-level aggregate — (doc, bigram-hash) counts
+  partial-combine map-side, then a per-doc max — so only 16-byte
+  (doc_id, hash) pairs ever shuffle, never text.
+- **Decontamination**: flags training documents sharing any word
+  8-gram with a benchmark split (here: ``source = 'src0'``). The
+  benchmark's distinct gram hashes broadcast (a benchmark is small by
+  definition), so the 100 TB training side joins without shuffling its
+  grams; the per-doc match count partial-aggregates map-side.
+- **Quality gate**: keeps documents at or above the corpus median
+  quality score. Exact ``percentile`` keeps the oracle bit-exact; at
+  real scale swap for ``approx_percentile`` (same plan shape, bounded
+  memory) — the threshold is a one-row broadcast either way.
+- **k-means**: Lloyd's algorithm with deterministic seeding (the
+  first ``K`` vectors), a fixed iteration count, and 6-dp rounding of
+  centroids/distances so Spark and the SQL oracle agree bit-for-bit.
+  Idiomatic Spark k-means: centroids live on the driver (k×d doubles),
+  each iteration is ONE linear scan + a k-group element-wise average;
+  assignment distances fold sequentially (``F.aggregate``) so the
+  arithmetic matches the oracle's ``list_sum`` exactly.
+
+The reference has no curation surface (it is a securities ETL —
+SURVEY §2.10); these extend the engine per the north star. Quality
+scoring reuses ``operators/textops.py`` so both engines share one
+definition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.functions.hashing import (
+    sql_stable_hash64,
+    stable_hash64,
+)
+from securities_data_pipeline_spark.operators.textops import (
+    _sql_quality,
+    _sql_words,
+    quality_score,
+    words_col,
+)
+from securities_data_pipeline_spark.sources.tables import table
+
+# ---------------------------------------------------------------------------
+# repetition filter (Gopher-style duplicate-text heuristics)
+
+DUP_WORD_MAX = 0.7  # flag when >70% of tokens are repeats
+TOP_BIGRAM_MAX = 0.18  # flag when the top bigram covers >18% of tokens
+
+
+def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition stats + flag.
+
+    ``dup_word_frac`` = 1 − distinct/total tokens; ``top_bigram_frac``
+    = tokens covered by the single most frequent bigram (count × 2 /
+    n_tokens). Bigrams aggregate by 60-bit stable hash, not string —
+    at 100 TB the only wide thing in this plan is the text scan
+    itself.
+    """
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", words_col().alias("ws"))
+    stats = base.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).alias("n_unique"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: stable_hash64(
+                    F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1))
+                ),
+            )
+        ).alias("bh"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bi"))
+    )
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_tokens"), 6
+    )
+    top_frac = F.round(
+        F.lit(2.0) * F.coalesce(F.col("top_bi"), F.lit(0)) / F.col("n_tokens"), 6
+    )
+    return (
+        stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac > F.lit(DUP_WORD_MAX)) | (top_frac > F.lit(TOP_BIGRAM_MAX))
+            ).alias("repetitive"),
+        )
+    )
+
+
+_BIGRAM_HASH_SQL = sql_stable_hash64("concat(w[i], ' ', w[i+1])")
+
+T_REPETITION_SQL = f"""
+WITH ws AS MATERIALIZED (
+  SELECT doc_id, {_sql_words()} AS w FROM documents
+), stats AS (
+  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_unique FROM ws
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> {_BIGRAM_HASH_SQL})) AS bh
+  FROM ws
+), top AS (
+  SELECT doc_id, max(c) AS top_bi
+  FROM (SELECT doc_id, bh, COUNT(*) AS c FROM bi GROUP BY doc_id, bh)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       round(1.0 - CAST(n_unique AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+       round(2.0 * coalesce(top_bi, 0) / n_tokens, 6) AS top_bigram_frac,
+       (round(1.0 - CAST(n_unique AS DOUBLE) / n_tokens, 6) > {DUP_WORD_MAX}
+        OR round(2.0 * coalesce(top_bi, 0) / n_tokens, 6) > {TOP_BIGRAM_MAX})
+         AS repetitive
+FROM stats s LEFT JOIN top USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (word 8-gram overlap)
+
+DECON_N = 8  # word n-gram length
+BENCH_SOURCE = "src0"  # the held-out "benchmark" split
+
+
+def _gram_hashes(ws: Column | str = "ws", n: int = DECON_N) -> Column:
+    """Distinct md5 hashes of the word n-grams of a token array."""
+    c = F.col(ws) if isinstance(ws, str) else ws
+    return F.array_distinct(
+        F.when(
+            F.size(c) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(c) - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(c, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-document count of word 8-grams shared with the
+    benchmark split (``source = 'src0'``), plus the contamination flag.
+
+    The benchmark's distinct gram set broadcasts; training grams are
+    generated in the projection and never shuffled — only the matched
+    (doc_id, gram) rows reach the per-doc count, which
+    partial-aggregates map-side. The canonical test-set-overlap
+    decontamination pass of an LLM data pipeline, as one scan over the
+    corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", words_col().alias("ws"))
+    bench_grams = (
+        base.where(F.col("source") == BENCH_SOURCE)
+        .select(F.explode(_gram_hashes()).alias("g"))
+        .distinct()
+    )
+    train = base.where(F.col("source") != BENCH_SOURCE)
+    shared = (
+        train.select("doc_id", F.explode(_gram_hashes()).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        train.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+T_DECONTAMINATE_SQL = f"""
+WITH ws AS MATERIALIZED (
+  SELECT doc_id, source, {_sql_words()} AS w FROM documents
+), grams AS MATERIALIZED (
+  SELECT doc_id, source,
+         unnest(list_distinct(
+           CASE WHEN len(w) >= {DECON_N}
+                THEN list_transform(range(1, len(w) - {DECON_N - 1} + 1),
+                                    i -> md5(array_to_string(w[i : i + {DECON_N - 1}], ' ')))
+                ELSE []::VARCHAR[] END)) AS g
+  FROM ws
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE source = '{BENCH_SOURCE}'
+), shared AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM grams JOIN bench USING (g)
+  WHERE grams.source <> '{BENCH_SOURCE}'
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_shared, 0) AS n_shared,
+       coalesce(n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN shared USING (doc_id)
+WHERE d.source <> '{BENCH_SOURCE}'
+"""
+
+
+# ---------------------------------------------------------------------------
+# quantile quality gate
+
+SCORE_SCALE = 1_000_000  # 6-dp score → exact integer micro-units
+
+
+def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents at or above the corpus-median quality score.
+
+    The score is scaled to integer micro-units before the percentile,
+    so the threshold and the comparison are exact in both engines (no
+    float-interpolation drift). ``percentile`` is exact for oracle
+    parity; the 100 TB swap-in is ``approx_percentile`` with the same
+    one-row-broadcast plan shape. The scored projection feeds both the
+    threshold aggregate and the filter — materialized once per the
+    two-consumer rule (PLANS.md).
+    """
+    docs = table(spark, sf_dir, "documents")
+    scored = (
+        docs.select("doc_id", quality_score().alias("quality"))
+        .withColumn(
+            "si", F.round(F.col("quality") * SCORE_SCALE).cast("long")
+        )
+        .localCheckpoint(eager=False)
+    )
+    thr = scored.agg(F.expr("percentile(si, 0.5)").alias("thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("si").cast("double") >= F.col("thr"))
+        .select("doc_id", "quality")
+    )
+
+
+T_QUALITY_FILTER_SQL = f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, quality,
+         CAST(round(quality * {SCORE_SCALE}) AS BIGINT) AS si
+  FROM ({_sql_quality()}) q
+)
+SELECT doc_id, quality
+FROM scored
+WHERE CAST(si AS DOUBLE) >=
+      (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY si) FROM scored)
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means over embeddings
+
+KMEANS_K = 8
+KMEANS_DIM = 64
+KMEANS_ITERS = 2  # centroid updates; assignments run ITERS+1 times
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Rounded squared L2 distance to a literal centroid.
+
+    Sequential left-to-right fold (``F.aggregate``), matching the
+    oracle's ``list_sum`` over the same operand order, so the double
+    result is bit-identical; 6-dp rounding absorbs any residual
+    platform noise before the argmin compares.
+    """
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _assign(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid id per vector; ties break on centroid id via
+    struct ordering (dist, cid)."""
+    choices = F.array(
+        *[
+            F.struct(_sq_dist(F.col("v"), vec).alias("d"), F.lit(cid).alias("cid"))
+            for cid, vec in cents
+        ]
+    )
+    return emb.select(
+        "vec_id", "v", F.array_min(choices).getField("cid").alias("cid")
+    )
+
+
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding table: K=8, seeded with the
+    first 8 vectors, 2 centroid updates, final assignment returned as
+    (vec_id, cluster).
+
+    Per iteration: ONE linear scan computes assignments, then a
+    K-group element-wise mean (64 ``avg`` columns) collects k×d
+    doubles to the driver — the classic Spark k-means loop (MLlib's
+    shape). Centroids re-enter the plan as broadcast literals, so no
+    join and no shuffle beyond the k-group aggregate's partial
+    combine. Centroid means round to 6 dp each update to keep both
+    engines' float paths aligned.
+    """
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
+        .localCheckpoint()  # iterated over ITERS+1 times — scan parquet once
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.where(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign(emb, cents)
+        rows = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.element_at("v", i + 1)), 6).alias(f"m{i}")
+                    for i in range(KMEANS_DIM)
+                ]
+            )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cid"]), [r[f"m{i}"] for i in range(KMEANS_DIM)]) for r in rows
+        )
+    return _assign(emb, cents).select("vec_id", F.col("cid").alias("cluster"))
+
+
+def _sql_kmeans(k: int = KMEANS_K, d: int = KMEANS_DIM, iters: int = KMEANS_ITERS) -> str:
+    def dist(v: str, cv: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {d + 1}), "
+            f"i -> ({v}[i]-{cv}[i])*({v}[i]-{cv}[i]))), 6)"
+        )
+
+    parts = [
+        "WITH emb AS MATERIALIZED (",
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "  FROM embeddings",
+        "), c0 AS (",
+        f"  SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {k}",
+        ")",
+    ]
+    for it in range(iters):
+        parts.append(
+            f""", a{it} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist('e.v', 'c.cv')}, c.cid) AS rn
+    FROM emb e CROSS JOIN c{it} c
+  ) ranked WHERE rn = 1
+), m{it} AS (
+  SELECT cid, i, round(avg(v[i]), 6) AS m
+  FROM a{it} CROSS JOIN range(1, {d + 1}) t(i)
+  GROUP BY cid, i
+), c{it + 1} AS (
+  SELECT cid, list(m ORDER BY i) AS cv FROM m{it} GROUP BY cid
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, cid AS cluster FROM (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dist('e.v', 'c.cv')}, c.cid) AS rn
+  FROM emb e CROSS JOIN c{iters} c
+) final WHERE rn = 1"""
+    )
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_repetition_filter": t_repetition_filter,
+    "t_decontaminate": t_decontaminate,
+    "t_quality_filter": t_quality_filter,
+    "sim_kmeans_assign": sim_kmeans_assign,
+}
+
+CURATION_ORACLES: dict[str, str] = {
+    "t_repetition_filter": T_REPETITION_SQL,
+    "t_decontaminate": T_DECONTAMINATE_SQL,
+    "t_quality_filter": T_QUALITY_FILTER_SQL,
+    "sim_kmeans_assign": _sql_kmeans(),
+}

@@ -1,0 +1,91 @@
+"""Curation-operator behavior on controlled inputs (the oracle gate
+covers cross-engine parity; these pin semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.operators.curation import (
+    DECON_N,
+    KMEANS_K,
+    _assign,
+    _gram_hashes,
+)
+
+DOCS = "doc_id long, text string, source string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS)
+
+
+def test_gram_hashes_count_and_short_doc(spark):
+    df = _docs(spark, [(1, " ".join(f"w{i}" for i in range(10)), "s"), (2, "a b c", "s")])
+    out = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", _gram_hashes(F.split("text", " ")).alias("g")).collect()
+    }
+    # 10 tokens → 10 - (N-1) = 3 distinct 8-grams
+    assert len(out[1]) == 10 - (DECON_N - 1)
+    # shorter than N tokens → no grams at all
+    assert out[2] == []
+
+
+def test_repetition_filter_flags_repeated_text(spark, tmp_path):
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam spam spam", "s"),
+        (1, " ".join(f"tok{i}" for i in range(20)), "s"),
+    ]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from securities_data_pipeline_spark.operators.curation import t_repetition_filter
+
+    out = {r.doc_id: r for r in t_repetition_filter(spark, str(tmp_path)).collect()}
+    assert out[0].repetitive and out[0].dup_word_frac == pytest.approx(0.9)
+    # the top bigram "spam spam" covers 9 of 10 bigram slots → 2*9/10
+    assert out[0].top_bigram_frac == pytest.approx(1.8)
+    assert not out[1].repetitive and out[1].dup_word_frac == 0.0
+
+
+def test_decontaminate_flags_benchmark_overlap(spark, tmp_path):
+    bench_text = " ".join(f"b{i}" for i in range(DECON_N))
+    rows = [
+        (0, bench_text, "src0"),  # the benchmark doc
+        (1, "prefix " + bench_text, "src1"),  # contains the benchmark 8-gram
+        (2, " ".join(f"c{i}" for i in range(12)), "src1"),  # clean
+    ]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from securities_data_pipeline_spark.operators.curation import t_decontaminate
+
+    out = {r.doc_id: r for r in t_decontaminate(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}  # benchmark rows excluded from the output
+    assert out[1].contaminated and out[1].n_shared == 1
+    assert not out[2].contaminated and out[2].n_shared == 0
+
+
+def test_quality_filter_keeps_at_least_half(spark, tmp_path):
+    rows = [
+        (i, " ".join(["the value fast"] * (2 + 3 * i)), "s") for i in range(6)
+    ]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from securities_data_pipeline_spark.operators.curation import t_quality_filter
+
+    kept = t_quality_filter(spark, str(tmp_path))
+    assert kept.count() >= 3  # median threshold keeps the upper half
+    assert set(kept.columns) == {"doc_id", "quality"}
+
+
+def test_kmeans_assign_separates_obvious_clusters(spark):
+    # two tight blobs far apart in 64-d; seeds 0..7 span both blobs
+    def vec(base):
+        return [float(base)] * 64
+
+    rows = [(i, vec(0.0 if i % 2 == 0 else 100.0)) for i in range(16)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.where(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    out = {r.vec_id: r.cid for r in _assign(emb, cents).collect()}
+    # every even vector lands on an even (0-blob) seed, odd on odd —
+    # and ties within a blob break to the LOWEST centroid id
+    assert all(out[i] == 0 for i in range(0, 16, 2))
+    assert all(out[i] == 1 for i in range(1, 16, 2))
