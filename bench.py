@@ -44,6 +44,10 @@ HEADLINE = [
     "sim_knn_graph",
     "g_funnel_conversion",
     "s_stream_session_rollup",
+    "t_repetition_filter",
+    "t_decontaminate",
+    "t_quality_filter",
+    "sim_kmeans_assign",
 ]
 
 

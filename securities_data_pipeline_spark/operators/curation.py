@@ -24,8 +24,9 @@ The standard curation stages of a large-scale training-data pipeline
   centroids/distances so Spark and the SQL oracle agree bit-for-bit.
   Idiomatic Spark k-means: centroids live on the driver (k×d doubles),
   each iteration is ONE linear scan + a k-group element-wise average;
-  assignment distances fold sequentially (``F.aggregate``) so the
-  arithmetic matches the oracle's ``list_sum`` exactly.
+  the assignment kernel is an Arrow-vectorized pandas UDF (numpy
+  batch×k×d broadcast), the blessed shape for custom numeric ops
+  that Catalyst's built-ins can't express efficiently.
 
 The reference has no curation surface (it is a securities ETL —
 SURVEY §2.10); these extend the engine per the north star. Quality
@@ -37,6 +38,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -275,37 +278,33 @@ KMEANS_DIM = 64
 KMEANS_ITERS = 2  # centroid updates; assignments run ITERS+1 times
 
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    """Rounded squared L2 distance to a literal centroid.
-
-    Sequential left-to-right fold (``F.aggregate``), matching the
-    oracle's ``list_sum`` over the same operand order, so the double
-    result is bit-identical; 6-dp rounding absorbs any residual
-    platform noise before the argmin compares.
-    """
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.round(
-        F.aggregate(
-            F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-
-
 def _assign(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """Nearest-centroid id per vector; ties break on centroid id via
-    struct ordering (dist, cid)."""
-    choices = F.array(
-        *[
-            F.struct(_sq_dist(F.col("v"), vec).alias("d"), F.lit(cid).alias("cid"))
-            for cid, vec in cents
-        ]
-    )
-    return emb.select(
-        "vec_id", "v", F.array_min(choices).getField("cid").alias("cid")
-    )
+    """Nearest-centroid id per vector; ties break to the lowest
+    centroid id (``cents`` is sorted; numpy argmin keeps the first
+    minimum, matching the oracle's ``ORDER BY dist, cid``).
+
+    Arrow-vectorized pandas UDF, not a SQL expression: a per-centroid
+    expression tree either inlines the centroid doubles (Catalyst
+    constant-folds any literal indexing) and recompiles ~1 s of
+    codegen per Lloyd iteration, or falls into interpreted
+    higher-order-function evaluation (~μs/row·centroid). The numpy
+    broadcast computes the full batch×k×d distance block at C speed,
+    stays a narrow projection (no shuffle), and its closure re-ships
+    per iteration for free — the idiomatic Spark shape for custom
+    numeric kernels (MLlib's own k-means does the same with a
+    broadcast centroid matrix). Distances round to 6 dp before the
+    argmin so both engines' float paths agree.
+    """
+    cid_arr = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([vec for _, vec in cents], dtype=np.float64)
+
+    @F.pandas_udf("bigint")
+    def nearest(batch: pd.Series) -> pd.Series:
+        vmat = np.array(batch.tolist(), dtype=np.float64)
+        dist = ((vmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2).round(6)
+        return pd.Series(cid_arr[dist.argmin(axis=1)])
+
+    return emb.select("vec_id", "v", nearest("v").alias("cid"))
 
 
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
