@@ -488,6 +488,51 @@ SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
 """
 
 
+def resolve_duplicates(labels: DataFrame) -> DataFrame:
+    """Collapse (doc_id, component) labels to the surviving corpus:
+    one representative per near-dup cluster (the min doc_id — the
+    component label itself), annotated with how many duplicates were
+    dropped. The keep-one policy every dedup pipeline ends with; the
+    aggregate shuffles only (component, count) pairs."""
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            F.col("component").alias("doc_id"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_removed"),
+        )
+    )
+
+
+def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: LSH pairs → connected components →
+    keep-one survivors with per-cluster removal counts."""
+    return resolve_duplicates(dedup_components(spark, sf_dir))
+
+
+def _sql_resolve() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_lsh_pairs().strip()}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
+),
+labels AS (
+  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+)
+SELECT component AS doc_id,
+       COUNT(*) AS cluster_size,
+       COUNT(*) - 1 AS n_removed
+FROM labels GROUP BY component
+"""
+
+
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signature": dedup_minhash_signature,
@@ -495,10 +540,12 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_components": dedup_components,
+    "dedup_resolve": dedup_resolve,
 }
 
 DEDUP_ORACLES: dict[str, str] = {
     "dedup_components": _sql_components(),
+    "dedup_resolve": _sql_resolve(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signature": _sql_minhash(),
     "dedup_minhash_pairs": _sql_lsh_pairs(),

@@ -26,8 +26,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from securities_data_pipeline_spark.functions.hashing import (
-    stable_hash64,
+    seeded_hash64,
+    sql_seeded_hash64,
     sql_stable_hash64,
+    stable_hash64,
 )
 from securities_data_pipeline_spark.sources.tables import table
 
@@ -144,12 +146,137 @@ SELECT doc_id, lang, n_tokens FROM ordered WHERE before_sum < {TOKEN_BUDGET}
 """
 
 
+SEQ_LEN = 512  # training context length (tokens) per packed sequence
+N_SHARDS = 8  # packing shards — each packs independently
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    seq_len: int = SEQ_LEN,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Assign each document a (shard, pack_id, offset) slot in a
+    stream of fixed-``seq_len`` training sequences — the contiguous
+    -fill packing of a streaming batch packer (documents concatenate
+    in deterministic hash order; a sequence boundary may split a doc,
+    exactly like GPT-style pretraining token streams).
+
+    Scale shape: the corpus first hash-partitions into ``n_shards``
+    independent packing shards, so the running-total window only ever
+    orders ``corpus/n_shards`` rows — at 100 TB, shards = O(10k) and
+    each window partition stays executor-sized. One shuffle total
+    (the per-shard window sort); the assignment itself is arithmetic
+    on the cumulative token count, no iteration, no Python.
+    """
+    h = stable_hash64(F.col(key_col).cast("string"))
+    shard = F.pmod(h, F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("long"))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("_before", before)
+        .select(
+            key_col,
+            "shard",
+            F.floor(F.col("_before") / seq_len).alias("pack_id"),
+            F.pmod(F.col("_before"), F.lit(seq_len)).alias("offset"),
+            F.col(tokens_col).alias("n_tokens"),
+        )
+    )
+
+
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked packing query: documents → 512-token sequence
+    slots across 8 shards."""
+    from securities_data_pipeline_spark.operators.textops import token_count
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count().alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens")
+
+
+def _sql_pack_sequences() -> str:
+    from securities_data_pipeline_spark.operators.textops import _sql_words
+
+    h = sql_stable_hash64("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({_sql_words()}) AS n_tokens, {h} % {N_SHARDS} AS shard
+  FROM documents
+), ordered AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY {h} ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_sum
+  FROM toks
+)
+SELECT doc_id, shard,
+       CAST(floor(before_sum / {SEQ_LEN}) AS BIGINT) AS pack_id,
+       before_sum % {SEQ_LEN} AS offset,
+       n_tokens
+FROM ordered
+"""
+
+
+# train/val/test thresholds in per-mille of the hash space
+SPLIT_TRAIN_PM = 900
+SPLIT_VAL_PM = 950  # (900, 950] → val; rest → test
+SPLIT_SEED = 7  # independent of the sampling hash above
+
+
+def split_col(key: Column) -> Column:
+    """Deterministic train/val/test assignment: a seeded hash of the
+    row key bucketed by per-mille thresholds. Pure row-level
+    projection — no shuffle, reproducible on any engine or cluster
+    size, and documents never migrate between splits when the corpus
+    grows (the hash doesn't depend on corpus contents)."""
+    bucket = F.pmod(seeded_hash64(key, SPLIT_SEED), F.lit(1000))
+    return (
+        F.when(bucket < SPLIT_TRAIN_PM, "train")
+        .when(bucket < SPLIT_VAL_PM, "val")
+        .otherwise("test")
+    )
+
+
+def t_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked split query: per-split document and char
+    totals (the split-manifest summary a training run records)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(split_col(F.col("doc_id").cast("string")).alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def _sql_train_split() -> str:
+    h = sql_seeded_hash64("CAST(doc_id AS VARCHAR)", SPLIT_SEED)
+    return f"""
+SELECT CASE WHEN {h} % 1000 < {SPLIT_TRAIN_PM} THEN 'train'
+            WHEN {h} % 1000 < {SPLIT_VAL_PM} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
 SAMPLING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_sample_stratified": t_sample_stratified,
     "t_token_budget": t_token_budget,
+    "t_pack_sequences": t_pack_sequences,
+    "t_train_split": t_train_split,
 }
 
 SAMPLING_ORACLES: dict[str, str] = {
     "t_sample_stratified": T_SAMPLE_STRATIFIED_SQL,
     "t_token_budget": _sql_token_budget(),
+    "t_pack_sequences": _sql_pack_sequences(),
+    "t_train_split": _sql_train_split(),
 }

@@ -288,3 +288,14 @@ def test_idf_monotone_and_bounded(spark):
     assert all(r.idf >= 0 for r in rows)
     idfs = [r.idf for r in rows]
     assert idfs == sorted(idfs)
+
+
+def test_resolve_duplicates_keeps_min_representative(spark):
+    from securities_data_pipeline_spark.operators.dedup import resolve_duplicates
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id long, component long",
+    )
+    got = {r.doc_id: (r.cluster_size, r.n_removed) for r in resolve_duplicates(labels).collect()}
+    assert got == {1: (3, 2), 7: (1, 0), 9: (2, 1)}

@@ -103,3 +103,42 @@ def test_token_budget_keeps_first_overflowing_doc(spark):
     got = kept.collect()
     # 40+40 < 100, third doc overflows but is kept (before-sum 80 < 100)
     assert len(got) == 3
+
+
+def test_pack_sequences_slots_are_contiguous_per_shard(spark):
+    from securities_data_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100 + i) for i in range(40)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, "doc_id", "n_tokens", seq_len=512, n_shards=4)
+    rows = packed.collect()
+    assert len(rows) == 40
+    # within each shard the (pack_id, offset) slots must reconstruct a
+    # single contiguous token stream: sorted by global position, each
+    # doc starts exactly where the previous one ended
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.pack_id * 512 + r.offset)
+        pos = 0
+        for r in shard_rows:
+            assert r.pack_id * 512 + r.offset == pos
+            pos += r.n_tokens
+
+
+def test_train_split_deterministic_and_stable_under_growth(spark):
+    from securities_data_pipeline_spark.operators.sampling import split_col
+
+    small = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    big = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    s1 = {r.k: r.split for r in small.select("k", split_col(F.col("k")).alias("split")).collect()}
+    s2 = {r.k: r.split for r in big.select("k", split_col(F.col("k")).alias("split")).collect()}
+    # same key → same split regardless of corpus size
+    assert all(s2[k] == v for k, v in s1.items())
+    # rough proportions: 90/5/5
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert c["train"] > 1600 and 40 <= c["val"] <= 180 and 40 <= c["test"] <= 180
