@@ -267,11 +267,76 @@ FROM documents GROUP BY 1
 """
 
 
+SHUFFLE_SEED = 11
+SHUFFLE_BUCKETS = 64
+
+
+def global_shuffle_order(
+    df: DataFrame, key_col: str, n_buckets: int = SHUFFLE_BUCKETS
+) -> DataFrame:
+    """Deterministic global shuffle: assign every row a dense
+    0-based position in seeded-hash order — the reproducible corpus
+    permutation a training run reads examples in.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` funnels the whole
+    corpus through one partition, so this is the distributed
+    zipWithIndex shape instead: hash-bucket the rows, rank inside
+    each bucket (window over corpus/n_buckets rows), and add each
+    bucket's start offset, computed from the tiny per-bucket count
+    aggregate (n_buckets rows — its cumsum window is driver-scale)
+    and broadcast back. Two scans of one narrow column, one
+    executor-sized sort, no global bottleneck at any corpus size.
+    """
+    h = seeded_hash64(F.col(key_col).cast("string"), SHUFFLE_SEED)
+    with_b = df.withColumn("_h", h).withColumn(
+        "bucket", F.pmod(F.col("_h"), F.lit(n_buckets))
+    )
+    wb = Window.partitionBy("bucket").orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("_n").over(wo), F.lit(0).cast("long")).alias("_offset"),
+        )
+    )
+    return (
+        with_b.withColumn("_rn", F.row_number().over(wb))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            key_col,
+            "bucket",
+            (F.col("_offset") + F.col("_rn") - 1).alias("position"),
+        )
+    )
+
+
+def t_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked shuffle query: every document's position in the
+    seeded global permutation."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle_order(docs, "doc_id")
+
+
+def _sql_global_shuffle() -> str:
+    h = sql_seeded_hash64("CAST(doc_id AS VARCHAR)", SHUFFLE_SEED)
+    return f"""
+SELECT doc_id,
+       {h} % {SHUFFLE_BUCKETS} AS bucket,
+       ROW_NUMBER() OVER (
+         ORDER BY {h} % {SHUFFLE_BUCKETS} ASC, {h} ASC, doc_id ASC
+       ) - 1 AS position
+FROM documents
+"""
+
+
 SAMPLING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_sample_stratified": t_sample_stratified,
     "t_token_budget": t_token_budget,
     "t_pack_sequences": t_pack_sequences,
     "t_train_split": t_train_split,
+    "t_global_shuffle": t_global_shuffle,
 }
 
 SAMPLING_ORACLES: dict[str, str] = {
@@ -279,4 +344,5 @@ SAMPLING_ORACLES: dict[str, str] = {
     "t_token_budget": _sql_token_budget(),
     "t_pack_sequences": _sql_pack_sequences(),
     "t_train_split": _sql_train_split(),
+    "t_global_shuffle": _sql_global_shuffle(),
 }

@@ -590,12 +590,90 @@ SELECT src, rank, dst, sim FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+
+Q_RANGE = 127  # symmetric int8: q ∈ [-127, 127]
+
+
+def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    4×-compression step an ANN index applies before sharding vectors
+    across a cluster. Per vector: scale = max|x|, qᵢ = ⌊xᵢ·127/scale
+    + ½⌋ (explicit floor form so both engines round identically),
+    reported as the scale, the saturated-element count, and the mean
+    absolute reconstruction error. Pure narrow projection of
+    higher-order array functions — JVM codegen, no shuffle, no
+    Python — so at 100 TB it runs at scan speed; ``let`` bindings
+    keep the abs-max and quantized array evaluated once per row."""
+    from securities_data_pipeline_spark.functions.expr import let
+
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    stats = let(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+        lambda m: let(
+            # all-zero vector: any nonzero divisor quantizes it to zeros
+            F.when(m == 0, F.lit(1.0)).otherwise(m),
+            lambda s: let(
+                F.transform(vec, lambda x: F.floor(x * Q_RANGE / s + F.lit(0.5))),
+                lambda q: F.struct(
+                    F.round(m, 6).alias("scale"),
+                    F.aggregate(
+                        q,
+                        F.lit(0).cast("long"),
+                        lambda acc, qi: acc
+                        + F.when(F.abs(qi) >= Q_RANGE, 1).otherwise(0),
+                    ).alias("n_saturated"),
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(vec, q, lambda x, qi: F.abs(x - qi * s / Q_RANGE)),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                        / F.size(vec),
+                        6,
+                    ).alias("recon_err"),
+                ),
+            ),
+        ),
+    )
+    return emb.select("vec_id", "label", stats.alias("qs")).select(
+        "vec_id", "label", "qs.scale", "qs.n_saturated", "qs.recon_err"
+    )
+
+
+SIM_QUANTIZE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, label, v, m, CASE WHEN m = 0 THEN 1.0 ELSE m END AS s
+  FROM base
+), q AS (
+  SELECT vec_id, label, v, m, s,
+         list_transform(v, x -> floor(x * {Q_RANGE} / s + 0.5)) AS qv
+  FROM scaled
+)
+SELECT vec_id, label, round(m, 6) AS scale,
+       CAST(list_aggregate(list_transform(qv,
+              x -> CASE WHEN abs(x) >= {Q_RANGE} THEN 1 ELSE 0 END), 'sum')
+            AS BIGINT) AS n_saturated,
+       round(list_aggregate(list_transform(list_zip(v, qv),
+               p -> abs(p[1] - p[2] * s / {Q_RANGE})), 'sum') / len(v), 6) AS recon_err
+FROM q
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_knn_graph": sim_knn_graph,
+    "sim_quantize": sim_quantize,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
@@ -604,4 +682,5 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "sim_lsh_topk": _sql_lsh_topk(),
     "dedup_embedding_cosine": _sql_embedding_dedup(),
     "sim_knn_graph": _sql_knn_graph(),
+    "sim_quantize": SIM_QUANTIZE_SQL,
 }

@@ -347,8 +347,56 @@ LIMIT {N_IDF_TERMS}
 """
 
 
+# ---------------------------------------------------------------------------
+# tokenizer vocabulary construction
+
+VOCAB_SIZE = 100
+
+
+def t_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: global token frequencies →
+    rank-ordered token ids, the table a BPE/WordPiece trainer seeds
+    from. One exploded token aggregate (map-side partial combine, so
+    only distinct (token, count) pairs shuffle) followed by a global
+    top-``VOCAB_SIZE`` — Spark plans the limit as
+    TakeOrderedAndProject, a per-partition heap + driver merge, never
+    a full sort. The rank window then runs over just the surviving
+    ``VOCAB_SIZE`` rows, so its single partition is trivially small
+    at any corpus size."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(words_col()).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    order = [F.col("n_occurrences").desc(), F.col("token").asc()]
+    return (
+        counts.orderBy(*order)
+        .limit(VOCAB_SIZE)
+        .withColumn("token_id", F.row_number().over(Window.orderBy(*order)))
+    )
+
+
+T_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_sql_words()}) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n_occurrences FROM toks WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT token, n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS token_id
+  FROM counts
+)
+SELECT token, n_occurrences, token_id FROM ranked WHERE token_id <= {VOCAB_SIZE}
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_token_stats": t_token_stats,
+    "t_vocab": t_vocab,
     "t_quality": t_quality,
     "t_lang_id": t_lang_id,
     "t_fingerprint": t_fingerprint,
@@ -359,6 +407,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 TEXT_ORACLES: dict[str, str] = {
     "t_token_stats": T_TOKEN_STATS_SQL,
+    "t_vocab": T_VOCAB_SQL,
     "t_quality": _sql_quality(),
     "t_lang_id": _sql_lang_id(),
     "t_fingerprint": T_FINGERPRINT_SQL,

@@ -299,3 +299,33 @@ def test_resolve_duplicates_keeps_min_representative(spark):
     )
     got = {r.doc_id: (r.cluster_size, r.n_removed) for r in resolve_duplicates(labels).collect()}
     assert got == {1: (3, 2), 7: (1, 0), 9: (2, 1)}
+
+
+def test_vocab_ranks_by_frequency(spark, tmp_path):
+    from securities_data_pipeline_spark.operators.textops import t_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc aa bb", "en", "s", 17), (2, "bb dd", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.token: (r.n_occurrences, r.token_id) for r in t_vocab(spark, str(tmp_path)).collect()}
+    assert out == {"aa": (3, 1), "bb": (3, 2), "cc": (1, 3), "dd": (1, 4)}
+
+
+def test_quantize_bounds_and_saturation(spark):
+    from securities_data_pipeline_spark.operators.similarity import SIMILARITY_QUERIES
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        emb = spark.createDataFrame(
+            [(0, [1.0, -0.5, 0.25, 0.0], "a"), (1, [0.0, 0.0, 0.0, 0.0], "b")],
+            "vec_id long, embedding array<float>, label string",
+        )
+        emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+        rows = {r.vec_id: r for r in SIMILARITY_QUERIES["sim_quantize"](spark, d).collect()}
+    # vec 0: scale = 1.0, exactly one saturated element (the max), small error
+    assert rows[0].scale == 1.0 and rows[0].n_saturated == 1
+    assert 0 <= rows[0].recon_err < 1 / 127
+    # all-zero vector quantizes losslessly with scale 0
+    assert rows[1].scale == 0.0 and rows[1].n_saturated == 0 and rows[1].recon_err == 0.0

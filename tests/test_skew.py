@@ -142,3 +142,17 @@ def test_train_split_deterministic_and_stable_under_growth(spark):
 
     c = Counter(s2.values())
     assert c["train"] > 1600 and 40 <= c["val"] <= 180 and 40 <= c["test"] <= 180
+
+
+def test_global_shuffle_order_is_a_permutation(spark):
+    from securities_data_pipeline_spark.operators.sampling import global_shuffle_order
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = global_shuffle_order(df, "doc_id", n_buckets=8)
+    rows = out.collect()
+    assert sorted(r.position for r in rows) == list(range(1000))
+    # deterministic across runs
+    again = {r.doc_id: r.position for r in global_shuffle_order(df, "doc_id", n_buckets=8).collect()}
+    assert all(again[r.doc_id] == r.position for r in rows)
+    # hash order, not input order: the identity permutation is not reproduced
+    assert any(r.doc_id != r.position for r in rows)

@@ -30,6 +30,7 @@ sys.path.insert(0, ".")
 # queries whose semantics REQUIRE Pandas/Arrow nodes
 PY_OK = {
     "g_user_trend_udf",
+    "sim_kmeans_assign",
     "mm_feature_extract",
     "mm_frame_sample",
     "mm_resize",
@@ -43,6 +44,7 @@ PY_OK = {
 # for non-equi joins against small inputs
 BNLJ_OK = {
     "q11_important_parts",
+    "t_quality_filter",
     "sq_rich_inactive_customers",
     "dedup_embedding_cosine",
     "j_range_band",
