@@ -323,6 +323,79 @@ def _sql_simhash(bits: int = SIMHASH_BITS) -> str:
     return f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM documents"
 
 
+SIMHASH_BANDS = 4
+# Banding is exact for any radius ≤ SIMHASH_BANDS-1 (pigeonhole: that few
+# flipped bits leave ≥1 band intact). The demo radius is 1 because the
+# 16-bit sketch (sized to keep the oracle SQL tractable) is dense on a
+# shared-vocabulary corpus — radius 3 there approaches all-pairs, which
+# is a sketch-width artifact, not a plan property; production geometry
+# is 64-bit / 4×16-bit bands with the same plan and radius 3.
+HAMMING_MAX = 1
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ ``HAMMING_MAX`` over the
+    SimHash sketch, found without an all-pairs comparison: the
+    signature splits into ``SIMHASH_BANDS`` bit-bands, and by
+    pigeonhole any pair within the radius collides on at least one
+    exact band — so candidates come from the shared
+    ``bucket_pairs`` bucket-expansion plan (ONE shuffle of banded
+    8-byte sketches), then ``bit_count(xor)`` verifies the exact
+    distance on the candidate stream only. The verify join moves
+    (doc_id, simhash) rows — 16 bytes each — never text. The 16-bit /
+    4-band demo geometry keeps the oracle SQL tractable; production
+    is 64-bit / 4×16-bit bands (same plan, collision odds 4/2¹⁶
+    per random pair instead of 4/2⁴)."""
+    bits_per = SIMHASH_BITS // SIMHASH_BANDS
+    sig = dedup_simhash(spark, sf_dir).localCheckpoint(eager=False)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .cast("string")
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    return (
+        bucket_pairs(banded)
+        .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb")), "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    bits_per = SIMHASH_BITS // SIMHASH_BANDS
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * bits_per}) & {(1 << bits_per) - 1} AS key FROM sig"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH sig AS MATERIALIZED ({_sql_simhash().strip()}),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+                  b.doc_id AS doc_b, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram jaccard pairs (also the LSH verifier)
 
@@ -538,6 +611,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_components": dedup_components,
     "dedup_resolve": dedup_resolve,
@@ -550,5 +624,6 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_minhash_signature": _sql_minhash(),
     "dedup_minhash_pairs": _sql_lsh_pairs(),
     "dedup_simhash": _sql_simhash(),
+    "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": _sql_jaccard(),
 }

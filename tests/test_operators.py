@@ -329,3 +329,25 @@ def test_quantize_bounds_and_saturation(spark):
     assert 0 <= rows[0].recon_err < 1 / 127
     # all-zero vector quantizes losslessly with scale 0
     assert rows[1].scale == 0.0 and rows[1].n_saturated == 0 and rows[1].recon_err == 0.0
+
+
+def test_simhash_pairs_find_identical_docs(spark, tmp_path):
+    from securities_data_pipeline_spark.operators.dedup import (
+        HAMMING_MAX,
+        dedup_simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (3, "zq xv wk jm pn qr st uv", "en", "s", 23),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = dedup_simhash_pairs(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert got[(1, 2)] == 0
+    assert all(a < b for a, b in got)
+    assert all(h <= HAMMING_MAX for h in got.values())
