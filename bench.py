@@ -48,6 +48,11 @@ HEADLINE = [
     "t_decontaminate",
     "t_quality_filter",
     "sim_kmeans_assign",
+    "t_vocab",
+    "t_pack_sequences",
+    "t_global_shuffle",
+    "t_temperature_mix",
+    "sim_quantize",
 ]
 
 

@@ -267,6 +267,86 @@ FROM documents GROUP BY 1
 """
 
 
+MIX_TARGET_FRAC = 0.4  # keep ~40% of the corpus overall
+
+
+def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted dataset mixing (α = 0.5): per-stratum keep
+    rates derived FROM the corpus instead of hand-configured — stratum
+    s gets a share ∝ √n_s of the target row count, which up-weights
+    small sources and tempers dominant ones (the standard
+    multilingual/multi-source rebalancing rule). The per-stratum rate
+    is fixed to integer per-mille with a round-then-floor guard so
+    both engines derive the identical rate from the identical counts,
+    then applied as the same zero-shuffle hash-Bernoulli predicate as
+    ``sample_stratified``.
+
+    Scale shape: the rate table is a strata-sized aggregate (dozens of
+    rows at any corpus size) broadcast back onto the scan — the corpus
+    itself never shuffles. Output is the per-stratum mixing manifest:
+    corpus count, derived rate, kept count."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("nn"), F.sum(F.sqrt(F.col("n"))).alias("ssq")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").alias("n_total"),
+            F.least(
+                F.lit(1000),
+                F.floor(
+                    F.round(
+                        F.lit(1000.0)
+                        * MIX_TARGET_FRAC
+                        * F.col("nn")
+                        * F.sqrt(F.col("n"))
+                        / (F.col("ssq") * F.col("n")),
+                        9,
+                    )
+                ),
+            )
+            .cast("int")
+            .alias("rate_pm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .where(hash_bernoulli(F.col("doc_id").cast("string"), F.col("rate_pm")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang", "n_total", "rate_pm", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+
+
+def _sql_temperature_mix() -> str:
+    h = sql_stable_hash64("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT SUM(n) AS nn, SUM(sqrt(n)) AS ssq FROM counts
+), rates AS (
+  SELECT lang, n AS n_total,
+         CAST(LEAST(1000, floor(round(
+           1000.0 * {MIX_TARGET_FRAC} * nn * sqrt(n) / (ssq * n), 9))) AS INT) AS rate_pm
+  FROM counts CROSS JOIN tot
+), kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE {h} % 1000 < r.rate_pm
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_total, r.rate_pm, COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+"""
+
+
 SHUFFLE_SEED = 11
 SHUFFLE_BUCKETS = 64
 
@@ -337,6 +417,7 @@ SAMPLING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_pack_sequences": t_pack_sequences,
     "t_train_split": t_train_split,
     "t_global_shuffle": t_global_shuffle,
+    "t_temperature_mix": t_temperature_mix,
 }
 
 SAMPLING_ORACLES: dict[str, str] = {
@@ -345,4 +426,5 @@ SAMPLING_ORACLES: dict[str, str] = {
     "t_pack_sequences": _sql_pack_sequences(),
     "t_train_split": _sql_train_split(),
     "t_global_shuffle": _sql_global_shuffle(),
+    "t_temperature_mix": _sql_temperature_mix(),
 }

@@ -139,3 +139,40 @@ def test_hyperplane_band_keys_properties(spark, vecs):
     assert all(len(b) == ANN_BANDS for b in per_vec.values())
     # exact duplicate vectors collide on EVERY band
     assert per_vec[0] == per_vec[len(vecs)]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=30),
+    seq_len=st.sampled_from([64, 512]),
+)
+def test_pack_sequences_reconstructs_token_stream(spark, tokens, seq_len):
+    """For any document lengths, each shard's (pack_id, offset) slots
+    form one gapless token stream in hash order."""
+    from securities_data_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", seq_len=seq_len, n_shards=3)
+    by_shard = {}
+    for r in out.collect():
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == len(tokens)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.pack_id * seq_len + r.offset)
+        pos = 0
+        for r in shard_rows:
+            assert r.pack_id * seq_len + r.offset == pos
+            pos += r.n_tokens
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(keys=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60))
+def test_global_shuffle_is_permutation_for_any_keys(spark, keys):
+    from securities_data_pipeline_spark.operators.sampling import global_shuffle_order
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    rows = global_shuffle_order(df, "doc_id", n_buckets=4).collect()
+    assert sorted(r.position for r in rows) == list(range(len(keys)))
+    assert {r.doc_id for r in rows} == keys

@@ -156,3 +156,21 @@ def test_global_shuffle_order_is_a_permutation(spark):
     assert all(again[r.doc_id] == r.position for r in rows)
     # hash order, not input order: the identity permutation is not reproduced
     assert any(r.doc_id != r.position for r in rows)
+
+
+def test_temperature_mix_upweights_small_strata(spark, tmp_path):
+    from securities_data_pipeline_spark.operators.sampling import t_temperature_mix
+
+    rows = [(i, "x", "en" if i < 1600 else "fr", "s", 10) for i in range(2000)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in t_temperature_mix(spark, str(tmp_path)).collect()}
+    # α=0.5 tempering: the minority stratum keeps a HIGHER fraction
+    assert out["fr"].rate_pm > out["en"].rate_pm
+    # overall kept mass lands near the 40% target
+    kept = sum(r.n_kept for r in out.values())
+    assert 600 <= kept <= 1000
+    # kept counts track the derived rates
+    for r in out.values():
+        assert abs(r.n_kept / r.n_total - r.rate_pm / 1000) < 0.1
