@@ -54,6 +54,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division — `/` would go through double and lose
         # precision above 2^53 ns
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # parquet TIMESTAMP with isAdjustedToUTC=false infers as NTZ in
+        # Spark 4; watermarks and unix_micros need TIMESTAMP (LTZ). Under
+        # the factory's UTC session timezone this cast is a pure
+        # reinterpretation — wall-clock values are unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -49,6 +49,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(batch_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(batch_schema["ts"].dataType, T.TimestampNTZType):
+        # NTZ-inferred parquet timestamps (Spark 4 default for
+        # isAdjustedToUTC=false) can't carry a watermark; under the UTC
+        # session timezone this cast keeps wall-clock values unchanged.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
