@@ -53,6 +53,9 @@ HEADLINE = [
     "t_global_shuffle",
     "t_temperature_mix",
     "sim_quantize",
+    "a8_corr_moments",
+    "w7_interval_range",
+    "t_chunk_dedup",
 ]
 
 

@@ -2,6 +2,10 @@
 multimodal plumbing — the training-data-pipeline surface."""
 
 from securities_data_pipeline_spark.operators.asof import ASOF_ORACLES, ASOF_QUERIES
+from securities_data_pipeline_spark.operators.boilerplate import (
+    BOILERPLATE_ORACLES,
+    BOILERPLATE_QUERIES,
+)
 from securities_data_pipeline_spark.operators.curation import (
     CURATION_ORACLES,
     CURATION_QUERIES,
@@ -25,6 +29,7 @@ from securities_data_pipeline_spark.operators.textops import TEXT_ORACLES, TEXT_
 
 EXTENSION_QUERIES = {
     **TEXT_QUERIES,
+    **BOILERPLATE_QUERIES,
     **CURATION_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
@@ -37,6 +42,7 @@ EXTENSION_QUERIES = {
 
 EXTENSION_ORACLES = {
     **TEXT_ORACLES,
+    **BOILERPLATE_ORACLES,
     **CURATION_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,

@@ -1,0 +1,154 @@
+"""Boilerplate detection and redaction over the documents table —
+the sub-document curation passes a training-data pipeline runs after
+whole-document dedup.
+
+- **Chunk-level duplication** (`t_chunk_dedup`): split each document
+  into fixed-width word chunks, hash each chunk, and measure per
+  document what share of its chunks also appear in other documents.
+  High share = boilerplate (headers, footers, templates) — the
+  signal CCNet/RefinedWeb-style pipelines use to strip repeated
+  passages that whole-document MinHash can't see.
+- **Term redaction** (`t_redact_terms`): masked rewrite of the token
+  stream from a denylist. The same plumbing handles regex PII masking
+  (emails/phones via ``F.regexp_replace``) — the synthetic corpus
+  contains no PII-shaped strings, so the deterministic denylist stands
+  in for the pattern set.
+
+Scale notes (100 TB):
+- chunk hashes are 8-byte ints — the groupBy and the join shuffle
+  sketches, never text. The exploded chunk relation is used twice
+  (document-frequency aggregate + join back), so it is
+  localCheckpoint'd: one scan + one chunk expansion total, the
+  at-scale analog of materializing the chunk index.
+- the document-frequency aggregate partial-combines map-side; a
+  production run would also cap pathological chunks (stop-chunk
+  df ceiling) exactly like dedup.py's bucket caps.
+- redaction is a narrow projection — scan speed, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.functions.expr import let
+from securities_data_pipeline_spark.functions.hashing import sql_stable_hash64, stable_hash64
+from securities_data_pipeline_spark.operators.textops import _sql_words, words_col
+from securities_data_pipeline_spark.sources.tables import table
+
+CHUNK_W = 8  # words per chunk (non-overlapping)
+
+REDACT_TERMS = ("value", "hash", "merge", "batch")
+REDACT_MASK = "[masked]"
+
+
+def chunk_hashes(text=None) -> F.Column:
+    """Array of stable 60-bit hashes of consecutive CHUNK_W-word chunks
+    (last chunk may be short). One projection; the ``let`` binding keeps
+    the word array from being re-evaluated per chunk lambda."""
+    return let(
+        words_col() if text is None else words_col(text),
+        lambda ws: F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size(ws) - F.lit(1)) / F.lit(CHUNK_W)).cast("int")
+            ),
+            lambda j: stable_hash64(
+                F.array_join(F.slice(ws, j * CHUNK_W + 1, CHUNK_W), " ")
+            ),
+        ),
+    )
+
+
+def _sql_chunk_hashes() -> str:
+    gram = sql_stable_hash64(
+        f"array_to_string(w[CAST(j * {CHUNK_W} + 1 AS BIGINT) : "
+        f"CAST(j * {CHUNK_W} + {CHUNK_W} AS BIGINT)], ' ')"
+    )
+    return (
+        f"list_transform(range(0, CAST(floor((len(w) - 1) / {CHUNK_W}) AS BIGINT) + 1), "
+        f"j -> {gram})"
+    )
+
+
+def t_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: fraction of the document's
+    word chunks that occur (by hash) in at least one OTHER document."""
+    docs = table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(chunk_hashes()).alias("ch")
+    ).localCheckpoint(eager=False)
+    dfreq = ch.groupBy("ch").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        ch.join(dfreq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_share",
+            F.round(F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6),
+        )
+    )
+
+
+T_CHUNK_DEDUP_SQL = f"""
+WITH ws AS (
+  SELECT doc_id, {_sql_words()} AS w FROM documents
+), chunks AS MATERIALIZED (
+  SELECT doc_id, unnest({_sql_chunk_hashes()}) AS ch FROM ws
+), dfreq AS (
+  SELECT ch, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       round(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS dup_share
+FROM chunks JOIN dfreq USING (ch)
+GROUP BY doc_id
+"""
+
+
+def t_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked rewrite of the token stream from a denylist, with the
+    per-document masked-token count."""
+    docs = table(spark, sf_dir, "documents")
+    deny = F.array(*[F.lit(t) for t in REDACT_TERMS])
+    masked = F.transform(
+        words_col(),
+        lambda w: F.when(F.array_contains(deny, w), F.lit(REDACT_MASK)).otherwise(w),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(words_col(), lambda w: F.array_contains(deny, w)))
+        .cast("long")
+        .alias("n_masked"),
+        F.array_join(masked, " ").alias("masked_text"),
+    )
+
+
+T_REDACT_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter({_sql_words()}, w -> w IN {REDACT_TERMS!r})) AS BIGINT)
+         AS n_masked,
+       array_to_string(
+         list_transform({_sql_words()},
+                        w -> CASE WHEN w IN {REDACT_TERMS!r}
+                                  THEN '{REDACT_MASK}' ELSE w END),
+         ' ') AS masked_text
+FROM documents
+"""
+
+
+BOILERPLATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_chunk_dedup": t_chunk_dedup,
+    "t_redact_terms": t_redact_terms,
+}
+
+BOILERPLATE_ORACLES: dict[str, str] = {
+    "t_chunk_dedup": T_CHUNK_DEDUP_SQL,
+    "t_redact_terms": T_REDACT_SQL,
+}

@@ -1,0 +1,148 @@
+"""Statistical analytics (plans/analytics) and boilerplate curation
+(operators/boilerplate): semantic invariants and physical-plan
+assertions at sf0.001. Value parity vs DuckDB is covered by
+tools/check_oracle.py at sf0.01."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.operators.boilerplate import (
+    REDACT_MASK,
+    REDACT_TERMS,
+    chunk_hashes,
+    t_chunk_dedup,
+    t_redact_terms,
+)
+from securities_data_pipeline_spark.plans.analytics import (
+    a8_corr_moments,
+    f_array_stats,
+    w7_interval_range,
+)
+from securities_data_pipeline_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_a8_corr_matches_direct_computation(spark):
+    out = {r.l_returnflag: r for r in a8_corr_moments(spark, SF).collect()}
+    li = (
+        table(spark, SF, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (round(r.l_quantity, 2), round(r.l_extendedprice, 2))
+        )
+    for flag, pts in by_flag.items():
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        syy = sum(p[1] * p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        corr = (n * sxy - sx * sy) / math.sqrt(n * sxx - sx * sx) / math.sqrt(
+            n * syy - sy * sy
+        )
+        assert out[flag].n == n
+        assert abs(out[flag].corr_qty_price - corr) < 1e-4
+        # corr of near-independent columns is small but defined
+        assert -1.0 <= out[flag].corr_qty_price <= 1.0
+
+
+def test_a8_single_pass_one_exchange_pair(spark):
+    # one groupBy → partial+final aggregate, no join, no extra scan
+    plan = _plan(a8_corr_moments(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_w7_rolling_window_semantics(spark):
+    out = w7_interval_range(spark, SF).collect()
+    ev = table(spark, SF, "events").select("user_id", "event_id", "ts", "value").collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    # verify one user end-to-end against a direct O(n²) recompute
+    uid = min(by_user, key=lambda u: len(by_user[u]))
+    expected = {}
+    for r in by_user[uid]:
+        frame = [
+            e
+            for e in by_user[uid]
+            if 0 <= (r.ts - e.ts).total_seconds() <= 7 * 86400
+        ]
+        expected[r.event_id] = (sum(round(e.value, 6) for e in frame), len(frame))
+    got = {r.event_id: r for r in out if r.user_id == uid}
+    assert set(got) == set(expected)
+    for eid, (s, n) in expected.items():
+        assert got[eid].roll_n_7d == n
+        assert abs(got[eid].roll_sum_7d - s) < 1e-6
+
+
+def test_w7_single_shuffle(spark):
+    plan = _plan(w7_interval_range(spark, SF))
+    assert plan.count("Exchange") == 1
+
+
+def test_f_array_stats_matches_numpy(spark):
+    import numpy as np
+
+    out = {r.vec_id: r for r in f_array_stats(spark, SF).collect()}
+    emb = table(spark, SF, "embeddings").collect()
+    for r in emb[:50]:
+        v = np.array(r.embedding, dtype=np.float64)
+        assert out[r.vec_id].dim == len(v)
+        assert abs(out[r.vec_id].l2_norm - float(np.sqrt((v * v).sum()))) < 1e-5
+        assert out[r.vec_id].n_pos == int((v > 0).sum())
+
+
+def test_f_array_stats_no_shuffle_no_python(spark):
+    plan = _plan(f_array_stats(spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_chunk_hashes_identical_for_identical_chunks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "w0 w1 w2 w3 w4 w5 w6 w7 x0 x1 x2 x3 x4 x5 x6 x7"),
+            (2, "w0 w1 w2 w3 w4 w5 w6 w7"),
+            (3, "y0 y1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.ch for r in df.select("doc_id", chunk_hashes().alias("ch")).collect()}
+    assert len(out[1]) == 2 and len(out[2]) == 1 and len(out[3]) == 1
+    assert out[1][0] == out[2][0]  # shared 8-word chunk → same hash
+    assert out[1][1] != out[1][0]
+
+
+def test_chunk_dedup_shares_bounded(spark):
+    out = t_chunk_dedup(spark, SF).collect()
+    assert len(out) == table(spark, SF, "documents").count()
+    for r in out:
+        assert r.n_chunks >= 1
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert abs(r.dup_share - r.n_dup_chunks / r.n_chunks) < 1e-6
+
+
+def test_redact_masks_all_denylist_terms(spark):
+    out = t_redact_terms(spark, SF).collect()
+    deny = set(REDACT_TERMS)
+    for r in out:
+        toks = r.masked_text.split(" ")
+        assert not (deny & set(toks))
+        assert toks.count(REDACT_MASK) == r.n_masked
+
+
+def test_redact_is_narrow_projection(spark):
+    plan = _plan(t_redact_terms(spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
