@@ -394,6 +394,71 @@ SELECT token, n_occurrences, token_id FROM ranked WHERE token_id <= {VOCAB_SIZE}
 """
 
 
+# ---------------------------------------------------------------------------
+# unigram LM log-probability (the perplexity-filter shape)
+
+
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability — the corpus-LM
+    fluency score CCNet-style pipelines threshold on (their 5-gram
+    KenLM perplexity, reduced to the unigram case so the statistic is
+    exactly recomputable by the oracle).
+
+    Plan: one exploded token aggregate builds the unigram frequency
+    table (map-side partial combine — only distinct (token, count)
+    pairs shuffle); the corpus total re-sums the tiny frequency table;
+    scoring joins the exploded stream to the BROADCAST frequency table
+    and re-aggregates per document. At 100 TB the frequency table is
+    the only broadcast (vocab-sized, ~1 M rows), and the per-doc
+    aggregate rides the doc_id partitioning.
+
+    Float determinism: per-token log-probs are rounded to 9 dp and
+    summed as exact decimals, so the per-doc mean is independent of
+    token order; ln() agrees across engines at that rounding
+    (precedent: t_idf_top_terms).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words_col()).alias("token")).where(
+        F.col("token") != ""
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    logp = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 9
+    ).cast("decimal(18,9)")
+    return (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+T_UNIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_words()}) AS token FROM documents
+), toks_ne AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), freq AS (
+  SELECT token, COUNT(*) AS cnt FROM toks_ne GROUP BY token
+), total AS (
+  SELECT SUM(cnt) AS n_total FROM freq
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+FROM toks_ne JOIN freq USING (token) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_token_stats": t_token_stats,
     "t_vocab": t_vocab,
@@ -403,6 +468,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_token_bpe": t_token_bpe,
     "t_winnow_fingerprint": t_winnow_fingerprint,
     "t_idf_top_terms": t_idf_top_terms,
+    "t_unigram_logprob": t_unigram_logprob,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -414,4 +480,5 @@ TEXT_ORACLES: dict[str, str] = {
     "t_token_bpe": T_TOKEN_BPE_SQL,
     "t_winnow_fingerprint": _sql_winnow(),
     "t_idf_top_terms": T_IDF_SQL,
+    "t_unigram_logprob": T_UNIGRAM_SQL,
 }

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from securities_data_pipeline_spark.sources.tables import table
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events landing file(s), with the same ns→µs
@@ -343,12 +345,53 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 """
 
 
+def s_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    (bounded) customer dimension, rolled up per day × market segment.
+
+    The static side is explicitly broadcast, so the stream never
+    shuffles for the join and the join itself is STATELESS — each
+    micro-batch probes the broadcast table and moves on; only the
+    windowed aggregate keeps watermark-bounded state. This is the
+    streaming analog of every fact⋈dimension query in the batch
+    surface, and the pattern a live securities feed uses to tag ticks
+    with `dim_symbols` attributes (SURVEY §2.3).
+    """
+    ev = events_stream(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == F.col("c_custkey"))
+    agg = (
+        joined.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.to_date(F.col("w.start")).alias("day"), "c_mktsegment", "n_events", "sum_value"
+    )
+
+
+S_ENRICH_STATIC_SQL = """
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_daily_rollup": s_stream_daily_rollup,
     "s_stream_dedup_keys": s_stream_dedup_keys,
     "s_stream_sliding_rollup": s_stream_sliding_rollup,
     "s_stream_user_stats_stateful": s_stream_user_stats_stateful,
     "s_stream_join_attrib": s_stream_join_attrib,
+    "s_stream_enrich_static": s_stream_enrich_static,
     "s_stream_session_rollup": s_stream_session_rollup,
     "s_stream_dedup_within_watermark": s_stream_dedup_within_watermark,
 }
@@ -359,6 +402,7 @@ STREAMING_ORACLES: dict[str, str] = {
     "s_stream_sliding_rollup": S_SLIDING_SQL,
     "s_stream_user_stats_stateful": S_USER_STATS_SQL,
     "s_stream_join_attrib": S_JOIN_ATTRIB_SQL,
+    "s_stream_enrich_static": S_ENRICH_STATIC_SQL,
     "s_stream_session_rollup": S_SESSION_SQL,
     "s_stream_dedup_within_watermark": S_DEDUP_SQL,
 }

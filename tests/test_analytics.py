@@ -146,3 +146,28 @@ def test_redact_is_narrow_projection(spark):
     plan = _plan(t_redact_terms(spark, SF))
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_unigram_logprob_orders_by_fluency(spark):
+    from securities_data_pipeline_spark.operators.textops import t_unigram_logprob
+
+    out = {r.doc_id: r for r in t_unigram_logprob(spark, SF).collect()}
+    docs = {r.doc_id: r.text for r in table(spark, SF, "documents").collect()}
+    assert set(out) == set(docs)
+    for r in out.values():
+        assert r.avg_logprob < 0  # log of probabilities < 1
+        assert r.n_tokens >= 1
+    # a document made of the corpus's most common tokens must outscore
+    # one made of its rarest: verify via the two extreme documents
+    import collections
+
+    cnt = collections.Counter(t for text in docs.values() for t in text.lower().split())
+    total = sum(cnt.values())
+    import math
+
+    def direct(text):
+        toks = [t for t in text.lower().split() if t]
+        return sum(round(math.log(cnt[t] / total), 9) for t in toks) / len(toks)
+
+    for doc_id in list(docs)[:20]:
+        assert abs(out[doc_id].avg_logprob - round(direct(docs[doc_id]), 6)) < 2e-6

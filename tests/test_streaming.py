@@ -97,3 +97,41 @@ def test_stream_join_attrib_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_enrich_static_matches_batch(spark):
+    from securities_data_pipeline_spark.sources.tables import table
+    from securities_data_pipeline_spark.streaming.ingest import s_stream_enrich_static
+
+    got = {
+        (str(r.day), r.c_mktsegment): (r.n_events, r.sum_value)
+        for r in s_stream_enrich_static(spark, SF).collect()
+    }
+    ev, cust = table(spark, SF, "events"), table(spark, SF, "customer")
+    exp = {
+        (str(r.day), r.c_mktsegment): (r.n_events, r.sum_value)
+        for r in ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_stream_enrich_static_join_is_stateless_broadcast(spark):
+    """The static dimension must ride a broadcast: no shuffle of the
+    stream for the join, and no stream-stream join state."""
+    from securities_data_pipeline_spark.sources.tables import table
+    from securities_data_pipeline_spark.streaming.ingest import events_stream
+
+    ev = events_stream(spark, SF)
+    cust = table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == F.col("c_custkey"))
+    # optimized/executed plans require writeStream.start(); the analyzed
+    # logical plan is inspectable pre-start and carries the hint
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "StreamingRelation" in plan
+    assert "broadcast" in plan.lower()
