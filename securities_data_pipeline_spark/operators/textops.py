@@ -418,8 +418,13 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (precedent: t_idf_top_terms).
     """
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(words_col()).alias("token")).where(
-        F.col("token") != ""
+    toks = (
+        docs.select("doc_id", F.explode(words_col()).alias("token"))
+        .where(F.col("token") != "")
+        # two consumers (frequency aggregate + scoring join) —
+        # materialize the exploded stream once instead of re-scanning
+        # and re-exploding documents
+        .localCheckpoint(eager=False)
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("n_total"))

@@ -51,6 +51,7 @@ BNLJ_OK = {
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "t_idf_top_terms",
+    "t_unigram_logprob",
 }
 
 # queries that must show non-empty PushedFilters on a parquet scan
