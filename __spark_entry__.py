@@ -23,6 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from securities_data_pipeline_spark.plans.analytics import ANALYTICS_QUERIES
+    from securities_data_pipeline_spark.plans.maintenance import MAINTENANCE_QUERIES
     from securities_data_pipeline_spark.plans.relational import RELATIONAL_QUERIES
     from securities_data_pipeline_spark.plans.relational_ext import RELATIONAL_EXT_QUERIES
     from securities_data_pipeline_spark.plans.relational_tpch2 import TPCH2_QUERIES
@@ -34,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(RELATIONAL_QUERIES)
     out.update(ANALYTICS_QUERIES)
+    out.update(MAINTENANCE_QUERIES)
     out.update(RELATIONAL_EXT_QUERIES)
     out.update(TPCH2_QUERIES)
     out.update(TPCH3_QUERIES)
@@ -56,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from securities_data_pipeline_spark.plans.analytics import ANALYTICS_ORACLES
+    from securities_data_pipeline_spark.plans.maintenance import MAINTENANCE_ORACLES
     from securities_data_pipeline_spark.plans.relational import RELATIONAL_ORACLES
     from securities_data_pipeline_spark.plans.relational_ext import RELATIONAL_EXT_ORACLES
     from securities_data_pipeline_spark.plans.relational_tpch2 import TPCH2_ORACLES
@@ -67,6 +70,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
     out.update(ANALYTICS_ORACLES)
+    out.update(MAINTENANCE_ORACLES)
     out.update(RELATIONAL_EXT_ORACLES)
     out.update(TPCH2_ORACLES)
     out.update(TPCH3_ORACLES)

@@ -56,6 +56,8 @@ HEADLINE = [
     "a8_corr_moments",
     "w7_interval_range",
     "t_chunk_dedup",
+    "m_incremental_rollup",
+    "m_zorder_cluster",
 ]
 
 

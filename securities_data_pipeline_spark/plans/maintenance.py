@@ -1,0 +1,151 @@
+"""Lake-maintenance query shapes: Z-order clustering keys and
+incremental partial-aggregate rollup — the two operations SCALE.md
+promises for the 100 TB layout, expressed as verifiable queries
+instead of prose.
+
+The reference maintains its lake with dlt merge upserts only
+(py_pipeline/load.py:78-84); clustering and incremental aggregation
+are left to the warehouse. A Spark-native lake owns both:
+
+- **Z-order** (`m_zorder_cluster`): interleave the bits of two
+  cluster keys into one space-filling-curve value; sorting/bucketing
+  by it co-locates rows close in BOTH dimensions, so min/max row-group
+  stats prune scans filtered on either key (the effect OPTIMIZE
+  ZORDER BY gives Delta tables). The z-value is plain bit arithmetic
+  — whole-stage codegen, zero shuffles to compute; the demonstration
+  query buckets by the top z-bits and shows each bucket covers a
+  narrow key range on both axes.
+- **Incremental rollup** (`m_incremental_rollup`): re-aggregate
+  partial aggregates — history's daily partials merge with a fresh
+  increment's partials by summing counts and exact-decimal sums,
+  never rescanning history. This is the algebraic property
+  (re-associativity) that makes `foreachBatch` + MERGE maintenance of
+  a 100 TB rollup table correct; the oracle proves merged partials ==
+  full recompute.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.sources.tables import table
+
+Z_BITS = 8  # low bits interleaved per key → 2*Z_BITS-bit z-value
+Z_BUCKET_SHIFT = 10  # bucket = z >> shift
+
+
+def _zvalue_sql(x: str, y: str, div: str, bits: int = Z_BITS) -> str:
+    """Bit-interleave expression with shifts spelled as arithmetic
+    (x>>i == x div 2^i for non-negative ints; x<<i == x*2^i), because
+    integer division differs in spelling: Spark SQL ``div``, DuckDB
+    ``//``. Same arithmetic, constant-folded by each engine."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} {div} {1 << i}) % 2) * {1 << (2 * i)})")
+        terms.append(f"((({y} {div} {1 << i}) % 2) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def m_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit: compute the interleaved z-value of
+    (l_partkey, l_suppkey) low bits, bucket rows by the top z-bits,
+    and report each bucket's row count and per-axis key envelope.
+
+    Narrow projection + one aggregate exchange. The per-bucket
+    min/max envelope is exactly the row-group statistic a scan
+    filtered on either key would prune with after clustering."""
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % (1 << Z_BITS)).alias("px"),
+        (F.col("l_suppkey") % (1 << Z_BITS)).alias("sy"),
+    )
+    zbucket = F.expr(
+        f"({_zvalue_sql('px', 'sy', 'div')}) div {1 << Z_BUCKET_SHIFT}"
+    ).cast("long")
+    return (
+        li.withColumn("zbucket", zbucket)
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("px").cast("long").alias("min_px"),
+            F.max("px").cast("long").alias("max_px"),
+            F.min("sy").cast("long").alias("min_sy"),
+            F.max("sy").cast("long").alias("max_sy"),
+        )
+    )
+
+
+M_ZORDER_SQL = f"""
+WITH keys AS (
+  SELECT l_partkey % {1 << Z_BITS} AS px, l_suppkey % {1 << Z_BITS} AS sy
+  FROM lineitem
+)
+SELECT CAST({_zvalue_sql("px", "sy", "//")} // {1 << Z_BUCKET_SHIFT} AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(px) AS BIGINT) AS min_px, CAST(MAX(px) AS BIGINT) AS max_px,
+       CAST(MIN(sy) AS BIGINT) AS min_sy, CAST(MAX(sy) AS BIGINT) AS max_sy
+FROM keys
+GROUP BY 1
+"""
+
+
+_CUTOFF = "1997-01-01"
+
+
+def m_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a per-(month, priority) order rollup:
+    history (< cutoff) and the new increment (≥ cutoff) aggregate
+    independently — two partial-aggregate passes with disjoint pushed date
+    ranges — then merge by RE-AGGREGATING the partials (sum of counts,
+    sum of exact-decimal sums). History is never rescanned when only
+    the increment changes; the oracle is the full recompute, proving
+    the merge is lossless.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_orderpriority",
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_dec"),
+        )
+
+    history = partial(orders.where(F.col("o_orderdate") < cutoff))
+    increment = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    return (
+        history.unionByName(increment)
+        .groupBy("month", "o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_dec").cast("double").alias("total_price"),
+        )
+        .select(
+            F.to_date("month").alias("month"), "o_orderpriority", "n_orders", "total_price"
+        )
+    )
+
+
+M_INCREMENTAL_SQL = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+MAINTENANCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "m_zorder_cluster": m_zorder_cluster,
+    "m_incremental_rollup": m_incremental_rollup,
+}
+
+MAINTENANCE_ORACLES: dict[str, str] = {
+    "m_zorder_cluster": M_ZORDER_SQL,
+    "m_incremental_rollup": M_INCREMENTAL_SQL,
+}

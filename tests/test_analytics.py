@@ -171,3 +171,48 @@ def test_unigram_logprob_orders_by_fluency(spark):
 
     for doc_id in list(docs)[:20]:
         assert abs(out[doc_id].avg_logprob - round(direct(docs[doc_id]), 6)) < 2e-6
+
+
+def test_zorder_buckets_bound_both_axes(spark):
+    from securities_data_pipeline_spark.plans.maintenance import m_zorder_cluster
+
+    out = m_zorder_cluster(spark, SF).collect()
+    assert sum(r.n_rows for r in out) == table(spark, SF, "lineitem").count()
+    # bucket = top 6 z-bits = (px, sy) high-3-bit pair → inside one
+    # bucket both axes span < 2^5: the locality property clustering
+    # exists to provide
+    for r in out:
+        assert r.max_px - r.min_px <= 31
+        assert r.max_sy - r.min_sy <= 31
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    from securities_data_pipeline_spark.plans.maintenance import m_incremental_rollup
+
+    got = {
+        (str(r.month), r.o_orderpriority): (r.n_orders, r.total_price)
+        for r in m_incremental_rollup(spark, SF).collect()
+    }
+    full = {
+        (str(r.month), r.o_orderpriority): (r.n_orders, r.total_price)
+        for r in table(spark, SF, "orders")
+        .groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .collect()
+    }
+    assert got == full
+
+
+def test_incremental_rollup_pushes_disjoint_ranges(spark):
+    from securities_data_pipeline_spark.plans.maintenance import m_incremental_rollup
+
+    plan = _plan(m_incremental_rollup(spark, SF))
+    assert plan.count("Scan parquet") == 2
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
