@@ -192,14 +192,83 @@ GROUP BY user_id, session_id
 """
 
 
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def j_range_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big⋈big interval join via time-bin bucketing: each purchase
+    event opens a 7-day attribution window; count the same user's
+    OTHER events falling inside it.
+
+    `j_range_band` broadcasts its interval table — correct only while
+    one side stays small. Here BOTH sides are the fact-scale event
+    stream, so the engine must turn the inequality into an equi-join:
+    bucket event time into fixed bins the width of the interval (each
+    interval then overlaps ≤ 2 bins), explode each interval to its
+    covered bins, equi-join on (key, bin) — a plain shuffled
+    hash/sort-merge join, uniformly distributed, no broadcast, no
+    nested loop — and re-check the exact range as a residual filter.
+    Bin width is the tuning dial: it bounds duplication at
+    ceil(interval/bin)+1 exploded rows per interval while keeping each
+    bucket's collision set small.
+    """
+    ev = table(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros(F.col("ts")).alias("p_us"),
+        F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("bin"),
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s_us"),
+        (F.unix_micros(F.col("ts")) + F.lit(_WEEK_US)).alias("e_us"),
+    )
+    exploded = windows.select(
+        "event_id",
+        "user_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_WEEK_US}"), F.expr(f"(e_us - 1) div {_WEEK_US}")
+            )
+        ).alias("bin"),
+    )
+    return (
+        exploded.join(
+            probe,
+            (exploded.user_id == probe.p_user)
+            & (exploded.bin == probe.bin)
+            & (probe.p_us >= exploded.s_us)
+            & (probe.p_us < exploded.e_us),
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+J_RANGE_BIN_SQL = """
+SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts
+ AND e.ts < p.ts + INTERVAL 7 DAY
+WHERE p.event_type = 'purchase' AND e.event_type <> 'purchase'
+GROUP BY p.event_id
+"""
+
+
 ASOF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_asof_latest_order": j_asof_latest_order,
     "j_range_band": j_range_band,
+    "j_range_bin": j_range_bin,
     "w4_session_windows": w4_session_windows,
 }
 
 ASOF_ORACLES: dict[str, str] = {
     "j_asof_latest_order": J_ASOF_SQL,
     "j_range_band": J_RANGE_SQL,
+    "j_range_bin": J_RANGE_BIN_SQL,
     "w4_session_windows": W4_SESSION_SQL,
 }

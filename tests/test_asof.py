@@ -46,3 +46,41 @@ def test_asof_no_row_explosion_columns_from_same_row(spark):
     )
     r = asof_join(left, right, "k", "t", "rt", ["val", "rt"], tiebreak="val").collect()[0]
     assert (r.val, r.rt) == (5, TS(2024, 1, 2))  # later time wins even with smaller val
+
+
+def test_range_bin_equals_direct_inequality_join(spark):
+    from pyspark.sql import functions as F
+
+    from securities_data_pipeline_spark.operators.asof import j_range_bin
+    from securities_data_pipeline_spark.sources.tables import table
+
+    SF = "/root/testdata/sf0.001"
+    got = {r.event_id: r.n_events for r in j_range_bin(spark, SF).collect()}
+    ev = table(spark, SF, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    e = ev.where(F.col("event_type") != "purchase")
+    exp = {
+        r.pid: r.n
+        for r in p.join(
+            e,
+            (e.user_id == p.pu)
+            & (e.ts >= p.pts)
+            & (e.ts < p.pts + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_range_bin_plans_as_equi_join_not_nested_loop(spark):
+    from securities_data_pipeline_spark.operators.asof import j_range_bin
+
+    plan = j_range_bin(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+    # the range condition is a residual on an equi-join over (user, bin)
+    assert "Join" in plan
