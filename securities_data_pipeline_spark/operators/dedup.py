@@ -229,9 +229,14 @@ def lsh_candidate_pairs(
             "trailing hashes would be silently dropped"
         )
     sig = minhash_signatures(docs, n_hashes)
+    return bucket_pairs(banded_signatures(sig, bands, n_hashes))
+
+
+def banded_signatures(sig: DataFrame, bands: int, n_hashes: int = N_MINHASH) -> DataFrame:
+    """Signature columns → (doc_id, band, key) rows via ONE exploded
+    band-struct array — the signature computation runs once, not once
+    per band (a bands-way union would recompute it)."""
     rows = n_hashes // bands
-    # explode one band-struct array — the signature computation runs
-    # once, not once per band (a 4-way union would recompute it)
     bands_arr = F.array(
         *[
             F.struct(
@@ -243,10 +248,9 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands_arr).alias("bk")).select(
+    return sig.select("doc_id", F.explode(bands_arr).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    return bucket_pairs(banded)
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,6 +275,85 @@ WITH sh AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of agreeing signature slots — the
+    unbiased estimator E[mh_a=mh_b] = J(A,B)) next to the exact
+    shingle Jaccard.
+
+    This is the number a production pipeline tunes its verify
+    threshold against: how far the k-slot estimate strays from truth
+    at this k. Signatures compute once (localCheckpoint) and feed both
+    the banding and the estimate join; full shingle arrays move ONLY
+    for candidate pairs, exactly like the LSH verifier.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    pairs = bucket_pairs(banded_signatures(sig, LSH_BANDS))
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_MINHASH)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_MINHASH)]
+    )
+    shl = with_shingles(docs, ["doc_id"])
+    x = shl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = shl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(N_MINHASH)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(N_MINHASH)), 6).alias("est_jaccard"),
+            F.round(inter.cast("double") / union, 6).alias("exact_jaccard"),
+        )
+    )
+
+
+def _sql_minhash_estimate(bands: int = LSH_BANDS, n_hashes: int = N_MINHASH) -> str:
+    rows = n_hashes // bands
+    selects = []
+    for b in range(bands):
+        key = " || '_' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    banded = " UNION ALL ".join(selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END)" for s in range(n_hashes)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id,
+         {', '.join(f"{_sql_minhash_slice(s)} AS mh{s}" for s in range(n_hashes))}
+  FROM sh GROUP BY doc_id
+), banded AS ({banded}), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), shl AS (
+  SELECT doc_id, {_sql_shingles()} AS s FROM documents
+)
+SELECT doc_a, doc_b,
+       round(({agree}) / {float(n_hashes)}, 6) AS est_jaccard,
+       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(x.s || y.s)), 6) AS exact_jaccard
+FROM pairs
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+JOIN shl x  ON x.doc_id = doc_a
+JOIN shl y  ON y.doc_id = doc_b
 """
 
 
@@ -610,6 +693,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -623,6 +707,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signature": _sql_minhash(),
     "dedup_minhash_pairs": _sql_lsh_pairs(),
+    "dedup_minhash_estimate": _sql_minhash_estimate(),
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": _sql_jaccard(),

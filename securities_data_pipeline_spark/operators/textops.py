@@ -62,17 +62,34 @@ def quality_score(text: Column | str = "text") -> Column:
 
     score = 0.4·min(n_tokens/100, 1)
           + 0.3·min(stopword_ratio·5, 1)
-          + 0.3·min(avg_token_len/8, 1), rounded to 6 dp.
+          + 0.3·min(avg_token_len/8, 1), rounded HALF-UP to 6 dp.
+
+    Evaluated in EXACT int64 arithmetic over the common denominator
+    D = 2000·n: numerator N = min(8n², 800n) + min(3000·sw, 600n)
+    + min(75·chars, 600n), and the 6-dp half-up rounding is the
+    integer floor of (2·N·10⁶ + D)/(2D). Rounding a binary DOUBLE at
+    a .5×10⁻⁶ boundary is engine-dependent (Spark rounds the shortest
+    decimal rendering, DuckDB the binary value — they disagree on
+    exact ties; observed on 3 of 5000 docs at sf0.1), so the tie is
+    resolved in integers where both engines agree bit-for-bit.
+    Overflow-safe to ~10⁴-token documents (2·N·10⁶ < 2⁶³).
     """
-    n = token_count(text).cast("double")
-    sw = stopword_count(text).cast("double")
-    chars = F.length(F.array_join(words_col(text), "")).cast("double")
-    score = (
-        F.lit(0.4) * F.least(n / 100.0, F.lit(1.0))
-        + F.lit(0.3) * F.least(sw / n * 5.0, F.lit(1.0))
-        + F.lit(0.3) * F.least(chars / n / 8.0, F.lit(1.0))
+    n = token_count(text).cast("long")
+    sw = stopword_count(text).cast("long")
+    chars = F.length(F.array_join(words_col(text), "")).cast("long")
+    num = (
+        F.least(F.lit(8) * n * n, F.lit(800) * n)
+        + F.least(F.lit(3000) * sw, F.lit(600) * n)
+        + F.least(F.lit(75) * chars, F.lit(600) * n)
     )
-    return F.round(score, 6)
+    den = F.lit(2000) * n
+    m = F.lit(2) * num * F.lit(1_000_000) + den
+    d2 = F.lit(2) * den
+    # exact integer floor division: m and d2 are longs, m - m%d2 is an
+    # exact multiple, and the double quotient of exact values < 2^53
+    # is itself exact
+    micro = ((m - m % d2) / d2).cast("long")
+    return micro.cast("double") / F.lit(1_000_000.0)
 
 
 def lang_scores(text: Column | str = "text") -> dict[str, Column]:
@@ -147,15 +164,17 @@ def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_quality() -> str:
-    w = _sql_words()
     return f"""
 SELECT doc_id,
-  round(0.4 * least(CAST(len({w}) AS DOUBLE)/100.0, 1.0)
-      + 0.3 * least(CAST(len(list_filter({w}, x -> x IN {STOPWORDS!r})) AS DOUBLE)
-                    / CAST(len({w}) AS DOUBLE) * 5.0, 1.0)
-      + 0.3 * least(CAST(len(array_to_string({w}, '')) AS DOUBLE)
-                    / CAST(len({w}) AS DOUBLE) / 8.0, 1.0), 6) AS quality
-FROM documents
+  CAST((2 * (least(8*n*n, 800*n) + least(3000*sw, 600*n) + least(75*chars, 600*n))
+        * 1000000 + 2000*n) // (2 * 2000*n) AS DOUBLE) / 1000000.0 AS quality
+FROM (
+  SELECT doc_id,
+         len(w) AS n,
+         len(list_filter(w, x -> x IN {STOPWORDS!r})) AS sw,
+         len(array_to_string(w, '')) AS chars
+  FROM (SELECT doc_id, {_sql_words()} AS w FROM documents)
+)
 """
 
 

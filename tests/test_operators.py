@@ -351,3 +351,16 @@ def test_simhash_pairs_find_identical_docs(spark, tmp_path):
     assert got[(1, 2)] == 0
     assert all(a < b for a, b in got)
     assert all(h <= HAMMING_MAX for h in got.values())
+
+
+def test_minhash_estimate_calibration(spark):
+    from securities_data_pipeline_spark.operators.dedup import dedup_minhash_estimate
+
+    out = dedup_minhash_estimate(spark, "/root/testdata/sf0.001").collect()
+    assert out  # the synthetic corpus contains near-dup pairs
+    for r in out:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+    # identical documents must estimate exactly 1.0: all slots agree
+    ident = [r for r in out if r.exact_jaccard == 1.0]
+    assert all(r.est_jaccard == 1.0 for r in ident)
