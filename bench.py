@@ -58,6 +58,7 @@ HEADLINE = [
     "t_chunk_dedup",
     "m_incremental_rollup",
     "m_zorder_cluster",
+    "j_range_bin",
 ]
 
 

@@ -2,6 +2,10 @@
 multimodal plumbing — the training-data-pipeline surface."""
 
 from securities_data_pipeline_spark.operators.asof import ASOF_ORACLES, ASOF_QUERIES
+from securities_data_pipeline_spark.operators.assemble import (
+    ASSEMBLE_ORACLES,
+    ASSEMBLE_QUERIES,
+)
 from securities_data_pipeline_spark.operators.boilerplate import (
     BOILERPLATE_ORACLES,
     BOILERPLATE_QUERIES,
@@ -29,6 +33,7 @@ from securities_data_pipeline_spark.operators.textops import TEXT_ORACLES, TEXT_
 
 EXTENSION_QUERIES = {
     **TEXT_QUERIES,
+    **ASSEMBLE_QUERIES,
     **BOILERPLATE_QUERIES,
     **CURATION_QUERIES,
     **DEDUP_QUERIES,
@@ -42,6 +47,7 @@ EXTENSION_QUERIES = {
 
 EXTENSION_ORACLES = {
     **TEXT_ORACLES,
+    **ASSEMBLE_ORACLES,
     **BOILERPLATE_ORACLES,
     **CURATION_ORACLES,
     **DEDUP_ORACLES,

@@ -89,3 +89,40 @@ def test_kmeans_assign_separates_obvious_clusters(spark):
     # and ties within a blob break to the LOWEST centroid id
     assert all(out[i] == 0 for i in range(0, 16, 2))
     assert all(out[i] == 1 for i in range(1, 16, 2))
+
+
+def test_assemble_manifest_composes_the_standalone_operators(spark):
+    from pyspark.sql import functions as F
+
+    from securities_data_pipeline_spark.operators.assemble import t_assemble_manifest
+    from securities_data_pipeline_spark.operators.curation import t_quality_filter
+    from securities_data_pipeline_spark.operators.sampling import split_col
+    from securities_data_pipeline_spark.operators.textops import fingerprint, token_count
+    from securities_data_pipeline_spark.sources.tables import table
+
+    SF = "/root/testdata/sf0.001"
+    got = {r.split: (r.n_docs, r.n_tokens) for r in t_assemble_manifest(spark, SF).collect()}
+
+    kept_ids = {r.doc_id for r in t_quality_filter(spark, SF).collect()}
+    docs = table(spark, SF, "documents").select(
+        "doc_id", fingerprint().alias("fp"), token_count().cast("long").alias("n_tok")
+    )
+    rows = [r for r in docs.collect() if r.doc_id in kept_ids]
+    canon = {}
+    for r in rows:
+        if r.fp not in canon or r.doc_id < canon[r.fp].doc_id:
+            canon[r.fp] = r
+    surv = list(canon.values())
+    split_of = {
+        r.doc_id: r.split
+        for r in docs.select(
+            "doc_id", split_col(F.col("doc_id").cast("string")).alias("split")
+        ).collect()
+    }
+    exp = {}
+    for r in surv:
+        s = split_of[r.doc_id]
+        d, t = exp.get(s, (0, 0))
+        exp[s] = (d + 1, t + r.n_tok)
+    assert got == exp
+    assert sum(d for d, _ in got.values()) == len(surv)
