@@ -80,12 +80,127 @@ GROUP BY user_id
 """
 
 
+def g_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (GROUPED_AGG) surface: per-user weighted mean of
+    event values, weights derived deterministically from event_id.
+    The Series→scalar aggregates run Arrow-batched per group inside a
+    regular ``groupBy().agg()`` (Spark disallows mixing GROUPED_AGG
+    pandas UDFs with JVM aggregates in one agg, so the row count is a
+    second pandas aggregate in the same pass). The JVM spelling of the
+    same statistic is ``sum(v*w)/sum(w)``; the UDAF exists to exercise
+    §2.10's custom-aggregate path verifiably."""
+    import pandas as pd
+
+    # values quantize to exact int64 micro-units BEFORE aggregation:
+    # float sums are order-dependent (pandas pairwise vs sequential
+    # summation flipped the 6th decimal on 2 of 1500 users at sf0.1),
+    # int64 sums are exact in any order. The final quotient divides
+    # the identical integers in the identical order in both engines —
+    # bit-identical IEEE doubles, no rounding step needed.
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vm"),
+        ((F.col("event_id") % 10) + 1).cast("long").alias("w"),
+    )
+
+    def _wsum(vm, w):
+        return int((vm * w).sum())
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't infer the GROUPED_AGG eval type from — attach
+    # real annotation objects instead
+    _wsum.__annotations__ = {"vm": pd.Series, "w": pd.Series, "return": int}
+    wsum = F.pandas_udf(_wsum, "long")
+
+    def _lsum(w):
+        return int(w.sum())
+
+    _lsum.__annotations__ = {"w": pd.Series, "return": int}
+    lsum = F.pandas_udf(_lsum, "long")
+
+    def _n(v):
+        return len(v)
+
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    n_agg = F.pandas_udf(_n, "long")
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n_agg("vm").alias("n_events"),
+            wsum("vm", "w").alias("num"),
+            lsum("w").alias("den"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.col("num").cast("double") / F.col("den").cast("double") / F.lit(1_000_000.0)
+            ).alias("wmean_value"),
+        )
+    )
+
+
+G_WMEAN_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(vm * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 1000000.0 AS wmean_value
+FROM (
+  SELECT user_id,
+         CAST(round(value * 1000000.0) AS BIGINT) AS vm,
+         (event_id % 10) + 1 AS w
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: LATERAL-join each
+    document to its (position, token) rows.
+
+    Completes §2.10: UDF (scalar/grouped-map above), UDAF
+    (``g_weighted_mean_udaf``), UDTF (this). Row-at-a-time Python is
+    the COMPATIBILITY path — the JVM twin of this exact query is
+    ``posexplode(split(...))`` and is what the hot path should use;
+    the UDTF form exists for logic that genuinely needs imperative
+    row generation (parsers, tokenizers with state)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenPositions:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").lower().split()):
+                yield i, tok
+
+    spark.udtf.register("token_positions", TokenPositions)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.token FROM _docs_udtf, LATERAL token_positions(text) t"
+    )
+
+
+def _sql_token_positions() -> str:
+    from securities_data_pipeline_spark.operators.textops import _sql_words
+
+    return f"""
+SELECT doc_id,
+       CAST(generate_subscripts(w, 1) - 1 AS INT) AS pos,
+       unnest(w) AS token
+FROM (SELECT doc_id, {_sql_words()} AS w FROM documents)
+"""
+
+
 GROUPED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_user_trend": g_user_trend,
     "g_user_trend_udf": g_user_trend_udf,
+    "g_weighted_mean_udaf": g_weighted_mean_udaf,
+    "udtf_token_positions": udtf_token_positions,
 }
 
 GROUPED_ORACLES: dict[str, str] = {
     "g_user_trend": G_USER_TREND_SQL,
     "g_user_trend_udf": G_USER_TREND_SQL,
+    "g_weighted_mean_udaf": G_WMEAN_SQL,
+    "udtf_token_positions": _sql_token_positions(),
 }

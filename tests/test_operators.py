@@ -364,3 +364,46 @@ def test_minhash_estimate_calibration(spark):
     # identical documents must estimate exactly 1.0: all slots agree
     ident = [r for r in out if r.exact_jaccard == 1.0]
     assert all(r.est_jaccard == 1.0 for r in ident)
+
+
+def test_weighted_mean_udaf_matches_jvm_aggregate(spark):
+    from securities_data_pipeline_spark.operators.grouped import g_weighted_mean_udaf
+    from securities_data_pipeline_spark.sources.tables import table
+
+    SF = "/root/testdata/sf0.001"
+    got = {r.user_id: (r.n_events, r.wmean_value) for r in g_weighted_mean_udaf(spark, SF).collect()}
+    ev = table(spark, SF, "events").select(
+        "user_id",
+        F.round(F.col("value") * 1_000_000.0).cast("long").alias("vm"),
+        ((F.col("event_id") % 10) + 1).cast("long").alias("w"),
+    )
+    exp = {
+        r.user_id: (r.n, r.m)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.col("vm") * F.col("w")).cast("double")
+                / F.sum("w").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("m"),
+        )
+        .collect()
+    }
+    assert got == exp  # bit-identical: integer sums, same division order
+
+
+def test_udtf_token_positions_matches_posexplode(spark):
+    from securities_data_pipeline_spark.operators.grouped import udtf_token_positions
+    from securities_data_pipeline_spark.operators.textops import words_col
+    from securities_data_pipeline_spark.sources.tables import table
+
+    SF = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in udtf_token_positions(spark, SF).collect())
+    exp = sorted(
+        tuple(r)
+        for r in table(spark, SF, "documents")
+        .select("doc_id", F.posexplode(words_col()).alias("pos", "token"))
+        .collect()
+    )
+    assert got == exp

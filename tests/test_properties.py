@@ -176,3 +176,50 @@ def test_global_shuffle_is_permutation_for_any_keys(spark, keys):
     rows = global_shuffle_order(df, "doc_id", n_buckets=4).collect()
     assert sorted(r.position for r in rows) == list(range(len(keys)))
     assert {r.doc_id for r in rows} == keys
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2000),   # n tokens
+            st.integers(min_value=0, max_value=2000),   # stopwords
+            st.integers(min_value=0, max_value=20000),  # chars
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_integer_rounding_matches_exact_fraction(spark, cases):
+    """quality_score's int64 floor-division rounding must equal exact
+    rational half-up rounding at 6 dp for ANY token/stopword/char
+    counts — the tie-freedom that made it cross-engine deterministic."""
+    from fractions import Fraction
+
+    from securities_data_pipeline_spark.operators.textops import STOPWORDS, quality_score
+
+    rows = []
+    for i, (n, sw, chars) in enumerate(cases):
+        sw = min(sw, n)
+        # synthesize a text with exactly n tokens, sw stopwords, and
+        # (approximately) chars non-space chars: token lengths don't
+        # matter beyond their sum, so pad one token
+        toks = [STOPWORDS[0]] * sw + ["x"] * (n - sw)
+        base = sum(len(t) for t in toks)
+        if chars > base:
+            toks[-1] = "x" * (len(toks[-1]) + (chars - base)) if n > sw else toks[-1]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.q for r in df.select("doc_id", quality_score().alias("q")).collect()}
+    for i, text in rows:
+        toks = text.split()
+        n, sw = len(toks), sum(t in STOPWORDS for t in toks)
+        chars = sum(len(t) for t in toks)
+        num = (
+            min(8 * n * n, 800 * n)
+            + min(3000 * sw, 600 * n)
+            + min(75 * chars, 600 * n)
+        )
+        den = 2000 * n
+        micro = (2 * num * 1_000_000 + den) // (2 * den)  # exact half-up
+        assert got[i] == micro / 1_000_000.0

@@ -30,6 +30,8 @@ sys.path.insert(0, ".")
 # queries whose semantics REQUIRE Pandas/Arrow nodes
 PY_OK = {
     "g_user_trend_udf",
+    "g_weighted_mean_udaf",
+    "udtf_token_positions",
     "sim_kmeans_assign",
     "mm_feature_extract",
     "mm_frame_sample",
@@ -45,6 +47,7 @@ PY_OK = {
 BNLJ_OK = {
     "q11_important_parts",
     "t_quality_filter",
+    "t_assemble_manifest",
     "sq_rich_inactive_customers",
     "dedup_embedding_cosine",
     "j_range_band",
