@@ -187,7 +187,9 @@ def _pair_array(ids):
     )
 
 
-def bucket_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def bucket_pairs(
+    banded: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
     """(band, key, id) rows → distinct co-bucketed id pairs (a < b).
 
     The shared LSH candidate-generation plan: ONE shuffle groups ids
@@ -196,12 +198,23 @@ def bucket_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     several bands. Used by both the MinHash (dedup) and hyperplane
     (embedding) LSH paths — tune bucket-size caps here, once.
     Output columns: doc_a, doc_b.
+
+    ``max_bucket`` is the stop-shingle cap: buckets larger than it are
+    DROPPED before pair expansion. A boilerplate band key shared by m
+    documents expands to m(m-1)/2 pairs — one pathological key can
+    dominate the whole stage at corpus scale; the cap bounds any
+    bucket's cost at max_bucket²/2 while near-dup pairs (which also
+    collide in rarer buckets) survive. None = uncapped.
     """
-    return (
+    buckets = (
         banded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
-        .select(F.explode(_pair_array(F.col("ids"))).alias("p"))
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
+    return (
+        buckets.select(F.explode(_pair_array(F.col("ids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -275,6 +288,48 @@ WITH sh AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+MAX_BUCKET = 16  # stop-shingle cap for the capped variant
+
+
+def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of LSH pair generation: identical to
+    ``dedup_minhash_pairs`` but with the ``MAX_BUCKET`` stop-shingle
+    cap applied — buckets bigger than the cap (boilerplate band keys)
+    are dropped before the quadratic in-bucket expansion. The oracle
+    applies the same HAVING bound, so the cap's exact semantics
+    (which pairs are sacrificed) are pinned, not just described."""
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    return bucket_pairs(banded_signatures(sig, LSH_BANDS), max_bucket=MAX_BUCKET)
+
+
+def _sql_lsh_pairs_capped(
+    bands: int = LSH_BANDS, n_hashes: int = N_MINHASH, cap: int = MAX_BUCKET
+) -> str:
+    rows = n_hashes // bands
+    selects = []
+    for b in range(bands):
+        key = " || '_' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    banded = " UNION ALL ".join(selects)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id,
+         {', '.join(f"{_sql_minhash_slice(s)} AS mh{s}" for s in range(n_hashes))}
+  FROM sh GROUP BY doc_id
+), banded AS ({banded}), ok AS (
+  SELECT band, key FROM banded GROUP BY band, key
+  HAVING COUNT(*) BETWEEN 2 AND {cap}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+JOIN ok ON ok.band = a.band AND ok.key = a.key
 """
 
 
@@ -693,6 +748,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_pairs_capped": dedup_minhash_pairs_capped,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -707,6 +763,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signature": _sql_minhash(),
     "dedup_minhash_pairs": _sql_lsh_pairs(),
+    "dedup_minhash_pairs_capped": _sql_lsh_pairs_capped(),
     "dedup_minhash_estimate": _sql_minhash_estimate(),
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),

@@ -407,3 +407,25 @@ def test_udtf_token_positions_matches_posexplode(spark):
         .collect()
     )
     assert got == exp
+
+
+def test_bucket_cap_drops_pathological_buckets(spark):
+    from securities_data_pipeline_spark.operators.dedup import (
+        MAX_BUCKET,
+        banded_signatures,
+        bucket_pairs,
+        minhash_signatures,
+    )
+
+    # 20 identical docs (> MAX_BUCKET) + 2 identical docs: the cap must
+    # drop the boilerplate bucket's 190 pairs but keep the small dup pair
+    rows = [(i, "the same boilerplate header text repeated everywhere", "s") for i in range(20)]
+    rows += [(100, "a genuinely rare near duplicate pair of documents", "s"),
+             (101, "a genuinely rare near duplicate pair of documents", "s")]
+    docs = _docs(spark, rows)
+    banded = banded_signatures(minhash_signatures(docs), 4)
+    uncapped = {(r.doc_a, r.doc_b) for r in bucket_pairs(banded).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in bucket_pairs(banded, max_bucket=MAX_BUCKET).collect()}
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert (0, 1) in uncapped and (0, 1) not in capped
+    assert len(capped) < len(uncapped)
