@@ -236,3 +236,122 @@ FROM with_ret
 
 SECURITIES_QUERIES["sec_rolling_vol"] = sec_rolling_vol
 SECURITIES_ORACLES["sec_rolling_vol"] = SEC_ROLLING_VOL_SQL
+
+
+def sec_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol running peak and drawdown — the risk statistic every
+    portfolio monitor computes over `fct_prices`.
+
+    peak = running max(close); drawdown = (close − peak)/peak. One
+    shuffle on the symbol key serves the single window; the quotient
+    is emitted as the RAW double (no rounding needed — both engines
+    divide the identical IEEE inputs in the identical order, so the
+    bits match exactly).
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(F.max("value").alias("close"))
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("date_stamp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("close").over(w)
+    return bars.select(
+        "symbol",
+        "date_stamp",
+        "close",
+        peak.alias("peak"),
+        ((F.col("close") - peak) / peak).alias("drawdown"),
+    )
+
+
+SEC_DRAWDOWN_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         MAX(value) AS close
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT symbol, date_stamp, close,
+       MAX(close) OVER w AS peak,
+       (close - MAX(close) OVER w) / MAX(close) OVER w AS drawdown
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+SECURITIES_QUERIES["sec_drawdown"] = sec_drawdown
+SECURITIES_ORACLES["sec_drawdown"] = SEC_DRAWDOWN_SQL
+
+
+def sec_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden/death-cross signals: days where the 5-bar SMA crosses
+    the 20-bar SMA per symbol.
+
+    Both SMAs accumulate EXACT decimal sums over row frames (the w2
+    idiom) and divide once by the frame count, so the crossing
+    comparison is bit-deterministic in both engines. All three window
+    functions (two SMAs + the lag of the comparison) share one
+    (symbol, date) shuffle+sort.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(F.max("value").alias("close"))
+    wo = Window.partitionBy("symbol").orderBy("date_stamp")
+
+    def sma(n: int):
+        w = wo.rowsBetween(-(n - 1), 0)
+        return (
+            F.sum(F.col("close").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        )
+
+    above = sma(5) > sma(20)
+    sig = bars.select(
+        "symbol", "date_stamp", above.alias("above"), F.lag(above).over(wo).alias("prev")
+    )
+    return sig.where(F.col("prev").isNotNull() & (F.col("above") != F.col("prev"))).select(
+        "symbol",
+        "date_stamp",
+        F.when(F.col("above"), "golden").otherwise("death").alias("cross"),
+    )
+
+
+SEC_SMA_CROSS_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         MAX(value) AS close
+  FROM events
+  GROUP BY 1, 2
+), sig AS (
+  SELECT symbol, date_stamp,
+         (CAST(SUM(CAST(close AS DECIMAL(18,6))) OVER w5 AS DOUBLE) / COUNT(*) OVER w5)
+         > (CAST(SUM(CAST(close AS DECIMAL(18,6))) OVER w20 AS DOUBLE) / COUNT(*) OVER w20)
+           AS above
+  FROM bars
+  WINDOW w5 AS (PARTITION BY symbol ORDER BY date_stamp ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w20 AS (PARTITION BY symbol ORDER BY date_stamp ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), lagged AS (
+  SELECT symbol, date_stamp, above,
+         lag(above) OVER (PARTITION BY symbol ORDER BY date_stamp) AS prev
+  FROM sig
+)
+SELECT symbol, date_stamp,
+       CASE WHEN above THEN 'golden' ELSE 'death' END AS cross
+FROM lagged
+WHERE prev IS NOT NULL AND above <> prev
+"""
+
+SECURITIES_QUERIES["sec_sma_crossover"] = sec_sma_crossover
+SECURITIES_ORACLES["sec_sma_crossover"] = SEC_SMA_CROSS_SQL

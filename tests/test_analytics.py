@@ -216,3 +216,30 @@ def test_incremental_rollup_pushes_disjoint_ranges(spark):
     assert plan.count("Scan parquet") == 2
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_drawdown_invariants(spark):
+    from securities_data_pipeline_spark.plans.securities_demo import sec_drawdown
+
+    out = sec_drawdown(spark, SF).collect()
+    by_sym = {}
+    for r in sorted(out, key=lambda r: (r.symbol, r.date_stamp)):
+        assert r.drawdown <= 0  # price never exceeds its running peak
+        assert r.close <= r.peak
+        prev = by_sym.get(r.symbol)
+        if prev is not None:
+            assert r.peak >= prev  # running max is monotone
+        by_sym[r.symbol] = r.peak
+
+
+def test_sma_crossover_alternates(spark):
+    from securities_data_pipeline_spark.plans.securities_demo import sec_sma_crossover
+
+    out = sec_sma_crossover(spark, SF).collect()
+    by_sym = {}
+    for r in sorted(out, key=lambda r: (r.symbol, r.date_stamp)):
+        by_sym.setdefault(r.symbol, []).append(r.cross)
+    assert by_sym  # signals exist on this corpus
+    for crosses in by_sym.values():
+        for a, b in zip(crosses, crosses[1:]):
+            assert a != b  # consecutive signals must flip direction
