@@ -355,3 +355,50 @@ WHERE prev IS NOT NULL AND above <> prev
 
 SECURITIES_QUERIES["sec_sma_crossover"] = sec_sma_crossover
 SECURITIES_ORACLES["sec_sma_crossover"] = SEC_SMA_CROSS_SQL
+
+
+def sec_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily→weekly OHLC resample via argmin/argmax aggregates:
+    open = close of the week's FIRST day (``min_by``), close = the
+    week's LAST day (``max_by``), high/low = plain max/min, n_days =
+    bar count. One partial-combining aggregate — the downsample every
+    bar store runs, with no window and no self-join; ``min_by``/
+    ``max_by`` are deterministic here because (symbol, date) is unique.
+    """
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(F.max("value").alias("close"))
+    return bars.groupBy(
+        "symbol", F.to_date(F.date_trunc("week", "date_stamp")).alias("week")
+    ).agg(
+        F.min_by("close", "date_stamp").alias("open"),
+        F.max("close").alias("high"),
+        F.min("close").alias("low"),
+        F.max_by("close", "date_stamp").alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+
+
+SEC_WEEKLY_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         MAX(value) AS close
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(DATE_TRUNC('week', date_stamp) AS DATE) AS week,
+       min_by(close, date_stamp) AS open,
+       MAX(close) AS high,
+       MIN(close) AS low,
+       max_by(close, date_stamp) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM bars
+GROUP BY 1, 2
+"""
+
+SECURITIES_QUERIES["sec_weekly_bars"] = sec_weekly_bars
+SECURITIES_ORACLES["sec_weekly_bars"] = SEC_WEEKLY_SQL

@@ -243,3 +243,14 @@ def test_sma_crossover_alternates(spark):
     for crosses in by_sym.values():
         for a, b in zip(crosses, crosses[1:]):
             assert a != b  # consecutive signals must flip direction
+
+
+def test_weekly_bars_consistency(spark):
+    from securities_data_pipeline_spark.plans.securities_demo import sec_weekly_bars
+
+    out = sec_weekly_bars(spark, SF).collect()
+    assert out
+    for r in out:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert 1 <= r.n_days <= 7
