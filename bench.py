@@ -88,8 +88,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as ex:
+            # one broken query must not zero out the whole bench record
+            print(f"# {name} FAILED: {ex}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
