@@ -428,3 +428,49 @@ GROUP BY 1, 2
 
 RELATIONAL_EXT_QUERIES["g_cohort_retention"] = g_cohort_retention
 RELATIONAL_EXT_ORACLES["g_cohort_retention"] = G_COHORT_SQL
+
+
+def j3_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation: per-nation customer count vs
+    supplier count, keeping nations that appear on only one side
+    (the side-by-side diff every dimension migration runs).
+
+    Both inputs pre-aggregate to one row per nationkey BEFORE the
+    join, so the full outer joins two dimension-sized aggregates —
+    never the facts — and AQE broadcast-falls-back freely. Nulls from
+    the missing side surface as 0 via coalesce.
+    """
+    cust = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(sup, cust.ck == sup.sk, "full_outer")
+        .select(
+            F.coalesce(F.col("ck"), F.col("sk")).cast("long").alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).cast("long").alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).cast("long").alias("n_supp"),
+        )
+    )
+
+
+J3_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier GROUP BY 1
+)
+SELECT CAST(COALESCE(ck, sk) AS BIGINT) AS nationkey,
+       CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+FROM c FULL OUTER JOIN s ON ck = sk
+"""
+
+RELATIONAL_EXT_QUERIES["j3_full_outer"] = j3_full_outer
+RELATIONAL_EXT_ORACLES["j3_full_outer"] = J3_FULL_OUTER_SQL
