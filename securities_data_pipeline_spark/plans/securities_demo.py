@@ -402,3 +402,104 @@ GROUP BY 1, 2
 
 SECURITIES_QUERIES["sec_weekly_bars"] = sec_weekly_bars
 SECURITIES_ORACLES["sec_weekly_bars"] = SEC_WEEKLY_SQL
+
+
+def sec_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20-bar beta of each symbol against the equal-weight
+    market index level — the a8_corr_moments pattern lifted into a
+    rolling frame, computed in EXACT INTEGER arithmetic.
+
+    Why integers: beta's numerator/denominator are differences of
+    near-cancelling moment sums. With decimal sums cast to double
+    BEFORE the cancellation, a 1-ulp disagreement in the two engines'
+    128-bit-decimal→double conversion blows up to visible error
+    whenever covariance ≈ 0 (observed: 40% of rows at sf0.1 differed
+    at the 9th digit). Here everything is int64 CENTS: closes quantize
+    once, the index is their per-date sum, and the index is centered
+    on its global integer mean (beta is shift-invariant; centering
+    keeps xc small so every product stays far from 2^63). The moment
+    DIFFERENCES (n·Σxy−ΣxΣy, n·Σx²−(Σx)²) cancel exactly in integer
+    space; only those small results — exactly representable in a
+    double — are converted, and the final division is the same IEEE
+    op in both engines. Bit-identical, no rounding step. (At sf ≥ 1
+    the int64 headroom for n·Σx² runs out — swap the moments to
+    decimal(38,0)/hugeint, same plan.)
+
+    One shuffle on symbol feeds every window; the per-date index and
+    the one-row centering scalar broadcast.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(
+        (F.max("value").cast("decimal(12,2)") * 100).cast("long").alias("yc")
+    )
+    market = bars.groupBy("date_stamp").agg(F.sum("yc").alias("mkt_c"))
+    center = market.agg(
+        F.expr("sum(mkt_c) div count(*)").alias("c0")
+    )
+    joined = (
+        bars.join(F.broadcast(market), "date_stamp")
+        .crossJoin(F.broadcast(center))
+        .withColumn("xc", F.col("mkt_c") - F.col("c0"))
+    )
+    w = Window.partitionBy("symbol").orderBy("date_stamp").rowsBetween(-19, 0)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("xc").over(w)
+    sy = F.sum("yc").over(w)
+    sxx = F.sum(F.col("xc") * F.col("xc")).over(w)
+    sxy = F.sum(F.col("xc") * F.col("yc")).over(w)
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    return (
+        joined.select(
+            "symbol",
+            "date_stamp",
+            n.cast("long").alias("n_bars"),
+            cov_n.alias("cov_n"),
+            var_n.alias("var_n"),
+        )
+        .where((F.col("n_bars") >= 10) & (F.col("var_n") > 0))
+        .select(
+            "symbol",
+            "date_stamp",
+            "n_bars",
+            (F.col("cov_n").cast("double") / F.col("var_n").cast("double")).alias("beta"),
+        )
+    )
+
+
+SEC_ROLLING_BETA_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         CAST(CAST(MAX(value) AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+  FROM events
+  GROUP BY 1, 2
+), market AS (
+  SELECT date_stamp, CAST(SUM(yc) AS BIGINT) AS mkt_c FROM bars GROUP BY date_stamp
+), center AS (
+  SELECT CAST(SUM(mkt_c) AS BIGINT) // COUNT(*) AS c0 FROM market
+), moments AS (
+  SELECT symbol, date_stamp,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(mkt_c - c0) OVER w AS BIGINT) AS sx,
+         CAST(SUM(yc) OVER w AS BIGINT) AS sy,
+         CAST(SUM((mkt_c - c0) * (mkt_c - c0)) OVER w AS BIGINT) AS sxx,
+         CAST(SUM((mkt_c - c0) * yc) OVER w AS BIGINT) AS sxy
+  FROM bars JOIN market USING (date_stamp) CROSS JOIN center
+  WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, date_stamp, CAST(n AS BIGINT) AS n_bars,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS beta
+FROM moments
+WHERE n >= 10 AND (n * sxx - sx * sx) > 0
+"""
+
+
+SECURITIES_QUERIES["sec_rolling_beta"] = sec_rolling_beta
+SECURITIES_ORACLES["sec_rolling_beta"] = SEC_ROLLING_BETA_SQL

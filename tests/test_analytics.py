@@ -254,3 +254,43 @@ def test_weekly_bars_consistency(spark):
         assert r.low <= r.open <= r.high
         assert r.low <= r.close <= r.high
         assert 1 <= r.n_days <= 7
+
+
+def test_rolling_beta_matches_numpy(spark):
+    import numpy as np
+
+    from securities_data_pipeline_spark.plans.securities_demo import sec_rolling_beta
+    from securities_data_pipeline_spark.sources.tables import table as _table
+
+    out = {(r.symbol, str(r.date_stamp)): r.beta for r in sec_rolling_beta(spark, SF).collect()}
+    assert out
+    # rebuild one symbol's trailing betas directly (cent-quantized,
+    # index = per-date sum, centered): values must agree closely
+    ev = _table(spark, SF, "events").select(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("d"),
+        "value",
+    )
+    rows = ev.groupBy("symbol", "d").agg(F.max("value").alias("close")).collect()
+    bars = {}
+    for r in rows:
+        bars[(r.symbol, str(r.d))] = round(r.close * 100)
+    dates = sorted({d for _, d in bars})
+    mkt = {d: sum(v for (s, dd), v in bars.items() if dd == d) for d in dates}
+    c0 = sum(mkt.values()) // len(mkt)
+    sym = next(iter({s for s, _ in bars}))
+    series = sorted((d, v) for (s, d), v in bars.items() if s == sym)
+    for i in range(len(series)):
+        frame = series[max(0, i - 19) : i + 1]
+        if len(frame) < 10:
+            continue
+        x = np.array([mkt[d] - c0 for d, _ in frame], dtype=np.int64)
+        y = np.array([v for _, v in frame], dtype=np.int64)
+        n = len(frame)
+        var_n = n * int((x * x).sum()) - int(x.sum()) ** 2
+        if var_n <= 0:
+            continue
+        cov_n = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        key = (sym, series[i][0])
+        assert key in out
+        assert abs(out[key] - cov_n / var_n) < 1e-12
