@@ -143,12 +143,83 @@ FROM documents
 """
 
 
+SPAN_L = 3  # words per corruption span
+SPAN_PCT = 15  # percent of spans masked
+SPAN_SENTINEL = "<mask>"
+SPAN_SEED = 11
+
+
+def t_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: the token stream splits into
+    fixed-width spans; ~15% of spans (selected by a deterministic
+    hash of (doc_id, span index) — reproducible across runs, shards,
+    and engines) are replaced by a sentinel token. Emits the span
+    accounting plus the corrupted text's fingerprint — the
+    denoising-objective preprocessing pass, as a narrow zero-shuffle
+    projection that corrupts 100 TB at scan speed.
+    """
+    docs = table(spark, sf_dir, "documents")
+    corrupted = let(
+        words_col(),
+        lambda ws: F.flatten(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size(ws) - F.lit(1)) / F.lit(SPAN_L)).cast("int")
+                ),
+                lambda j: F.when(
+                    stable_hash64(
+                        F.concat_ws(":", F.lit(SPAN_SEED), F.col("doc_id"), j)
+                    )
+                    % 100
+                    < SPAN_PCT,
+                    F.array(F.lit(SPAN_SENTINEL)),
+                ).otherwise(F.slice(ws, j * SPAN_L + 1, SPAN_L)),
+            )
+        ),
+    )
+    n_spans = F.floor((F.size(words_col()) - F.lit(1)) / F.lit(SPAN_L)).cast("long") + 1
+    return docs.select(
+        "doc_id",
+        n_spans.alias("n_spans"),
+        F.size(F.filter(corrupted, lambda t: t == SPAN_SENTINEL)).cast("long").alias(
+            "n_masked_spans"
+        ),
+        F.md5(F.array_join(corrupted, " ")).alias("corrupted_fp"),
+    )
+
+
+def _sql_span_corruption() -> str:
+    h = sql_stable_hash64(f"concat('{SPAN_SEED}', ':', doc_id, ':', j)")
+    span = (
+        f"CASE WHEN {h} % 100 < {SPAN_PCT} THEN ['{SPAN_SENTINEL}'] "
+        f"ELSE w[CAST(j * {SPAN_L} + 1 AS BIGINT) : CAST(j * {SPAN_L} + {SPAN_L} AS BIGINT)] END"
+    )
+    return f"""
+WITH ws AS (
+  SELECT doc_id, {_sql_words()} AS w FROM documents
+), corr AS (
+  SELECT doc_id, len(w) AS n_words,
+         flatten(list_transform(
+           range(0, CAST(floor((len(w) - 1) / {SPAN_L}) AS BIGINT) + 1),
+           j -> {span})) AS c
+  FROM ws
+)
+SELECT doc_id,
+       CAST(floor((n_words - 1) / {SPAN_L}) AS BIGINT) + 1 AS n_spans,
+       CAST(len(list_filter(c, t -> t = '{SPAN_SENTINEL}')) AS BIGINT) AS n_masked_spans,
+       md5(array_to_string(c, ' ')) AS corrupted_fp
+FROM corr
+"""
+
+
 BOILERPLATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_chunk_dedup": t_chunk_dedup,
     "t_redact_terms": t_redact_terms,
+    "t_span_corruption": t_span_corruption,
 }
 
 BOILERPLATE_ORACLES: dict[str, str] = {
     "t_chunk_dedup": T_CHUNK_DEDUP_SQL,
     "t_redact_terms": T_REDACT_SQL,
+    "t_span_corruption": _sql_span_corruption(),
 }

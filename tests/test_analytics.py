@@ -294,3 +294,19 @@ def test_rolling_beta_matches_numpy(spark):
         key = (sym, series[i][0])
         assert key in out
         assert abs(out[key] - cov_n / var_n) < 1e-12
+
+
+def test_span_corruption_rate_and_determinism(spark):
+    from securities_data_pipeline_spark.operators.boilerplate import (
+        SPAN_PCT,
+        t_span_corruption,
+    )
+
+    a = {r.doc_id: tuple(r) for r in t_span_corruption(spark, SF).collect()}
+    b = {r.doc_id: tuple(r) for r in t_span_corruption(spark, SF).collect()}
+    assert a == b  # hash-driven selection is run-stable
+    total = sum(r[1] for r in a.values())
+    masked = sum(r[2] for r in a.values())
+    assert 0 < masked < total
+    rate = masked / total
+    assert abs(rate - SPAN_PCT / 100) < 0.05  # matches the target rate
