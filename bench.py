@@ -59,6 +59,8 @@ HEADLINE = [
     "m_incremental_rollup",
     "m_zorder_cluster",
     "j_range_bin",
+    "sec_rolling_beta",
+    "t_assemble_manifest",
 ]
 
 

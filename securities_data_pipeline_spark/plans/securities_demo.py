@@ -431,11 +431,16 @@ def sec_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
-    bars = ev.groupBy(
-        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
-        F.to_date("ts").alias("date_stamp"),
-    ).agg(
-        (F.max("value").cast("decimal(12,2)") * 100).cast("long").alias("yc")
+    bars = (
+        ev.groupBy(
+            F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+            F.to_date("ts").alias("date_stamp"),
+        )
+        .agg((F.max("value").cast("decimal(12,2)") * 100).cast("long").alias("yc"))
+        # three consumers (index aggregate → centering scalar, and the
+        # window join) — materialize the symbol-day bars once instead
+        # of re-scanning events per consumer
+        .localCheckpoint(eager=False)
     )
     market = bars.groupBy("date_stamp").agg(F.sum("yc").alias("mkt_c"))
     center = market.agg(

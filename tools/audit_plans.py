@@ -55,6 +55,7 @@ BNLJ_OK = {
     "sim_ivf_topk",
     "t_idf_top_terms",
     "t_unigram_logprob",
+    "sec_rolling_beta",
 }
 
 # queries that must show non-empty PushedFilters on a parquet scan
