@@ -13,6 +13,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The driver checks queries in registry order and may only reach the first
+# ~50 per round; front-load the highest-value families (streaming, dedup,
+# similarity, securities demos, grouped-UDF surface, previously-red entries)
+# so every round's CORRECTNESS sample covers them.
+_PRIORITY_PREFIXES = (
+    "f_json_extract",
+    "s_stream_",
+    "dedup_",
+    "sim_",
+    "sec_",
+    "g_",
+    "udtf_",
+    "t_",
+)
+
+
+def _prioritized(entries: dict) -> dict:
+    def rank(name: str) -> int:
+        for i, p in enumerate(_PRIORITY_PREFIXES):
+            if name.startswith(p):
+                return i
+        return len(_PRIORITY_PREFIXES)
+
+    return dict(
+        sorted(entries.items(), key=lambda kv: (rank(kv[0]), kv[0]))
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: TPC-H Q1-style pricing summary at sf0.001."""
@@ -53,7 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(STREAMING_QUERIES)
     except ImportError:
         pass
-    return out
+    return _prioritized(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -88,4 +115,4 @@ def oracle_sql() -> dict[str, str]:
         out.update(STREAMING_ORACLES)
     except ImportError:
         pass
-    return out
+    return _prioritized(out)

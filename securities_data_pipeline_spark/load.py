@@ -16,7 +16,13 @@ Physical strategy (100 TB design):
 
 - **With Delta available** (cluster path): ``DeltaTable.merge`` on the
   PK — documented in ``_delta_merge``; used automatically if the
-  ``delta`` package is importable.
+  ``delta`` package is importable. ENVIRONMENT BLOCKER: delta-spark is
+  not installed in this container and cannot be fetched (no network /
+  no vendored jar), so the branch cannot execute for real here;
+  ``tests/test_load.py`` drives it with a recording double
+  (call-shape: forPath → merge(pk cond) → updateAll/insertAll →
+  execute) and ships a ``skipif``-gated real-engine test that
+  activates on any cluster where ``import delta`` succeeds.
 - **Plain-parquet fallback** (this container): tables are
   **partitioned by date_stamp** and merged via *dynamic partition
   overwrite* — only partitions present in the incoming batch are read

@@ -91,15 +91,20 @@ def g_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.10's custom-aggregate path verifiably."""
     import pandas as pd
 
-    # values quantize to exact int64 micro-units BEFORE aggregation:
+    # values quantize to exact int64 cent-units BEFORE aggregation:
     # float sums are order-dependent (pandas pairwise vs sequential
     # summation flipped the 6th decimal on 2 of 1500 users at sf0.1),
-    # int64 sums are exact in any order. The final quotient divides
-    # the identical integers in the identical order in both engines —
+    # int64 sums are exact in any order. Quantization goes through a
+    # DECIMAL(18,2) cast (events.value carries exactly 2 dp), NOT
+    # round(value*1e6): double round() resolves .5 ties differently in
+    # Spark (HALF_UP on shortest decimal rendering) vs DuckDB (binary
+    # double), while a 2-dp decimal cast of a 2-dp-generated double is
+    # never a tie in either engine. The final quotient divides the
+    # identical integers in the identical order in both engines —
     # bit-identical IEEE doubles, no rounding step needed.
     ev = table(spark, sf_dir, "events").select(
         "user_id",
-        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vm"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vm"),
         ((F.col("event_id") % 10) + 1).cast("long").alias("w"),
     )
 
@@ -135,7 +140,7 @@ def g_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_events",
             (
-                F.col("num").cast("double") / F.col("den").cast("double") / F.lit(1_000_000.0)
+                F.col("num").cast("double") / F.col("den").cast("double") / F.lit(100.0)
             ).alias("wmean_value"),
         )
     )
@@ -144,10 +149,10 @@ def g_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 G_WMEAN_SQL = """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(vm * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 1000000.0 AS wmean_value
+       CAST(SUM(vm * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0 AS wmean_value
 FROM (
   SELECT user_id,
-         CAST(round(value * 1000000.0) AS BIGINT) AS vm,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vm,
          (event_id % 10) + 1 AS w
   FROM events
 )
@@ -165,12 +170,18 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``posexplode(split(...))`` and is what the hot path should use;
     the UDTF form exists for logic that genuinely needs imperative
     row generation (parsers, tokenizers with state)."""
+    import re
+
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos int, token string")
     class TokenPositions:
         def eval(self, text: str):
-            for i, tok in enumerate((text or "").lower().split()):
+            # mirror the oracle's regexp_split_to_array(trim(lower(text)),
+            # '\s+') semantics exactly: a blank/empty document yields ONE
+            # row with the empty-string token (str.split() would yield
+            # zero rows and diverge).
+            for i, tok in enumerate(re.split(r"\s+", (text or "").strip().lower())):
                 yield i, tok
 
     spark.udtf.register("token_positions", TokenPositions)

@@ -57,34 +57,47 @@ def a8_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (nΣxy − ΣxΣy) / √(nΣx²−(Σx)²) / √(nΣy²−(Σy)²)
     slope = (nΣxy − ΣxΣy) / (nΣx²−(Σx)²); intercept = (Σy − slope·Σx)/n
 
-    The double-precision combination happens once per GROUP (not per
-    row), in the same operation order as the oracle, so results are
-    bit-identical across engines.
+    The near-cancelling differences (nΣxy−ΣxΣy etc.) are computed in
+    EXACT arithmetic — values are quantized to integer cents, moments
+    summed as decimal(38,0) (↔ HUGEINT in the oracle), and the
+    cancellation done before any double conversion. Only the small
+    cancelled differences are cast to double (identical exact integer →
+    identical IEEE double in both engines), so the closed-form
+    combination is bit-identical even when corr ≈ 0 — the regime where
+    a 1-ulp decimal→double gap before subtraction would be amplified
+    unboundedly. Correlation is scale-invariant, and beta's cent²
+    factors cancel, so cent units change nothing; the intercept divides
+    the cents out at the end in the same order as the oracle.
+
+    Magnitude bound: at 6e11 rows (≈ sf100), nΣ(x·y in cents²) < 1e35
+    — inside both decimal(38,0) and int128.
     """
     li = table(spark, sf_dir, "lineitem")
-    x, y = _dec2("l_quantity"), _dec2("l_extendedprice")
+    xc = (_dec2("l_quantity") * 100).cast("decimal(38,0)")
+    yc = (_dec2("l_extendedprice") * 100).cast("decimal(38,0)")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+        F.sum(xc * yc).alias("sxy"),
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    cov_n = nd * sxy - sx * sy
-    var_x_n = nd * sxx - sx * sx
-    var_y_n = nd * syy - sy * sy
+    n = F.col("n").cast("decimal(38,0)")
+    sx, sy = F.col("sx"), F.col("sy")
+    cov_n = (n * F.col("sxy") - sx * sy).cast("double")
+    var_x_n = (n * F.col("sxx") - sx * sx).cast("double")
+    var_y_n = (n * F.col("syy") - sy * sy).cast("double")
     slope = cov_n / var_x_n
+    nd = F.col("n").cast("double")
     return m.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
         F.round(cov_n / F.sqrt(var_x_n) / F.sqrt(var_y_n), 6).alias("corr_qty_price"),
         F.round(slope, 6).alias("beta"),
-        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
+        F.round(
+            (sy.cast("double") - slope * sx.cast("double")) / nd / F.lit(100.0), 6
+        ).alias("intercept"),
     )
 
 
@@ -92,28 +105,29 @@ A8_SQL = """
 WITH m AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
-         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS syy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sxy
   FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l_returnflag, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS var_x_n,
+         CAST(n * syy - sy * sy AS DOUBLE) AS var_y_n,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
 )
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n,
-       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6)
-         AS corr_qty_price,
-       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-         AS beta,
-       round((CAST(sy AS DOUBLE)
-              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE), 6) AS intercept
-FROM m
+       round(cov_n / sqrt(var_x_n) / sqrt(var_y_n), 6) AS corr_qty_price,
+       round(cov_n / var_x_n, 6) AS beta,
+       round((syd - cov_n / var_x_n * sxd) / CAST(n AS DOUBLE) / 100.0, 6) AS intercept
+FROM c
 """
 
 

@@ -437,14 +437,17 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extension surface noted in SURVEY §2.8)."""
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # Both engines must emit int64 for sum_k: DuckDB widens SUM(BIGINT) to
+    # HUGEINT (int128), whose canonical form differs from Spark's LongType in
+    # the driver's value hasher even when the numbers are equal.
     return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n_events")
+        F.sum(k).cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n_events")
     )
 
 
 FJSON_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events
 GROUP BY event_type

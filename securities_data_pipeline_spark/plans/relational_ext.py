@@ -151,10 +151,10 @@ GROUP BY o_orderpriority
 
 def a6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct count of order keys per
-    month. Sketch internals are engine-specific, so this query has NO
-    SQL oracle (the driver records a rows-only check); the companion
-    test asserts the estimate lands within the configured 2% rsd of
-    the exact count."""
+    month. Sketch internals are engine-specific, so this is a
+    library-only surface (not registered in ``queries()``); the
+    companion test (tests/test_analytics.py) asserts the estimate
+    lands within the configured 2% rsd of the exact count."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"))
@@ -255,7 +255,9 @@ RELATIONAL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_unpivot_measures": f_unpivot_measures,
     "a5_multi_distinct": a5_multi_distinct,
     "a7_percentiles": a7_percentiles,
-    "a6_approx_distinct": a6_approx_distinct,
+    # a6_approx_distinct stays library-only (HLL sketch has no SQL oracle;
+    # accuracy is pinned in tests/test_analytics.py instead) so the driver
+    # correctness gate carries no structurally-red rows.
     "q6_banded_revenue": q6_banded_revenue,
     "q14_promo_revenue": q14_promo_revenue,
     "agg_grouping_sets": agg_grouping_sets,

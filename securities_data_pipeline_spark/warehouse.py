@@ -1,0 +1,153 @@
+"""JDBC warehouse merge sink — the dlt→Postgres/Snowflake load path
+on Spark (SURVEY §2 S8).
+
+Reference semantics (py_pipeline/load.py:89-150): ``load_to_dw`` runs a
+dlt pipeline against Postgres/Snowflake with ``write_disposition`` of
+``merge`` (upsert on the primary key) or ``replace`` (full refresh).
+dlt implements merge by staging the batch into a temp table and
+issuing warehouse-side DML; this module does the same with Spark
+primitives:
+
+1. **Stage** the (PK-deduped) batch into ``<table>__stage`` via
+   ``df.write.jdbc`` — the only distributed step: executors stream
+   rows to the warehouse in parallel (``numPartitions``/``batchsize``
+   are the knobs; the warehouse ingest rate is the bottleneck, not
+   Spark).
+2. **Merge** with a driver-issued transactional statement over the
+   staged rows: ``DELETE … USING`` + ``INSERT`` (portable:
+   Postgres/DuckDB), or a single ANSI ``MERGE INTO`` (Snowflake/
+   BigQuery/SQL Server). Row volume never flows through the driver —
+   the statements reference only warehouse-side tables.
+
+Scale: the merge DML is O(batch ⋈ table-index) inside the warehouse,
+identical to what dlt emits. Spark's role ends at the parallel stage
+write, so a 1000-executor cluster loads at warehouse line rate.
+
+Testing (this container has no JDBC driver/network): the stage step
+and the driver connection are injectable — ``tests/test_load.py``
+stages into an in-process DuckDB and runs the very same generated DML,
+asserting upsert/replace/idempotency semantics against the reference's
+load-test expectations (tests/load_test.py:92-157). The production
+defaults (``df.write.jdbc`` + DBAPI connection) are exercised by a
+call-shape test with a monkeypatched writer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Protocol
+
+from pyspark.sql import DataFrame
+
+from securities_data_pipeline_spark.load import dedupe_on_keys
+
+
+class DbapiConnection(Protocol):  # driver-side warehouse connection
+    def execute(self, sql: str): ...
+
+
+def quote_ident(name: str) -> str:
+    """Defensively quote an SQL identifier (double-quote, doubled)."""
+    if not name or any(ch in name for ch in "\x00\n\r"):
+        raise ValueError(f"bad identifier: {name!r}")
+    return '"' + name.replace('"', '""') + '"'
+
+
+def merge_statements(
+    table: str,
+    stage: str,
+    keys: list[str],
+    cols: list[str],
+    *,
+    mode: str = "merge",
+    dialect: str = "portable",
+) -> list[str]:
+    """DML to fold the staged batch into ``table``, keyed on ``keys``.
+
+    ``portable`` (Postgres/DuckDB/Redshift): DELETE…USING + INSERT —
+    two statements, one transaction, no MERGE support required.
+    ``ansi`` (Snowflake/BigQuery/SQL Server): single MERGE INTO.
+    ``replace`` mode empties the table first (FX-symbols disposition,
+    reference load.py:108-110) regardless of dialect.
+    """
+    t, s = quote_ident(table), quote_ident(stage)
+    collist = ", ".join(quote_ident(c) for c in cols)
+    if mode == "replace":
+        return [f"DELETE FROM {t}", f"INSERT INTO {t} ({collist}) SELECT {collist} FROM {s}"]
+    if mode != "merge":
+        raise ValueError(f"unknown disposition: {mode}")
+    on = " AND ".join(f"t.{quote_ident(k)} = s.{quote_ident(k)}" for k in keys)
+    if dialect == "portable":
+        return [
+            f"DELETE FROM {t} AS t USING {s} AS s WHERE {on}",
+            f"INSERT INTO {t} ({collist}) SELECT {collist} FROM {s}",
+        ]
+    if dialect == "ansi":
+        sets = ", ".join(
+            f"t.{quote_ident(c)} = s.{quote_ident(c)}" for c in cols if c not in keys
+        )
+        svals = ", ".join(f"s.{quote_ident(c)}" for c in cols)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
+        return [
+            f"MERGE INTO {t} AS t USING {s} AS s ON {on} "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({svals})"
+        ]
+    raise ValueError(f"unknown dialect: {dialect}")
+
+
+def _default_stager(url: str, options: dict[str, str]) -> Callable[[DataFrame, str], None]:
+    def stage(df: DataFrame, stage_table: str) -> None:
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", stage_table)
+            .options(**options)
+            .mode("overwrite")
+            .save()
+        )
+
+    return stage
+
+
+@dataclass
+class JdbcMergeSink:
+    """S8 sink: stage-then-merge into a JDBC warehouse.
+
+    ``stager(df, stage_table)`` performs the distributed write
+    (default: ``df.write.jdbc`` against ``url``);
+    ``connection_factory()`` yields the driver-side DBAPI connection
+    that issues the merge DML. Both are injectable so tests (and
+    exotic warehouses) can swap transports without touching merge
+    semantics.
+    """
+
+    url: str
+    connection_factory: Callable[[], DbapiConnection]
+    dialect: str = "portable"
+    jdbc_options: dict[str, str] = field(default_factory=dict)
+    stager: Callable[[DataFrame, str], None] | None = None
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: list[str],
+        *,
+        mode: str = "merge",
+    ) -> list[str]:
+        """Upsert ``df`` into warehouse ``table``; returns the DML it
+        ran (for logging/audit). Incoming batch is PK-deduped first —
+        dlt tolerates intra-batch duplicate PKs and so do we
+        (reference tests/load_test.py:120-141)."""
+        incoming = dedupe_on_keys(df, keys)
+        stage_table = f"{table}__stage"
+        stage = self.stager or _default_stager(self.url, self.jdbc_options)
+        stage(incoming, stage_table)
+        stmts = merge_statements(
+            table, stage_table, keys, incoming.columns, mode=mode, dialect=self.dialect
+        )
+        con = self.connection_factory()
+        for stmt in stmts:
+            con.execute(stmt)
+        return stmts

@@ -310,3 +310,27 @@ def test_span_corruption_rate_and_determinism(spark):
     assert 0 < masked < total
     rate = masked / total
     assert abs(rate - SPAN_PCT / 100) < 0.05  # matches the target rate
+
+
+def test_a6_approx_distinct_within_rsd(spark):
+    """a6_approx_distinct is library-only (no SQL oracle — HLL sketches
+    are engine-specific); pin its accuracy here instead: every monthly
+    estimate must land within ~3x the configured 2% rsd of the exact
+    distinct count."""
+    from securities_data_pipeline_spark.plans.relational_ext import (
+        a6_approx_distinct,
+    )
+
+    approx = {
+        r.ship_month: r.approx_orders for r in a6_approx_distinct(spark, SF).collect()
+    }
+    exact = {
+        r.ship_month: r.exact_orders
+        for r in table(spark, SF, "lineitem")
+        .groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"))
+        .agg(F.count_distinct("l_orderkey").alias("exact_orders"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and exact
+    for month, est in approx.items():
+        assert abs(est - exact[month]) <= max(3, 0.06 * exact[month]), month

@@ -96,3 +96,227 @@ def test_fx_symbols_replace(spark, tmp_path):
     load_fx_symbols(spark, spark.createDataFrame([("GBPUSD=X",)], "symbol string"), path)
     got = {r.symbol for r in spark.read.parquet(path).collect()}
     assert got == {"GBPUSD=X"}  # replace, not merge (load.py:52-53)
+
+
+# ---------------------------------------------------------------------------
+# S8: JDBC warehouse sink (warehouse.py) — stage-then-merge semantics run
+# against an in-process DuckDB standing in for Postgres (same DML dialect);
+# the reference's dlt→DW path is py_pipeline/load.py:89-150.
+
+
+def _duckdb_warehouse(spark):
+    import duckdb
+
+    con = duckdb.connect()
+
+    def stager(df, stage_table):
+        # test transport for df.write.jdbc: materialize the batch and
+        # overwrite the stage table (driver-side is fine at test scale)
+        pdf = df.toPandas()
+        con.register("_stage_pdf", pdf)
+        con.execute(f'CREATE OR REPLACE TABLE "{stage_table}" AS SELECT * FROM _stage_pdf')
+
+    from securities_data_pipeline_spark.warehouse import JdbcMergeSink
+
+    sink = JdbcMergeSink(
+        url="jdbc:duckdb://in-process",
+        connection_factory=lambda: con,
+        stager=stager,
+    )
+    return con, sink
+
+
+def test_jdbc_merge_upsert_and_idempotency(spark):
+    con, sink = _duckdb_warehouse(spark)
+    con.execute(
+        "CREATE TABLE prices (date_stamp DATE, symbol VARCHAR, close DOUBLE)"
+    )
+    b1 = spark.createDataFrame(
+        [(D(2025, 1, 1), "AAA", 1.0), (D(2025, 1, 1), "BBB", 2.0)],
+        "date_stamp date, symbol string, close double",
+    )
+    sink.write(b1, "prices", ["date_stamp", "symbol"])
+    b2 = spark.createDataFrame(
+        [(D(2025, 1, 1), "AAA", 9.0), (D(2025, 1, 2), "AAA", 3.0)],
+        "date_stamp date, symbol string, close double",
+    )
+    stmts = sink.write(b2, "prices", ["date_stamp", "symbol"])
+    assert len(stmts) == 2 and stmts[0].startswith("DELETE FROM")
+    out = {
+        (r[0], r[1]): r[2]
+        for r in con.execute("SELECT date_stamp, symbol, close FROM prices").fetchall()
+    }
+    assert len(out) == 3
+    assert out[(D(2025, 1, 1), "AAA")] == 9.0  # PK match → updated
+    assert out[(D(2025, 1, 1), "BBB")] == 2.0  # untouched
+    assert out[(D(2025, 1, 2), "AAA")] == 3.0  # new PK → inserted
+    # idempotent re-merge of the same batch changes nothing
+    sink.write(b2, "prices", ["date_stamp", "symbol"])
+    assert con.execute("SELECT COUNT(*) FROM prices").fetchone()[0] == 3
+
+
+def test_jdbc_replace_disposition_and_batch_dedup(spark):
+    con, sink = _duckdb_warehouse(spark)
+    con.execute("CREATE TABLE fx (symbol VARCHAR, rate DOUBLE)")
+    con.execute("INSERT INTO fx VALUES ('OLD', 0.5)")
+    # duplicate PKs inside one batch are deduped before staging
+    # (dlt tolerates them; reference tests/load_test.py:120-141)
+    batch = spark.createDataFrame(
+        [("EUR", 1.1), ("EUR", 1.2), ("JPY", 0.007)], "symbol string, rate double"
+    )
+    sink.write(batch, "fx", ["symbol"], mode="replace")
+    out = dict(con.execute("SELECT symbol, rate FROM fx").fetchall())
+    assert "OLD" not in out and len(out) == 2
+    assert out["EUR"] == 1.2  # deterministic dedup keeps max-by-others row
+
+
+def test_ansi_merge_statement_shape():
+    from securities_data_pipeline_spark.warehouse import merge_statements
+
+    stmts = merge_statements(
+        "prices", "prices__stage", ["date_stamp", "symbol"],
+        ["date_stamp", "symbol", "close"], dialect="ansi",
+    )
+    assert len(stmts) == 1
+    m = stmts[0]
+    assert m.startswith('MERGE INTO "prices" AS t USING "prices__stage" AS s ON ')
+    assert 't."date_stamp" = s."date_stamp" AND t."symbol" = s."symbol"' in m
+    assert 'WHEN MATCHED THEN UPDATE SET t."close" = s."close"' in m
+    assert 'WHEN NOT MATCHED THEN INSERT ("date_stamp", "symbol", "close")' in m
+
+
+def test_default_stager_builds_jdbc_write(spark, monkeypatch):
+    """Production transport: the default stager must issue a
+    format('jdbc') overwrite save with url + dbtable options (no JDBC
+    driver in this container, so intercept at the writer)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from securities_data_pipeline_spark import warehouse
+
+    calls = {"format": None, "options": {}, "mode": None, "saved": False}
+
+    def rec_format(self, source):
+        calls["format"] = source
+        return self
+
+    def rec_option(self, key, value):
+        calls["options"][key] = str(value)
+        return self
+
+    def rec_options(self, **opts):
+        calls["options"].update({k: str(v) for k, v in opts.items()})
+        return self
+
+    def rec_mode(self, m):
+        calls["mode"] = m
+        return self
+
+    def rec_save(self, path=None):
+        calls["saved"] = True
+
+    for name, fn in [
+        ("format", rec_format), ("option", rec_option),
+        ("options", rec_options), ("mode", rec_mode), ("save", rec_save),
+    ]:
+        monkeypatch.setattr(DataFrameWriter, name, fn)
+    df = spark.createDataFrame([("EUR", 1.1)], "symbol string, rate double")
+    stage = warehouse._default_stager(
+        "jdbc:postgresql://dw:5432/sec", {"user": "loader", "numPartitions": "8"}
+    )
+    stage(df, "fx__stage")
+    assert calls == {
+        "format": "jdbc",
+        "options": {
+            "url": "jdbc:postgresql://dw:5432/sec",
+            "dbtable": "fx__stage",
+            "user": "loader",
+            "numPartitions": "8",
+        },
+        "mode": "overwrite",
+        "saved": True,
+    }
+
+
+# ---------------------------------------------------------------------------
+# S7 Delta upgrade path: delta-spark is NOT installed in this container
+# (no network, no vendoring), so the real DeltaTable.merge cannot run
+# here — that environment blocker is documented in load.py's module
+# docstring. These tests prove the upgrade path anyway: the call-shape
+# test drives merge_upsert through the _delta_merge branch against a
+# recording double, and the real-engine test auto-activates on any
+# cluster where `import delta` succeeds.
+
+
+def test_delta_merge_branch_call_shape(spark, tmp_path, monkeypatch):
+    from securities_data_pipeline_spark import load as load_mod
+
+    events = []
+
+    class FakeMergeBuilder:
+        def whenMatchedUpdateAll(self):
+            events.append("matched_update_all")
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            events.append("not_matched_insert_all")
+            return self
+
+        def execute(self):
+            events.append("execute")
+
+    class FakeDeltaTable:
+        @staticmethod
+        def forPath(spark_, path_):
+            events.append(("for_path", path_))
+            return FakeDeltaTable()
+
+        def alias(self, a):
+            events.append(("alias", a))
+            return self
+
+        def merge(self, src, cond):
+            events.append(("merge", cond))
+            return FakeMergeBuilder()
+
+    path = str(tmp_path / "delta_prices")
+    seed = _prices(spark, [(D(2025, 1, 1), "AAA", 1.0, 1.0, 1.0, 1.0, 10)])
+    load_prices(spark, seed, path)  # creates the parquet table
+    import os
+
+    os.makedirs(os.path.join(path, "_delta_log"))  # mark as Delta
+    monkeypatch.setattr(load_mod, "HAVE_DELTA", True)
+    monkeypatch.setattr(load_mod, "DeltaTable", FakeDeltaTable, raising=False)
+
+    batch = _prices(spark, [(D(2025, 1, 1), "AAA", 9.0, 9.0, 9.0, 9.0, 90)])
+    load_prices(spark, batch, path)
+    assert ("for_path", path) in events
+    assert ("merge", "t.date_stamp = s.date_stamp AND t.symbol = s.symbol") in events
+    assert events[-3:] == ["matched_update_all", "not_matched_insert_all", "execute"]
+
+
+def test_delta_real_merge_when_available(spark, tmp_path):
+    import pytest
+
+    from securities_data_pipeline_spark.load import HAVE_DELTA
+
+    if not HAVE_DELTA:
+        pytest.skip("delta-spark not installed in this container (documented blocker)")
+    path = str(tmp_path / "delta_real")
+    seed = _prices(spark, [(D(2025, 1, 1), "AAA", 1.0, 1.0, 1.0, 1.0, 10)])
+    seed.write.format("delta").save(path)
+    batch = _prices(
+        spark,
+        [
+            (D(2025, 1, 1), "AAA", 9.0, 9.0, 9.0, 9.0, 90),
+            (D(2025, 1, 2), "BBB", 2.0, 2.0, 2.0, 2.0, 20),
+        ],
+    )
+    from securities_data_pipeline_spark.load import merge_upsert
+
+    merge_upsert(spark, batch, path, ["date_stamp", "symbol"])
+    out = {
+        (r.date_stamp, r.symbol): r
+        for r in spark.read.format("delta").load(path).collect()
+    }
+    assert len(out) == 2  # AAA@1/1 updated in place, BBB@1/2 inserted
+    assert out[(D(2025, 1, 1), "AAA")].close == 9.0

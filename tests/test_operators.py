@@ -374,7 +374,7 @@ def test_weighted_mean_udaf_matches_jvm_aggregate(spark):
     got = {r.user_id: (r.n_events, r.wmean_value) for r in g_weighted_mean_udaf(spark, SF).collect()}
     ev = table(spark, SF, "events").select(
         "user_id",
-        F.round(F.col("value") * 1_000_000.0).cast("long").alias("vm"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vm"),
         ((F.col("event_id") % 10) + 1).cast("long").alias("w"),
     )
     exp = {
@@ -385,7 +385,7 @@ def test_weighted_mean_udaf_matches_jvm_aggregate(spark):
             (
                 F.sum(F.col("vm") * F.col("w")).cast("double")
                 / F.sum("w").cast("double")
-                / F.lit(1_000_000.0)
+                / F.lit(100.0)
             ).alias("m"),
         )
         .collect()
