@@ -539,7 +539,10 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, block_col: str = "source", threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    block_col: str = "source",
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard ≥ threshold for doc pairs sharing a block
     key. Never materializes the O(n²) grid, and never scans the corpus
@@ -556,7 +559,13 @@ def ngram_jaccard_pairs(
       the same plan shape as ``lsh_candidate_pairs``. |A∩B| is then a
       groupBy count over the pair stream. At 100 TB a stop-shingle
       cap (drop shingles with document frequency > K) bounds the
-      worst bucket; uncapped here to stay oracle-exact.
+      worst bucket; ``max_bucket=None`` stays oracle-exact, while the
+      production form (``dedup_ngram_jaccard_capped``) passes
+      ``MAX_BUCKET`` so hot boilerplate shingles never expand
+      quadratically. Capped semantics: the intersection count sees
+      only capped-in shingles while set sizes stay exact, so the
+      capped jaccard is ≤ the exact one — a conservative filter whose
+      exact pair-sacrifice behavior the oracle pins.
     """
     base = with_shingles(
         docs.select("doc_id", F.col(block_col).alias("blk"), "text"), ["doc_id", "blk"]
@@ -572,6 +581,8 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
         .where(F.size("ds") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ds") <= max_bucket)
     pairs = buckets.select(F.explode(_pair_array(F.col("ds"))).alias("p")).select(
         F.col("p.doc_a.doc_id").alias("doc_a"),
         F.col("p.doc_b.doc_id").alias("doc_b"),
@@ -596,6 +607,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of exact n-gram Jaccard: identical to
+    ``dedup_ngram_jaccard`` but shingles with block-level document
+    frequency above ``MAX_BUCKET`` (stop-shingles — boilerplate that
+    otherwise makes one bucket quadratic) are dropped before the
+    in-bucket pair expansion, mirroring
+    ``dedup_minhash_pairs_capped``'s cap tier. The oracle applies the
+    same frequency bound, so which pairs the cap sacrifices is
+    pinned, not just described."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), max_bucket=MAX_BUCKET
+    )
+
+
 def _sql_jaccard(threshold: float = JACCARD_THRESHOLD) -> str:
     return f"""
 WITH sh AS (
@@ -606,6 +631,33 @@ WITH sh AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM sh a JOIN sh b
     ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= {threshold}
+"""
+
+
+def _sql_jaccard_capped(
+    threshold: float = JACCARD_THRESHOLD, cap: int = MAX_BUCKET
+) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, source AS blk, unnest({_sql_shingles()}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), ok AS (
+  SELECT blk, shingle FROM sh GROUP BY blk, shingle
+  HAVING COUNT(*) BETWEEN 2 AND {cap}
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a
+  JOIN sh b ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN ok ON ok.blk = a.blk AND ok.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -753,6 +805,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
     "dedup_resolve": dedup_resolve,
 }
@@ -768,4 +821,5 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": _sql_jaccard(),
+    "dedup_ngram_jaccard_capped": _sql_jaccard_capped(),
 }

@@ -385,6 +385,88 @@ GROUP BY 1, 2
 """
 
 
+def rate_stream_rollup(
+    spark: SparkSession,
+    rows_per_batch: int = 20,
+    n_batches: int = 3,
+    advance_ms: int = 10_000,
+    window: str = "10 seconds",
+) -> DataFrame:
+    """§2.9 source-list completion: a rate-source ingest wired through
+    the same watermark + tumbling-window rollup as the file-source
+    pipeline (``s_stream_daily_rollup``'s shape at second scale).
+
+    Uses ``rate-micro-batch`` — the deterministic variant of ``rate``:
+    batch *k* emits ``rows_per_batch`` rows with values
+    ``k·rpb … (k+1)·rpb−1`` all stamped ``start + k·advance_ms``, so
+    the rollup's content is a pure function of (rows_per_batch,
+    n_batches), never wall-clock. The plain ``rate`` source has the
+    identical schema (timestamp, value) — swapping formats is the only
+    change for a soak test; Kafka needs only ``format("kafka")`` +
+    value parsing at the head of the same pipeline (no broker in this
+    container — documented gap, SURVEY §2.9).
+
+    ``n_batches == 1`` runs Trigger.AvailableNow (processes exactly
+    batch 0 then stops); more batches poll micro-batch progress and
+    stop once batch ``n_batches−1`` commits, then cut the result to
+    the first ``n_batches`` windows so a raced extra batch can't leak
+    into the (deterministic) output.
+
+    Library + pytest surface, like ``a6_approx_distinct``: the source
+    synthesizes its own rows, so there is no parquet table for a
+    DuckDB oracle to read.
+    """
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", advance_ms)
+        .option("numPartitions", 2)
+        .load()
+    )
+    agg = (
+        stream.withColumn("event_type", (F.col("value") % 3).cast("int"))
+        .withWatermark("timestamp", "30 seconds")
+        .groupBy(F.window("timestamp", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    if n_batches == 1:
+        out = run_to_memory(agg, "complete")
+    else:
+        import time
+
+        name = f"rate_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                p = q.lastProgress
+                if p and p["batchId"] >= n_batches - 1 and p["numInputRows"] >= 0:
+                    break
+                time.sleep(0.2)
+            else:  # pragma: no cover - only on a hung stream
+                raise TimeoutError(f"rate stream never reached batch {n_batches - 1}")
+        finally:
+            q.stop()
+        out = spark.table(name)
+    horizon = F.lit(n_batches * advance_ms / 1000.0).cast("double")
+    return (
+        out.where(F.unix_micros(F.col("w.start")) / 1e6 < horizon)
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_daily_rollup": s_stream_daily_rollup,
     "s_stream_dedup_keys": s_stream_dedup_keys,

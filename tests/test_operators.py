@@ -429,3 +429,34 @@ def test_bucket_cap_drops_pathological_buckets(spark):
     assert (100, 101) in uncapped and (100, 101) in capped
     assert (0, 1) in uncapped and (0, 1) not in capped
     assert len(capped) < len(uncapped)
+
+
+def test_ngram_jaccard_cap_drops_hot_shingle_pairs(spark):
+    """The capped exact-Jaccard tier: a shingle appearing in > MAX_BUCKET
+    docs (boilerplate) must not generate pairs by itself, while pairs
+    sharing rare shingles survive with their (conservative) capped
+    score."""
+    from securities_data_pipeline_spark.operators.dedup import MAX_BUCKET
+
+    # MAX_BUCKET+4 docs that share ONLY one hot boilerplate shingle
+    # (3-word prefix) + distinct tails, plus one genuine near-dup pair
+    hot = [
+        (i, f"common header shingle unique{i}a unique{i}b unique{i}c", "s")
+        for i in range(MAX_BUCKET + 4)
+    ]
+    dup = [
+        (100, "rare document body that matches almost entirely here", "s"),
+        (101, "rare document body that matches almost entirely there", "s"),
+    ]
+    docs = _docs(spark, hot + dup)
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.01, max_bucket=MAX_BUCKET).collect()
+    }
+    assert (0, 1) in uncapped and (0, 1) not in capped  # hot-only pair gone
+    assert (100, 101) in capped  # rare-shingle pair survives
+    assert capped[(100, 101)] <= uncapped[(100, 101)]  # conservative

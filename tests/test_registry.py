@@ -43,3 +43,92 @@ def test_fetch_prices_distributed(spark):
     assert rows["S7"].close == 7.0
     # 10 symbols / batch_size 4 → 3 partitions; every batch bounded
     assert all(r.n_in_batch <= 4 for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# S2/S4 live-source adapters (sources/adapters.py), network-mocked the same
+# way the reference mocks them (tests/extract_test.py): the transport is
+# injected with the public library's exact call shape.
+
+
+def _fake_read_html(url: str):
+    """pd.read_html-shaped: returns a list of tables per URL; each index
+    page carries one extra column the others lack (exercises the
+    outer-union)."""
+    n = 400 if "400" in url else 500 if "500" in url else 600
+    t = pd.DataFrame(
+        {
+            "Symbol": [f"{n}A", f"{n}B"],
+            "Security": [f"Co {n}A", f"Co {n}B"],
+            f"only_{n}": [1, 2],
+        }
+    )
+    return [t, pd.DataFrame({"ignored": [0]})]  # page has trailing tables
+
+
+def test_sp_stock_symbols_adapter_union_and_flags(spark):
+    from securities_data_pipeline_spark.sources.adapters import sp_stock_symbols_source
+
+    df = sp_stock_symbols_source(spark, read_html=_fake_read_html)
+    rows = {r.Symbol: r for r in df.collect()}
+    assert len(rows) == 6  # 2 symbols × 3 indices
+    assert rows["400A"].in_sp400 and not rows["400A"].in_sp500 and not rows["400A"].in_sp600
+    assert rows["500B"].in_sp500 and not rows["500B"].in_sp400
+    assert rows["600A"].in_sp600
+    # outer-union: per-index columns survive, null elsewhere
+    assert rows["400A"].only_400 == 1 and rows["500A"].only_400 is None
+
+
+def test_sp_stock_symbols_via_registry_dispatch(spark):
+    out = extract(spark, "symbols", "sp_stocks", read_html=_fake_read_html)
+    assert out.count() == 6
+
+
+def test_price_history_adapter_long_rows_and_failed_symbols(spark):
+    from securities_data_pipeline_spark.sources.adapters import failed_symbols
+
+    # yf.download-shaped: wide frame, index=Date, MultiIndex columns
+    # (Price, Ticker); one symbol returns no data (NaN bars). Defined
+    # INSIDE the test so cloudpickle ships it by value to executors
+    # (the test module is not importable on workers).
+    def _fake_yf_download(symbols, start, end):
+        import numpy as np
+
+        dates = pd.to_datetime(["2025-01-01", "2025-01-02"])
+        fields = ["Open", "High", "Low", "Close", "Volume"]
+        cols = pd.MultiIndex.from_product([fields, symbols], names=["Price", "Ticker"])
+        data = {}
+        for f_ in fields:
+            for s in symbols:
+                if s == "DEAD":
+                    data[(f_, s)] = [np.nan, np.nan]
+                else:
+                    base = float(ord(s[0]))
+                    data[(f_, s)] = [base + 0.1, base + 0.2]
+        return pd.DataFrame(data, index=dates, columns=cols).rename_axis("Date")
+
+    symbols = ["AAA", "BBB", "DEAD"]
+    bars = extract(
+        spark, "price_history", "sp_stocks",
+        symbols=symbols, downloader=_fake_yf_download, batch_size=2,
+    )
+    rows = {(r.symbol, r.date_stamp.date().isoformat()): r for r in bars.collect()}
+    # 2 live symbols × 2 dates; DEAD's all-NaN bars dropped in-batch
+    assert len(rows) == 4
+    assert rows[("AAA", "2025-01-01")].close == float(ord("A")) + 0.1
+    failed = [r.symbol for r in failed_symbols(spark, symbols, bars).collect()]
+    assert failed == ["DEAD"]
+
+
+def test_wide_bars_single_symbol_flat_columns(spark):
+    """yf.download with one ticker returns flat columns — the adapter
+    must lift them to the MultiIndex form using the batch symbol."""
+    from securities_data_pipeline_spark.sources.adapters import wide_bars_to_long
+
+    dates = pd.to_datetime(["2025-01-01"])
+    flat = pd.DataFrame(
+        {"Open": [1.0], "High": [2.0], "Low": [0.5], "Close": [1.5], "Volume": [10.0]},
+        index=dates,
+    ).rename_axis("Date")
+    long = wide_bars_to_long(flat, ["SOLO"])
+    assert list(long["symbol"]) == ["SOLO"] and float(long["close"].iloc[0]) == 1.5

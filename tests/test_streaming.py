@@ -135,3 +135,42 @@ def test_stream_enrich_static_join_is_stateless_broadcast(spark):
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "StreamingRelation" in plan
     assert "broadcast" in plan.lower()
+
+
+def test_rate_source_rollup_deterministic(spark):
+    """§2.9 rate source: rate-micro-batch through the shared watermark
+    + tumbling-window rollup must yield a wall-clock-free result — an
+    exact function of (rows_per_batch, n_batches)."""
+    from securities_data_pipeline_spark.streaming.ingest import rate_stream_rollup
+
+    out = {
+        (r.win_start.isoformat(), r.event_type): (r.n_events, r.sum_value)
+        for r in rate_stream_rollup(spark, rows_per_batch=20, n_batches=1).collect()
+    }
+    # batch 0: values 0..19 at epoch 0; % 3 → type0 {0,3,..,18} (7 vals,
+    # sum 63), type1 {1,4,..,19} (7, sum 70), type2 {2,5,..,17} (6, sum 57)
+    assert out == {
+        ("1970-01-01T00:00:00", 0): (7, 63),
+        ("1970-01-01T00:00:00", 1): (7, 70),
+        ("1970-01-01T00:00:00", 2): (6, 57),
+    }
+
+
+def test_rate_source_multi_batch_windows(spark):
+    """Multi-batch run: each batch lands in its own 10s window; the
+    horizon cut makes the result independent of how many extra batches
+    raced in before stop()."""
+    from securities_data_pipeline_spark.streaming.ingest import rate_stream_rollup
+
+    rows = rate_stream_rollup(spark, rows_per_batch=6, n_batches=3).collect()
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r.win_start.isoformat(), []).append(r)
+    assert set(by_win) == {
+        "1970-01-01T00:00:00",
+        "1970-01-01T00:00:10",
+        "1970-01-01T00:00:20",
+    }
+    # batch 1: values 6..11 → type0 {6,9} type1 {7,10} type2 {8,11}
+    w1 = {r.event_type: (r.n_events, r.sum_value) for r in by_win["1970-01-01T00:00:10"]}
+    assert w1 == {0: (2, 15), 1: (2, 17), 2: (2, 19)}
