@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from securities_data_pipeline_spark.functions.hashing import (
+    seeded_hash64,
     sql_stable_hash64,
     stable_hash64,
 )
@@ -222,6 +223,98 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN shared USING (doc_id)
 WHERE d.source <> '{BENCH_SOURCE}'
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the 100 TB tier of t_decontaminate.
+#
+# t_decontaminate broadcasts the benchmark's full distinct-gram set as a
+# join hash relation: correct, but a production eval suite's gram set
+# runs to GBs, and every executor holds all of it. The bloom tier
+# compresses the bench side to a fixed BLOOM_BITS/8-byte bitmap that
+# ships inside the PLAN (a literal array<long>), and the probe is k
+# getbit tests per gram inside a whole-stage-codegen projection —
+# zero shuffle, zero join, zero Python. One-sided error: a clean doc
+# may flag (fp rate ~ (1-e^{-kn/m})^k, the dial is BLOOM_BITS), a
+# contaminated doc NEVER clears — so the bloom pass is the cheap
+# first-stage filter and exact t_decontaminate re-checks only the
+# flagged sliver. Probabilistic ⇒ library + pytest surface (no SQL
+# oracle), like the HLL sketch: the test pins zero false negatives vs
+# the exact op and a bounded fp count on a corpus 4× the bitmap's
+# design load.
+#
+# The driver never sees gram text: bit POSITIONS are computed in Spark
+# (same double-hash family as the probe, seeded md5 → int64, so build
+# and probe agree by construction) and only the ≤ k·|bench grams|
+# distinct ints collect.
+
+BLOOM_BITS = 1 << 16  # 64 Kbit ⇒ 8 KiB bitmap in-plan
+BLOOM_K = 4
+
+
+def _bloom_positions(g: Column) -> list[Column]:
+    """k bit positions for gram hash g via double hashing
+    pos_i = (h1 + i·h2) mod m; h1,h2 < 2^60 so i·h2 + h1 < 2^63
+    (no int64 overflow)."""
+    h1, h2 = seeded_hash64(g, 101), seeded_hash64(g, 202)
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS)) for i in range(BLOOM_K)
+    ]
+
+
+def bloom_build(docs: DataFrame) -> list[int]:
+    """Collect the benchmark split's bloom bitmap as BLOOM_BITS/64
+    int64 words. Only distinct bit positions cross to the driver."""
+    base = docs.select("source", words_col().alias("ws"))
+    pos = (
+        base.where(F.col("source") == BENCH_SOURCE)
+        .select(F.explode(_gram_hashes()).alias("g"))
+        .distinct()
+        .select(F.explode(F.array(*_bloom_positions(F.col("g")))).alias("p"))
+        .distinct()
+    )
+    words = [0] * (BLOOM_BITS // 64)
+    for r in pos.collect():
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # int64 literals must be signed
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_decontaminate(docs: DataFrame, words: list[int] | None = None) -> DataFrame:
+    """Flag training docs whose gram set MAY overlap the benchmark
+    split, via the in-plan bloom bitmap: per doc, ``F.exists`` over its
+    gram array with k getbit probes — a single zero-shuffle projection."""
+    if words is None:
+        words = bloom_build(docs)
+    bloom = F.array(*[F.lit(w).cast("long") for w in words])
+
+    def might_contain(g: Column) -> Column:
+        tests = [
+            F.getbit(
+                F.element_at(bloom, (p / F.lit(64)).cast("int") + F.lit(1)),
+                p % F.lit(64),
+            )
+            == F.lit(1)
+            for p in _bloom_positions(g)
+        ]
+        out = tests[0]
+        for t in tests[1:]:
+            out = out & t
+        return out
+
+    train = docs.where(F.col("source") != BENCH_SOURCE)
+    return train.select(
+        "doc_id",
+        F.exists(
+            _gram_hashes(words_col()), might_contain
+        ).alias("maybe_contaminated"),
+    )
+
+
+def t_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library surface for the bloom tier (pytest-pinned; the exact
+    tier ``t_decontaminate`` is the oracle-checked twin)."""
+    return bloom_decontaminate(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

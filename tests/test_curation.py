@@ -126,3 +126,40 @@ def test_assemble_manifest_composes_the_standalone_operators(spark):
         exp[s] = (d + 1, t + r.n_tok)
     assert got == exp
     assert sum(d for d, _ in got.values()) == len(surv)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom tier vs exact tier on the real corpus: every doc the exact
+    op flags must be bloom-flagged (one-sided error), and false
+    positives stay a small sliver (the re-check budget)."""
+    from securities_data_pipeline_spark.operators.curation import (
+        t_decontaminate,
+        t_decontaminate_bloom,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    exact = {r.doc_id: r.contaminated for r in t_decontaminate(spark, SF).collect()}
+    bloom = {
+        r.doc_id: r.maybe_contaminated
+        for r in t_decontaminate_bloom(spark, SF).collect()
+    }
+    assert set(exact) == set(bloom)
+    fn = [d for d, c in exact.items() if c and not bloom[d]]
+    assert fn == []  # a contaminated doc NEVER clears the bloom
+    fp = sum(1 for d, c in exact.items() if not c and bloom[d])
+    clean = sum(1 for c in exact.values() if not c)
+    assert fp <= max(5, 0.02 * clean), (fp, clean)  # re-check budget is tiny
+
+
+def test_bloom_probe_plan_zero_shuffle(spark):
+    """The probe must be a single whole-stage-codegen projection: no
+    exchange, no join, no Python eval."""
+    from securities_data_pipeline_spark.operators.curation import (
+        t_decontaminate_bloom,
+    )
+
+    df = t_decontaminate_bloom(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
