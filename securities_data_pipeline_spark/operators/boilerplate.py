@@ -212,14 +212,76 @@ FROM corr
 """
 
 
+# ---------------------------------------------------------------------------
+# structured-PII span scan (regex detect + mask)
+#
+# t_redact_terms handles denylist TOKENS; this is the regex-span tier:
+# detect and mask pattern-shaped spans (numeric identifiers, emails,
+# phones) anywhere in a raw text/JSON column. Patterns are restricted
+# to the Java∩RE2 common subset (character classes + bounded repeats,
+# no backrefs/lookarounds) so Spark and the DuckDB oracle compile them
+# identically. A zero-shuffle projection: at 100 TB this runs at scan
+# speed, and the masked rewrite lands next to the original for the
+# quarantine/error-channel pattern (S6) to route.
+
+#: name → (regex, mask); applied in this order to the masked rewrite
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # digit runs ≥3: account-number/ID-shaped spans (events.props carries
+    # these; the corpus' natural negative control below never fires)
+    "num_id": ("[0-9]{3,}", "<NUM>"),
+    "email": ("[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}", "<EMAIL>"),
+}
+
+
+def pii_scan(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """Per-row count of each PII pattern in ``text_col`` plus the fully
+    masked rewrite (patterns applied in declaration order)."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, (rx, _) in PII_PATTERNS.items()
+    ]
+    masked = F.col(text_col)
+    for rx, mask in PII_PATTERNS.values():
+        masked = F.regexp_replace(masked, rx, mask)
+    return df.select(*id_cols, *counts, masked.alias("masked"))
+
+
+def t_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan over the events JSON payload — the column in the corpus
+    that actually carries numeric-identifier spans (email stays a
+    negative control here)."""
+    ev = table(spark, sf_dir, "events")
+    return pii_scan(ev, "props", ["event_id"])
+
+
+def _sql_pii_scan() -> str:
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(props, '{rx}')) AS BIGINT) AS n_{name}"
+        for name, (rx, _) in PII_PATTERNS.items()
+    )
+    masked = "props"
+    for rx, mask in PII_PATTERNS.values():
+        masked = f"regexp_replace({masked}, '{rx}', '{mask}', 'g')"
+    return f"""
+SELECT event_id,
+       {counts},
+       {masked} AS masked
+FROM events
+"""
+
+
 BOILERPLATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_chunk_dedup": t_chunk_dedup,
     "t_redact_terms": t_redact_terms,
     "t_span_corruption": t_span_corruption,
+    "t_pii_scan": t_pii_scan,
 }
 
 BOILERPLATE_ORACLES: dict[str, str] = {
     "t_chunk_dedup": T_CHUNK_DEDUP_SQL,
     "t_redact_terms": T_REDACT_SQL,
     "t_span_corruption": _sql_span_corruption(),
+    "t_pii_scan": _sql_pii_scan(),
 }

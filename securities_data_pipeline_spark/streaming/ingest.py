@@ -175,6 +175,25 @@ def stream_merge_into(
     q.awaitTermination()
 
 
+def stream_merge_into_warehouse(
+    stream: DataFrame,
+    sink,  # warehouse.JdbcMergeSink
+    table_name: str,
+    keys: list[str],
+) -> None:
+    """foreachBatch → JDBC warehouse merge — the streaming analog of
+    the reference's ``load_to_dw`` path (py_pipeline/load.py:89-150):
+    each micro-batch stages in parallel and merges transactionally on
+    PK, so micro-batch replays after a failure are idempotent exactly
+    like the lake sink's. S8's streaming face."""
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        sink.write(batch_df, table_name, keys)
+
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def s_stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 day long, 6 h slide): each event lands in 4
     overlapping windows — late-bar smoothing for intraday series."""

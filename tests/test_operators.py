@@ -460,3 +460,22 @@ def test_ngram_jaccard_cap_drops_hot_shingle_pairs(spark):
     assert (0, 1) in uncapped and (0, 1) not in capped  # hot-only pair gone
     assert (100, 101) in capped  # rare-shingle pair survives
     assert capped[(100, 101)] <= uncapped[(100, 101)]  # conservative
+
+
+def test_pii_scan_detects_and_masks(spark):
+    from securities_data_pipeline_spark.operators.boilerplate import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "call 555123 or mail bob.smith@example.com today"),
+            (2, "ids 1234 and 99, short 12 stays"),
+            (3, "clean text only"),
+        ],
+        "id long, body string",
+    )
+    out = {r.id: r for r in pii_scan(df, "body", ["id"]).collect()}
+    assert (out[1].n_num_id, out[1].n_email) == (1, 1)
+    assert out[1].masked == "call <NUM> or mail <EMAIL> today"
+    assert (out[2].n_num_id, out[2].n_email) == (1, 0)
+    assert out[2].masked == "ids <NUM> and 99, short 12 stays"
+    assert out[3].masked == "clean text only"

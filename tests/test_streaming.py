@@ -174,3 +174,45 @@ def test_rate_source_multi_batch_windows(spark):
     # batch 1: values 6..11 → type0 {6,9} type1 {7,10} type2 {8,11}
     w1 = {r.event_type: (r.n_events, r.sum_value) for r in by_win["1970-01-01T00:00:10"]}
     assert w1 == {0: (2, 15), 1: (2, 17), 2: (2, 19)}
+
+
+def test_foreach_batch_warehouse_merge_idempotent(spark):
+    """S8's streaming face: foreachBatch → JDBC stage-then-merge.
+    Replaying the whole stream into the DuckDB stand-in warehouse
+    leaves the table unchanged (PK merge, same idempotency contract as
+    the lake sink)."""
+    import duckdb
+
+    from securities_data_pipeline_spark.streaming.ingest import (
+        stream_merge_into_warehouse,
+    )
+    from securities_data_pipeline_spark.warehouse import JdbcMergeSink
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events_dw (event_id BIGINT, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE)"
+    )
+
+    def stager(df, stage_table):
+        pdf = df.toPandas()
+        con.register("_stage_pdf", pdf)
+        con.execute(
+            f'CREATE OR REPLACE TABLE "{stage_table}" AS SELECT * FROM _stage_pdf'
+        )
+
+    sink = JdbcMergeSink(
+        url="jdbc:duckdb://in-process",
+        connection_factory=lambda: con,
+        stager=stager,
+    )
+    cols = ["event_id", "user_id", "event_type", "value"]
+    stream_merge_into_warehouse(
+        events_stream(spark, SF).select(*cols), sink, "events_dw", ["event_id"]
+    )
+    n1 = con.execute("SELECT COUNT(*) FROM events_dw").fetchone()[0]
+    stream_merge_into_warehouse(
+        events_stream(spark, SF).select(*cols), sink, "events_dw", ["event_id"]
+    )
+    n2 = con.execute("SELECT COUNT(*) FROM events_dw").fetchone()[0]
+    assert n1 == n2 == 1000
