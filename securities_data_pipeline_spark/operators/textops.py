@@ -414,6 +414,93 @@ SELECT token, n_occurrences, token_id FROM ranked WHERE token_id <= {VOCAB_SIZE}
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (bounded-memory top-N)
+#
+# t_vocab's exact top-N shuffles every distinct (token, count) pair —
+# fine while vocab fits a shuffle, but the 100 TB raw-token stream
+# (pre-normalization web text: typo-space ~ billions of distinct
+# tokens) wants a bounded-memory first pass. Misra-Gries gives it with
+# a proof: an MG(C) summary per partition keeps ≤ C counters no matter
+# how many tokens stream through, and a token can be absent from EVERY
+# partition's summary only if its global count ≤ total/C — so the
+# union of summaries contains every token with frequency > n/C.
+
+HH_TOPN = 20
+HH_CAPACITY = 64  # per-partition MG counters
+
+
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-``HH_TOPN`` tokens via the two-pass sketch→verify
+    pattern:
+
+    1. per-partition Misra-Gries(``HH_CAPACITY``) over the token
+       stream (``mapInPandas`` — genuinely imperative per-partition
+       state, the documented exception to the no-Python rule); only
+       ≤ C candidate tokens per partition emerge;
+    2. exact recount restricted to the candidate set (broadcast
+       semi-join on the exploded stream) → deterministic top-N
+       (count desc, token asc).
+
+    The result is provably the true top-N whenever the Nth frequency
+    exceeds total/C — trivially satisfied here (50-word vocabulary vs
+    C=64/partition) and stated as the operating condition for
+    production C sizing. Because the output is exact under that
+    condition, a plain SQL top-N is the oracle — the approximate
+    ALGORITHM is verified, not an approximate answer."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words_col()).alias("token")).where(F.col("token") != "")
+
+    def mg(parts) -> "pd.DataFrame":
+        counters: dict[str, int] = {}
+        for pdf in parts:
+            for tok in pdf["token"].values:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < HH_CAPACITY:
+                    counters[tok] = 1
+                else:  # decrement-all step; drop exhausted counters
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"token": sorted(counters)})
+
+    candidates = toks.mapInPandas(mg, schema="token string").distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    order = [F.col("n_occurrences").desc(), F.col("token").asc()]
+    return (
+        exact.orderBy(*order)
+        .limit(HH_TOPN)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )
+
+
+T_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_sql_words()}) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n_occurrences FROM toks WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT token, n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT token, n_occurrences, rank FROM ranked WHERE rank <= {HH_TOPN}
+"""
+
+
+# ---------------------------------------------------------------------------
 # unigram LM log-probability (the perplexity-filter shape)
 
 
@@ -493,6 +580,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_winnow_fingerprint": t_winnow_fingerprint,
     "t_idf_top_terms": t_idf_top_terms,
     "t_unigram_logprob": t_unigram_logprob,
+    "t_heavy_hitters": t_heavy_hitters,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -505,4 +593,5 @@ TEXT_ORACLES: dict[str, str] = {
     "t_winnow_fingerprint": _sql_winnow(),
     "t_idf_top_terms": T_IDF_SQL,
     "t_unigram_logprob": T_UNIGRAM_SQL,
+    "t_heavy_hitters": T_HEAVY_HITTERS_SQL,
 }

@@ -479,3 +479,26 @@ def test_pii_scan_detects_and_masks(spark):
     assert (out[2].n_num_id, out[2].n_email) == (1, 0)
     assert out[2].masked == "ids <NUM> and 99, short 12 stays"
     assert out[3].masked == "clean text only"
+
+
+def test_heavy_hitters_candidates_bounded_and_exact(spark):
+    """MG summaries stay ≤ HH_CAPACITY per partition and the final
+    top-N equals the exact vocabulary head (sketch→verify exactness
+    under the n/C condition)."""
+    from securities_data_pipeline_spark.operators.textops import (
+        HH_CAPACITY,
+        HH_TOPN,
+        t_heavy_hitters,
+        t_vocab,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    hh = t_heavy_hitters(spark, SF).collect()
+    assert len(hh) == HH_TOPN
+    got = [(r.token, r.n_occurrences) for r in sorted(hh, key=lambda r: r.rank)]
+    vocab = {r.token_id: (r.token, r.n_occurrences) for r in t_vocab(spark, SF).collect()}
+    exact = [vocab[i] for i in range(1, HH_TOPN + 1)]
+    assert got == exact
+    n_parts = spark.read.parquet(f"{SF}/documents.parquet").rdd.getNumPartitions()
+    # candidate union is bounded by C per partition
+    assert len({r.token for r in hh}) <= HH_CAPACITY * max(1, n_parts)

@@ -37,6 +37,9 @@ PY_OK = {
     "mm_frame_sample",
     "mm_resize",
     "s_stream_user_stats_stateful",
+    # per-partition Misra-Gries summary: imperative bounded-memory state,
+    # the documented mapInPandas exception (textops.t_heavy_hitters)
+    "t_heavy_hitters",
 }
 
 # queries where a broadcast nested-loop join is the intended plan:
