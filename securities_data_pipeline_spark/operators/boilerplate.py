@@ -224,12 +224,16 @@ FROM corr
 # speed, and the masked rewrite lands next to the original for the
 # quarantine/error-channel pattern (S6) to route.
 
-#: name → (regex, mask); applied in this order to the masked rewrite
+#: name → (regex, mask); applied in this order to the masked rewrite.
+#: ORDER MATTERS: composite patterns (email) must mask before their
+#: sub-patterns (digit runs) — num_id-first would rewrite the digits
+#: inside "john1234@x.com" and the mangled text would no longer match
+#: the email regex, leaking the local-part fragment and domain.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
-    # digit runs ≥3: account-number/ID-shaped spans (events.props carries
-    # these; the corpus' natural negative control below never fires)
-    "num_id": ("[0-9]{3,}", "<NUM>"),
     "email": ("[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}", "<EMAIL>"),
+    # digit runs ≥3: account-number/ID-shaped spans (events.props carries
+    # these; the email pattern is the corpus' natural negative control)
+    "num_id": ("[0-9]{3,}", "<NUM>"),
 }
 
 

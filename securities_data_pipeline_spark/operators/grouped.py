@@ -178,10 +178,16 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     class TokenPositions:
         def eval(self, text: str):
             # mirror the oracle's regexp_split_to_array(trim(lower(text)),
-            # '\s+') semantics exactly: a blank/empty document yields ONE
+            # '\s+') semantics EXACTLY: a blank/empty document yields ONE
             # row with the empty-string token (str.split() would yield
-            # zero rows and diverge).
-            for i, tok in enumerate(re.split(r"\s+", (text or "").strip().lower())):
+            # zero rows); trim()/TRIM strips ONLY spaces in both engines
+            # (Python str.strip() also eats tabs/newlines/Unicode ws —
+            # wrong); and \s must be the ASCII class (Java regex and RE2
+            # are ASCII-\s, Python defaults to Unicode-\s, which would
+            # split on NBSP where the engines don't).
+            for i, tok in enumerate(
+                re.split(r"\s+", (text or "").lower().strip(" "), flags=re.ASCII)
+            ):
                 yield i, tok
 
     spark.udtf.register("token_positions", TokenPositions)

@@ -372,31 +372,41 @@ LIMIT {N_IDF_TERMS}
 VOCAB_SIZE = 100
 
 
+def token_stream(docs: DataFrame) -> DataFrame:
+    """The exploded non-empty token stream — ONE tokenization shared by
+    every frequency consumer (vocab, heavy hitters) so their
+    tokenization can never drift apart."""
+    return docs.select(F.explode(words_col()).alias("token")).where(F.col("token") != "")
+
+
+def ranked_head(counts: DataFrame, n: int, rank_col: str) -> DataFrame:
+    """Deterministic top-``n`` of a (token, n_occurrences) table:
+    count desc, token asc — Spark plans the limit as
+    TakeOrderedAndProject (per-partition heap + driver merge, never a
+    full sort), and the rank window runs over just the surviving n
+    rows."""
+    from pyspark.sql import Window
+
+    order = [F.col("n_occurrences").desc(), F.col("token").asc()]
+    return (
+        counts.orderBy(*order)
+        .limit(n)
+        .withColumn(rank_col, F.row_number().over(Window.orderBy(*order)))
+    )
+
+
 def t_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary construction: global token frequencies →
     rank-ordered token ids, the table a BPE/WordPiece trainer seeds
     from. One exploded token aggregate (map-side partial combine, so
     only distinct (token, count) pairs shuffle) followed by a global
-    top-``VOCAB_SIZE`` — Spark plans the limit as
-    TakeOrderedAndProject, a per-partition heap + driver merge, never
-    a full sort. The rank window then runs over just the surviving
-    ``VOCAB_SIZE`` rows, so its single partition is trivially small
-    at any corpus size."""
-    from pyspark.sql import Window
-
-    docs = table(spark, sf_dir, "documents")
+    top-``VOCAB_SIZE`` (``ranked_head``)."""
     counts = (
-        docs.select(F.explode(words_col()).alias("token"))
-        .where(F.col("token") != "")
+        token_stream(table(spark, sf_dir, "documents"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    order = [F.col("n_occurrences").desc(), F.col("token").asc()]
-    return (
-        counts.orderBy(*order)
-        .limit(VOCAB_SIZE)
-        .withColumn("token_id", F.row_number().over(Window.orderBy(*order)))
-    )
+    return ranked_head(counts, VOCAB_SIZE, "token_id")
 
 
 T_VOCAB_SQL = f"""
@@ -446,13 +456,26 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     C=64/partition) and stated as the operating condition for
     production C sizing. Because the output is exact under that
     condition, a plain SQL top-N is the oracle — the approximate
-    ALGORITHM is verified, not an approximate answer."""
+    ALGORITHM is verified, not an approximate answer.
+
+    Tokenization and the top-N tail are the SAME code as ``t_vocab``
+    (``token_stream`` / ``ranked_head``), so the two operators cannot
+    drift; only the candidate restriction differs."""
+    toks = token_stream(table(spark, sf_dir, "documents"))
+    exact = (
+        toks.join(F.broadcast(mg_candidates(toks)), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return ranked_head(exact, HH_TOPN, "rank")
+
+
+def mg_candidates(toks: DataFrame, capacity: int = HH_CAPACITY) -> DataFrame:
+    """Per-partition Misra-Gries(``capacity``) summaries of a token
+    stream, unioned and deduped: ≤ ``capacity`` candidates per input
+    partition regardless of stream size (the bound tests assert), and
+    every token with global frequency > n/capacity survives."""
     import pandas as pd
-
-    from pyspark.sql import Window
-
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(words_col()).alias("token")).where(F.col("token") != "")
 
     def mg(parts) -> "pd.DataFrame":
         counters: dict[str, int] = {}
@@ -460,7 +483,7 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for tok in pdf["token"].values:
                 if tok in counters:
                     counters[tok] += 1
-                elif len(counters) < HH_CAPACITY:
+                elif len(counters) < capacity:
                     counters[tok] = 1
                 else:  # decrement-all step; drop exhausted counters
                     dead = []
@@ -472,18 +495,7 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         del counters[k]
         yield pd.DataFrame({"token": sorted(counters)})
 
-    candidates = toks.mapInPandas(mg, schema="token string").distinct()
-    exact = (
-        toks.join(F.broadcast(candidates), "token")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-    )
-    order = [F.col("n_occurrences").desc(), F.col("token").asc()]
-    return (
-        exact.orderBy(*order)
-        .limit(HH_TOPN)
-        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
-    )
+    return toks.mapInPandas(mg, schema="token string").distinct()
 
 
 T_HEAVY_HITTERS_SQL = f"""

@@ -465,8 +465,10 @@ def rate_stream_rollup(
         try:
             deadline = time.monotonic() + 120
             while time.monotonic() < deadline:
+                if q.exception() is not None:  # fail fast, not TimeoutError
+                    raise q.exception()
                 p = q.lastProgress
-                if p and p["batchId"] >= n_batches - 1 and p["numInputRows"] >= 0:
+                if p and p["batchId"] >= n_batches - 1:
                     break
                 time.sleep(0.2)
             else:  # pragma: no cover - only on a hung stream

@@ -13,11 +13,17 @@ primitives:
    rows to the warehouse in parallel (``numPartitions``/``batchsize``
    are the knobs; the warehouse ingest rate is the bottleneck, not
    Spark).
-2. **Merge** with a driver-issued transactional statement over the
-   staged rows: ``DELETE … USING`` + ``INSERT`` (portable:
+2. **Merge** with driver-issued DML over the staged rows inside ONE
+   explicit transaction (``BEGIN TRANSACTION`` … ``COMMIT``, with
+   ``ROLLBACK`` + re-raise on failure, plus a DBAPI ``commit()`` when
+   the connection exposes one — psycopg-style drivers default
+   autocommit off): ``DELETE … USING`` + ``INSERT`` (portable:
    Postgres/DuckDB), or a single ANSI ``MERGE INTO`` (Snowflake/
    BigQuery/SQL Server). Row volume never flows through the driver —
-   the statements reference only warehouse-side tables.
+   the statements reference only warehouse-side tables. The stage
+   table name carries a per-call random suffix (concurrent writers to
+   one target never clobber each other's staged rows) and is dropped
+   after the merge.
 
 Scale: the merge DML is O(batch ⋈ table-index) inside the warehouse,
 identical to what dlt emits. Spark's role ends at the parallel stage
@@ -139,15 +145,42 @@ class JdbcMergeSink:
         """Upsert ``df`` into warehouse ``table``; returns the DML it
         ran (for logging/audit). Incoming batch is PK-deduped first —
         dlt tolerates intra-batch duplicate PKs and so do we
-        (reference tests/load_test.py:120-141)."""
+        (reference tests/load_test.py:120-141).
+
+        The merge DML runs in one explicit transaction: either both
+        the DELETE and the INSERT land or neither does (a crash
+        between them must not leave the target missing its PK-matched
+        rows), and drivers that default autocommit off get an explicit
+        driver-level ``commit()`` so the batch actually persists."""
+        import uuid
+
         incoming = dedupe_on_keys(df, keys)
-        stage_table = f"{table}__stage"
+        stage_table = f"{table}__stage_{uuid.uuid4().hex[:8]}"
         stage = self.stager or _default_stager(self.url, self.jdbc_options)
         stage(incoming, stage_table)
         stmts = merge_statements(
             table, stage_table, keys, incoming.columns, mode=mode, dialect=self.dialect
         )
         con = self.connection_factory()
-        for stmt in stmts:
-            con.execute(stmt)
+        try:
+            con.execute("BEGIN TRANSACTION")
+            for stmt in stmts:
+                con.execute(stmt)
+            con.execute("COMMIT")
+        except Exception:
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass  # connection may already be dead; original error wins
+            raise
+        finally:
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {quote_ident(stage_table)}")
+            except Exception:
+                pass  # stale stage is an audit artifact, not a data bug
+        if hasattr(con, "commit"):
+            try:
+                con.commit()  # autocommit-off DBAPI drivers (psycopg-style)
+            except Exception:
+                pass  # engines where the COMMIT statement already closed the txn
         return stmts
