@@ -223,3 +223,48 @@ def test_quality_integer_rounding_matches_exact_fraction(spark, cases):
         den = 2000 * n
         micro = (2 * num * 1_000_000 + den) // (2 * den)  # exact half-up
         assert got[i] == micro / 1_000_000.0
+
+
+# ---------------------------------------------------------------------------
+# warehouse merge sink: model-based upsert semantics
+
+BATCH = st.lists(
+    st.tuples(st.integers(0, 6), st.floats(0, 100, allow_nan=False, width=32)),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(BATCH, st.booleans()), min_size=1, max_size=4))
+def test_jdbc_merge_matches_dict_model(spark, script):
+    """Any sequence of merge/replace batches must leave the warehouse
+    equal to the obvious dict model (replace = rebuild, merge = update
+    per PK; intra-batch dedup keeps the max-by-value row)."""
+    import duckdb
+
+    from securities_data_pipeline_spark.warehouse import JdbcMergeSink
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, v DOUBLE)")
+
+    def stager(df, stage_table):
+        con.register("_p", df.toPandas())
+        con.execute(f'CREATE OR REPLACE TABLE "{stage_table}" AS SELECT * FROM _p')
+
+    sink = JdbcMergeSink(url="x", connection_factory=lambda: con, stager=stager)
+    model: dict[int, float] = {}
+    for batch, replace in script:
+        df = spark.createDataFrame(batch, "k long, v double")
+        sink.write(df, "t", ["k"], mode="replace" if replace else "merge")
+        staged = {}
+        for k, v in batch:  # dedupe_on_keys keeps max by remaining cols
+            staged[k] = max(v, staged[k]) if k in staged else v
+        if replace:
+            model = dict(staged)
+        else:
+            model.update(staged)
+        got = dict(con.execute("SELECT k, v FROM t").fetchall())
+        assert got.keys() == model.keys()
+        for k in model:
+            assert math.isclose(got[k], model[k], rel_tol=1e-6), (k, got[k], model[k])
