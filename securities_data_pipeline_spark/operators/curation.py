@@ -489,6 +489,49 @@ SELECT vec_id, cid AS cluster FROM (
 
 
 # ---------------------------------------------------------------------------
+# cluster-balanced sampling (diversity curation)
+
+BALANCED_PER_CLUSTER = 16
+
+
+def sim_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection — take ``BALANCED_PER_CLUSTER``
+    vectors per k-means cluster by a deterministic hash priority. The
+    DCLM-style diversity curation move: uniform sampling over-selects
+    the dominant mode, per-cluster quotas keep the tails.
+
+    Plan: the Lloyd assignment (``sim_kmeans_assign``) is a narrow
+    projection; the quota is one rank window partitioned by cluster
+    ordered by the stable id hash (shuffles (vec_id, cluster, 8-byte
+    hash) only — never the vectors). At 100 TB with skewed cluster
+    sizes, swap the window's per-cluster sort for a two-phase
+    per-partition heap (the ``ranked_head`` shape) — same contract,
+    bounded memory."""
+    from pyspark.sql import Window
+
+    assigned = sim_kmeans_assign(spark, sf_dir)
+    pri = stable_hash64(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("cluster").orderBy(pri.asc(), F.col("vec_id").asc())
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= BALANCED_PER_CLUSTER)
+        .select("vec_id", "cluster", "pick_rank")
+    )
+
+
+def _sql_cluster_sample(m: int = BALANCED_PER_CLUSTER) -> str:
+    pri = sql_stable_hash64("CAST(vec_id AS VARCHAR)")
+    return f"""
+SELECT vec_id, cluster, pick_rank FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY {pri} ASC, vec_id ASC) AS pick_rank
+  FROM ({_sql_kmeans()}) assign
+) ranked WHERE pick_rank <= {m}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -496,6 +539,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_decontaminate": t_decontaminate,
     "t_quality_filter": t_quality_filter,
     "sim_kmeans_assign": sim_kmeans_assign,
+    "sim_cluster_sample": sim_cluster_sample,
 }
 
 CURATION_ORACLES: dict[str, str] = {
@@ -503,4 +547,5 @@ CURATION_ORACLES: dict[str, str] = {
     "t_decontaminate": T_DECONTAMINATE_SQL,
     "t_quality_filter": T_QUALITY_FILTER_SQL,
     "sim_kmeans_assign": _sql_kmeans(),
+    "sim_cluster_sample": _sql_cluster_sample(),
 }

@@ -163,3 +163,23 @@ def test_bloom_probe_plan_zero_shuffle(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_sample_quota_and_determinism(spark):
+    from securities_data_pipeline_spark.operators.curation import (
+        BALANCED_PER_CLUSTER,
+        sim_cluster_sample,
+        sim_kmeans_assign,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    a = {(r.vec_id, r.cluster, r.pick_rank) for r in sim_cluster_sample(spark, SF).collect()}
+    b = {(r.vec_id, r.cluster, r.pick_rank) for r in sim_cluster_sample(spark, SF).collect()}
+    assert a == b  # hash-priority selection is run-stable
+    per = {}
+    for _, c, _ in a:
+        per[c] = per.get(c, 0) + 1
+    sizes = {r.cluster: 1 for r in sim_kmeans_assign(spark, SF).collect()}
+    # every cluster fills its quota (or its whole population if smaller)
+    assert all(n <= BALANCED_PER_CLUSTER for n in per.values())
+    assert set(per) == set(sizes)

@@ -33,6 +33,7 @@ PY_OK = {
     "g_weighted_mean_udaf",
     "udtf_token_positions",
     "sim_kmeans_assign",
+    "sim_cluster_sample",  # rank window over the kmeans pandas-UDF assignment
     "mm_feature_extract",
     "mm_frame_sample",
     "mm_resize",
