@@ -107,14 +107,26 @@ def merge_upsert(
         return
 
     target = spark.read.parquet(path)
-    if partition_by:
+    # dlt-parity schema evolution (reference: dlt merge auto-evolves
+    # tables, SURVEY §"schema evolution"): batch columns the table has
+    # never seen are ADDED (old rows read null); batch rows missing
+    # known columns write null. allowMissingColumns handles both
+    # directions. Type changes on an existing column are out of scope
+    # (dlt coerces; here the parquet read would surface the conflict).
+    # An evolving batch forces a FULL rewrite even when partitioned:
+    # plain parquet has no table schema, and leaving untouched
+    # partitions on the old column set would make later reads sample-
+    # dependent (Delta/mergeSchema is the at-scale answer; a full
+    # rewrite per evolution is the honest parquet one).
+    evolving = bool(set(incoming.columns) - set(target.columns))
+    if partition_by and not evolving:
         # restrict the rewrite to partitions present in the batch:
         # IN-list on partition values → partition pruning at the scan
         pvals = [r[0] for r in incoming.select(*partition_by).distinct().collect()]
         pcol = partition_by[0]
         target = target.where(F.col(pcol).isin(pvals))
         survivors = target.join(incoming.select(*keys), keys, "left_anti")
-        merged = survivors.unionByName(incoming.select(*target.columns))
+        merged = survivors.unionByName(incoming, allowMissingColumns=True)
         # materialize before overwriting the partitions being read;
         # dynamic overwrite is scoped to this write (writer option, not
         # session conf) so unrelated writes keep static semantics
@@ -126,10 +138,15 @@ def merge_upsert(
             .parquet(path)
         )
     else:
+        # unpartitioned merge, or a schema-evolving partitioned one
+        # (full rewrite keeps every file on the evolved column set)
         survivors = target.join(incoming.select(*keys), keys, "left_anti")
-        merged = survivors.unionByName(incoming.select(*target.columns))
+        merged = survivors.unionByName(incoming, allowMissingColumns=True)
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(path)
+        writer = merged.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
 
     # clear the shared file-status cache so *new* reads list the
     # rewritten files. NB: DataFrames created BEFORE this merge hold

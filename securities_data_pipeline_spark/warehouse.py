@@ -102,6 +102,36 @@ def merge_statements(
     raise ValueError(f"unknown dialect: {dialect}")
 
 
+#: Spark simpleString dtype → warehouse DDL type, for evolved columns
+_SQL_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
+
+
+def evolve_statements(df: DataFrame, table: str, existing_cols: set[str]) -> list[str]:
+    """dlt-parity schema evolution DDL: one ``ALTER TABLE … ADD COLUMN``
+    per batch column the warehouse table lacks (existing rows read
+    NULL, exactly like dlt's auto-evolving merge). Unknown Spark types
+    fall back to VARCHAR — the lossless-but-ugly dlt default."""
+    out = []
+    for f in df.schema.fields:
+        if f.name not in existing_cols:
+            ddl = _SQL_TYPES.get(f.dataType.simpleString(), "VARCHAR")
+            out.append(
+                f"ALTER TABLE {quote_ident(table)} "
+                f"ADD COLUMN {quote_ident(f.name)} {ddl}"
+            )
+    return out
+
+
 def _default_stager(url: str, options: dict[str, str]) -> Callable[[DataFrame, str], None]:
     def stage(df: DataFrame, stage_table: str) -> None:
         (
@@ -133,6 +163,11 @@ class JdbcMergeSink:
     dialect: str = "portable"
     jdbc_options: dict[str, str] = field(default_factory=dict)
     stager: Callable[[DataFrame, str], None] | None = None
+    #: warehouse introspection hook: table name → current column set
+    #: (e.g. an information_schema query). When provided, write()
+    #: auto-evolves the target with ALTER TABLE ADD COLUMN for batch
+    #: columns the table lacks — dlt's auto-evolving merge semantics.
+    columns_of: Callable[[str], set[str]] | None = None
 
     def write(
         self,
@@ -158,7 +193,10 @@ class JdbcMergeSink:
         stage_table = f"{table}__stage_{uuid.uuid4().hex[:8]}"
         stage = self.stager or _default_stager(self.url, self.jdbc_options)
         stage(incoming, stage_table)
-        stmts = merge_statements(
+        ddl: list[str] = []
+        if self.columns_of is not None:
+            ddl = evolve_statements(incoming, table, self.columns_of(table))
+        stmts = ddl + merge_statements(
             table, stage_table, keys, incoming.columns, mode=mode, dialect=self.dialect
         )
         con = self.connection_factory()

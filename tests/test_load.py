@@ -320,3 +320,64 @@ def test_delta_real_merge_when_available(spark, tmp_path):
     }
     assert len(out) == 2  # AAA@1/1 updated in place, BBB@1/2 inserted
     assert out[(D(2025, 1, 1), "AAA")].close == 9.0
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (dlt-parity: merge auto-evolves the table)
+
+
+def test_parquet_merge_schema_evolution_partitioned(spark, tmp_path):
+    """A batch carrying a never-seen column evolves the table: old rows
+    read null for it, new rows carry it, and the partitioned layout
+    survives the one-time full rewrite."""
+    path = str(tmp_path / "prices")
+    load_prices(spark, _prices(spark, [(D(2025, 1, 1), "AAA", 1.0, 1.0, 1.0, 1.0, 10)]), path)
+    evolved = spark.createDataFrame(
+        [(D(2025, 1, 2), "AAA", 2.0, 2.0, 2.0, 2.0, 20, "NASDAQ")],
+        PRICE_SCHEMA + ", exchange string",
+    )
+    from securities_data_pipeline_spark.load import merge_upsert
+
+    merge_upsert(
+        spark, evolved, path, ["date_stamp", "symbol"], partition_by=("date_stamp",)
+    )
+    out = _read(spark, path)
+    assert len(out) == 2
+    assert out[(D(2025, 1, 2), "AAA")].exchange == "NASDAQ"
+    assert out[(D(2025, 1, 1), "AAA")].exchange is None  # old row evolved to null
+    import os
+
+    assert any(d.startswith("date_stamp=") for d in os.listdir(path))  # still partitioned
+    # and a later non-evolving merge keeps the evolved column intact
+    load_prices(spark, _prices(spark, [(D(2025, 1, 3), "BBB", 3.0, 3.0, 3.0, 3.0, 30)]), path)
+    out2 = _read(spark, path)
+    assert out2[(D(2025, 1, 2), "AAA")].exchange == "NASDAQ"
+    assert out2[(D(2025, 1, 3), "BBB")].exchange is None
+
+
+def test_jdbc_merge_schema_evolution(spark):
+    con, sink = _duckdb_warehouse(spark)
+    con.execute("CREATE TABLE prices (date_stamp DATE, symbol VARCHAR, close DOUBLE)")
+    sink.columns_of = lambda t: {
+        r[0]
+        for r in con.execute(
+            "SELECT column_name FROM information_schema.columns WHERE table_name = ?",
+            [t],
+        ).fetchall()
+    }
+    b1 = spark.createDataFrame(
+        [(D(2025, 1, 1), "AAA", 1.0)], "date_stamp date, symbol string, close double"
+    )
+    sink.write(b1, "prices", ["date_stamp", "symbol"])
+    b2 = spark.createDataFrame(
+        [(D(2025, 1, 2), "AAA", 2.0, 100)],
+        "date_stamp date, symbol string, close double, volume long",
+    )
+    stmts = sink.write(b2, "prices", ["date_stamp", "symbol"])
+    assert any(s.startswith('ALTER TABLE "prices" ADD COLUMN "volume" BIGINT') for s in stmts)
+    rows = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute("SELECT date_stamp, symbol, close, volume FROM prices").fetchall()
+    }
+    assert rows[(D(2025, 1, 2), "AAA")] == (2.0, 100)
+    assert rows[(D(2025, 1, 1), "AAA")] == (1.0, None)  # evolved to null
