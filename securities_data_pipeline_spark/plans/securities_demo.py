@@ -508,3 +508,86 @@ WHERE n >= 10 AND (n * sxx - sx * sx) > 0
 
 SECURITIES_QUERIES["sec_rolling_beta"] = sec_rolling_beta
 SECURITIES_ORACLES["sec_rolling_beta"] = SEC_ROLLING_BETA_SQL
+
+
+def sec_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-bar RSI (SMA form) per symbol: RSI = 100 − 100/(1 + RS),
+    RS = Σgains/Σlosses over the trailing 14 deltas.
+
+    Close deltas quantize exactly (closes carry 2 dp → DECIMAL(18,2)
+    lag-subtraction is exact), gains/losses split per row, and the two
+    14-row frame sums accumulate exact decimals — the single double
+    division happens once per row in the same order as the oracle.
+    Σlosses = 0 → RSI 100 by convention (and covers the 0/0 flat
+    window). Rows emit only with a full 14-delta frame, so frame
+    semantics can't differ across engines. One (symbol, date)
+    shuffle+sort serves the lag and both frame sums.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(F.max("value").alias("close"))
+    wo = Window.partitionBy("symbol").orderBy("date_stamp")
+    c = F.col("close").cast("decimal(18,2)")
+    delta = c - F.lag(c).over(wo)
+    with_delta = bars.select("symbol", "date_stamp", delta.alias("d")).where(
+        F.col("d").isNotNull()
+    )
+    w14 = Window.partitionBy("symbol").orderBy("date_stamp").rowsBetween(-13, 0)
+    gains = F.sum(F.greatest(F.col("d"), F.lit(0).cast("decimal(18,2)"))).over(w14)
+    losses = F.sum(F.greatest(-F.col("d"), F.lit(0).cast("decimal(18,2)"))).over(w14)
+    n = F.count(F.lit(1)).over(w14)
+    out = with_delta.select(
+        "symbol",
+        "date_stamp",
+        n.alias("n_d"),
+        gains.alias("g"),
+        losses.alias("l"),
+    ).where(F.col("n_d") == 14)
+    rsi = F.when(F.col("l") == 0, F.lit(100.0)).otherwise(
+        F.round(
+            F.lit(100.0)
+            - F.lit(100.0)
+            / (F.lit(1.0) + F.col("g").cast("double") / F.col("l").cast("double")),
+            6,
+        )
+    )
+    return out.select("symbol", "date_stamp", rsi.alias("rsi_14"))
+
+
+SEC_RSI_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         MAX(value) AS close
+  FROM events
+  GROUP BY 1, 2
+), deltas AS (
+  SELECT symbol, date_stamp,
+         CAST(close AS DECIMAL(18,2))
+           - lag(CAST(close AS DECIMAL(18,2)))
+             OVER (PARTITION BY symbol ORDER BY date_stamp) AS d
+  FROM bars
+), framed AS (
+  SELECT symbol, date_stamp,
+         COUNT(*) OVER w14 AS n_d,
+         SUM(greatest(d, CAST(0 AS DECIMAL(18,2)))) OVER w14 AS g,
+         SUM(greatest(-d, CAST(0 AS DECIMAL(18,2)))) OVER w14 AS l
+  FROM deltas
+  WHERE d IS NOT NULL
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY date_stamp
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, date_stamp,
+       CASE WHEN l = 0 THEN 100.0
+            ELSE round(100.0 - 100.0 / (1.0 + CAST(g AS DOUBLE) / CAST(l AS DOUBLE)), 6)
+       END AS rsi_14
+FROM framed
+WHERE n_d = 14
+"""
+
+SECURITIES_QUERIES["sec_rsi"] = sec_rsi
+SECURITIES_ORACLES["sec_rsi"] = SEC_RSI_SQL
