@@ -439,6 +439,34 @@ HH_TOPN = 20
 HH_CAPACITY = 64  # per-partition MG counters
 
 
+def mg_candidates(toks: DataFrame, capacity: int = HH_CAPACITY) -> DataFrame:
+    """Per-partition Misra-Gries(``capacity``) summaries of a token
+    stream, unioned and deduped: ≤ ``capacity`` candidates per input
+    partition regardless of stream size (the bound tests assert), and
+    every token with global frequency > n/capacity survives."""
+    import pandas as pd
+
+    def mg(parts) -> "pd.DataFrame":
+        counters: dict[str, int] = {}
+        for pdf in parts:
+            for tok in pdf["token"].values:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < capacity:
+                    counters[tok] = 1
+                else:  # decrement-all step; drop exhausted counters
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"token": sorted(counters)})
+
+    return toks.mapInPandas(mg, schema="token string").distinct()
+
+
 def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-``HH_TOPN`` tokens via the two-pass sketch→verify
     pattern:
@@ -468,34 +496,6 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
     return ranked_head(exact, HH_TOPN, "rank")
-
-
-def mg_candidates(toks: DataFrame, capacity: int = HH_CAPACITY) -> DataFrame:
-    """Per-partition Misra-Gries(``capacity``) summaries of a token
-    stream, unioned and deduped: ≤ ``capacity`` candidates per input
-    partition regardless of stream size (the bound tests assert), and
-    every token with global frequency > n/capacity survives."""
-    import pandas as pd
-
-    def mg(parts) -> "pd.DataFrame":
-        counters: dict[str, int] = {}
-        for pdf in parts:
-            for tok in pdf["token"].values:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < capacity:
-                    counters[tok] = 1
-                else:  # decrement-all step; drop exhausted counters
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
-        yield pd.DataFrame({"token": sorted(counters)})
-
-    return toks.mapInPandas(mg, schema="token string").distinct()
 
 
 T_HEAVY_HITTERS_SQL = f"""

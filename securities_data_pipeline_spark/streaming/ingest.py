@@ -171,8 +171,7 @@ def stream_merge_into(
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         merge_upsert(spark, batch_df, path, keys, partition_by=partition_by)
 
-    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
-    q.awaitTermination()
+    _run_foreach_batch(stream, sink)
 
 
 def stream_merge_into_warehouse(
@@ -190,7 +189,12 @@ def stream_merge_into_warehouse(
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         sink.write(batch_df, table_name, keys)
 
-    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    _run_foreach_batch(stream, merge_batch)
+
+
+def _run_foreach_batch(stream: DataFrame, fn) -> None:
+    """Drain all available input through a foreachBatch sink and stop."""
+    q = stream.writeStream.foreachBatch(fn).trigger(availableNow=True).start()
     q.awaitTermination()
 
 
