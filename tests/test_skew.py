@@ -174,3 +174,46 @@ def test_temperature_mix_upweights_small_strata(spark, tmp_path):
     # kept counts track the derived rates
     for r in out.values():
         assert abs(r.n_kept / r.n_total - r.rate_pm / 1000) < 0.1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime evidence that AQE's skew-join splitting engages: with
+    the skew thresholds lowered to test scale, a sort-merge join whose
+    probe side has one dominant key must show skew=true in the final
+    adaptive plan (on a cluster the default 256 MB thresholds do this
+    for real partitions — same mechanism, same plan marker)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(60_000).select(
+            F.lit("hot").alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(64).select(
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        left = hot.unionByName(cold)
+        right = spark.createDataFrame(
+            [("hot", 1)] + [(f"c{i}", i) for i in range(64)], "k string, w int"
+        )
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's plan (count() would finalize a
+        # different QueryExecution and leave this one isFinalPlan=false)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
