@@ -582,6 +582,98 @@ GROUP BY doc_id
 """
 
 
+def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional log-probability with
+    add-one smoothing — one LM order up from ``t_unigram_logprob``,
+    the tier where a perplexity filter starts seeing word ORDER
+    (scrambled text scores like fluent text under a unigram LM;
+    a bigram LM penalizes it).
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); score = mean log P over
+    the doc's consecutive token pairs (docs with < 2 tokens emit no
+    row — no bigram events exist for them, both engines agree).
+
+    Plan: the pair stream is a zero-shuffle projection (adjacent
+    element_at over the token array — no self-join); the bigram and
+    unigram frequency tables aggregate with map-side combine and
+    BROADCAST back onto the stream (at 100 TB the bigram table is the
+    larger broadcast — cap it with a min-count floor, or pivot this
+    join to a shuffle join, before vocab² outgrows executor memory);
+    the per-doc aggregate rides doc_id partitioning. Determinism: the
+    unigram op's idiom — per-pair log-probs round to 9 dp, sum as
+    exact decimals (order-independent), one double division at the
+    end."""
+    return bigram_logprob(table(spark, sf_dir, "documents"))
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    warr = F.filter(words_col(), lambda x: x != F.lit(""))
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs_col = F.when(
+        F.size(warr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(warr) - 1),
+            lambda i: F.struct(
+                F.element_at(warr, i).alias("w1"),
+                F.element_at(warr, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    pairs = (
+        docs.select("doc_id", F.explode(pairs_col).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=False)  # feeds the count table AND scoring
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    toks = token_stream(docs)
+    c1 = toks.groupBy(F.col("token").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = toks.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
+    logp = F.round(
+        F.log(
+            (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        pairs.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+T_BIGRAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter({_sql_words()}, x -> x <> '') AS w FROM documents
+), pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM w WHERE len(w) >= 2)
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+), toks AS (
+  SELECT unnest(w) AS w1 FROM w
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM toks GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w1) AS v FROM toks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+FROM pairs JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_token_stats": t_token_stats,
     "t_vocab": t_vocab,
@@ -593,6 +685,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_idf_top_terms": t_idf_top_terms,
     "t_unigram_logprob": t_unigram_logprob,
     "t_heavy_hitters": t_heavy_hitters,
+    "t_bigram_logprob": t_bigram_logprob,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -606,4 +699,5 @@ TEXT_ORACLES: dict[str, str] = {
     "t_idf_top_terms": T_IDF_SQL,
     "t_unigram_logprob": T_UNIGRAM_SQL,
     "t_heavy_hitters": T_HEAVY_HITTERS_SQL,
+    "t_bigram_logprob": T_BIGRAM_SQL,
 }

@@ -521,3 +521,19 @@ def test_heavy_hitters_candidates_bounded_and_exact(spark):
     cand = [r.token for r in mg_candidates(toks, capacity=8).collect()]
     assert len(cand) <= 8 * n_parts
     assert "HOT" in cand
+
+
+def test_bigram_logprob_sees_word_order(spark):
+    """The point of the bigram tier: two docs with the SAME token
+    multiset but different order must score differently (a unigram LM
+    cannot distinguish them), and the one made of the corpus-dominant
+    pair must score higher."""
+    from securities_data_pipeline_spark.operators.textops import bigram_logprob
+
+    # corpus dominated by the pair (a b); doc 2 is doc 1 scrambled
+    rows = [(i, "a b a b a b a b", "s") for i in range(10)]
+    rows += [(100, "a b a b a b", "s"), (101, "b b b a a a", "s")]
+    docs = _docs(spark, rows)
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert out[100].n_bigrams == out[101].n_bigrams == 5
+    assert out[100].avg_logprob > out[101].avg_logprob
