@@ -625,7 +625,9 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds the count table AND scoring
     )
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    toks = token_stream(docs)
+    # two consumers (unigram counts + distinct-vocab size) — tokenize
+    # once, like the unigram op's stream
+    toks = token_stream(docs).localCheckpoint(eager=False)
     c1 = toks.groupBy(F.col("token").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
     vocab_n = toks.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
     logp = F.round(

@@ -113,22 +113,38 @@ _SQL_TYPES = {
     "boolean": "BOOLEAN",
     "date": "DATE",
     "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
 }
 
 
 def evolve_statements(df: DataFrame, table: str, existing_cols: set[str]) -> list[str]:
     """dlt-parity schema evolution DDL: one ``ALTER TABLE … ADD COLUMN``
     per batch column the warehouse table lacks (existing rows read
-    NULL, exactly like dlt's auto-evolving merge). Unknown Spark types
-    fall back to VARCHAR — the lossless-but-ugly dlt default."""
+    NULL, exactly like dlt's auto-evolving merge).
+
+    Existence is checked case-insensitively (information_schema
+    reports fold-cased names; a case-variant batch column must MATCH,
+    not spawn a case-distinct duplicate the merge would silently
+    split writes across). ``decimal(p,s)`` simpleStrings are valid
+    DDL on every targeted warehouse and pass through verbatim — a
+    VARCHAR fallback there would type-mismatch the staged NUMERIC
+    column and fail the merge INSERT; only genuinely unmappable types
+    (arrays, structs) fall back to VARCHAR, dlt's lossless-but-ugly
+    default."""
+    existing_folded = {c.casefold() for c in existing_cols}
     out = []
     for f in df.schema.fields:
-        if f.name not in existing_cols:
-            ddl = _SQL_TYPES.get(f.dataType.simpleString(), "VARCHAR")
-            out.append(
-                f"ALTER TABLE {quote_ident(table)} "
-                f"ADD COLUMN {quote_ident(f.name)} {ddl}"
-            )
+        if f.name.casefold() in existing_folded:
+            continue
+        simple = f.dataType.simpleString()
+        if simple.startswith("decimal("):
+            ddl = simple.upper()
+        else:
+            ddl = _SQL_TYPES.get(simple, "VARCHAR")
+        out.append(
+            f"ALTER TABLE {quote_ident(table)} "
+            f"ADD COLUMN {quote_ident(f.name)} {ddl}"
+        )
     return out
 
 

@@ -179,7 +179,11 @@ def test_cluster_sample_quota_and_determinism(spark):
     per = {}
     for _, c, _ in a:
         per[c] = per.get(c, 0) + 1
-    sizes = {r.cluster: 1 for r in sim_kmeans_assign(spark, SF).collect()}
-    # every cluster fills its quota (or its whole population if smaller)
-    assert all(n <= BALANCED_PER_CLUSTER for n in per.values())
+    sizes: dict[int, int] = {}
+    for r in sim_kmeans_assign(spark, SF).collect():
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    # every cluster fills its quota exactly (or its whole population
+    # when the cluster is smaller than the quota)
     assert set(per) == set(sizes)
+    for c, n in per.items():
+        assert n == min(BALANCED_PER_CLUSTER, sizes[c]), (c, n, sizes[c])

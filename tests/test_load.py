@@ -381,3 +381,27 @@ def test_jdbc_merge_schema_evolution(spark):
     }
     assert rows[(D(2025, 1, 2), "AAA")] == (2.0, 100)
     assert rows[(D(2025, 1, 1), "AAA")] == (1.0, None)  # evolved to null
+
+
+def test_evolve_statements_types_and_case():
+    """Review pins: decimal evolves to DECIMAL(p,s) DDL (VARCHAR would
+    type-mismatch the staged NUMERIC), case-variant batch columns match
+    existing warehouse columns instead of spawning duplicates."""
+    from pyspark.sql import types as T
+
+    from securities_data_pipeline_spark.warehouse import evolve_statements
+
+    class FakeDf:  # only .schema.fields is consulted
+        schema = T.StructType(
+            [
+                T.StructField("Volume", T.LongType()),
+                T.StructField("fee", T.DecimalType(18, 2)),
+                T.StructField("tags", T.ArrayType(T.StringType())),
+            ]
+        )
+
+    stmts = evolve_statements(FakeDf(), "prices", {"volume", "close"})
+    assert stmts == [
+        'ALTER TABLE "prices" ADD COLUMN "fee" DECIMAL(18,2)',
+        'ALTER TABLE "prices" ADD COLUMN "tags" VARCHAR',
+    ]
