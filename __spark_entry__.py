@@ -14,27 +14,37 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver checks queries in registry order and may only reach the first
-# ~50 per round; front-load the highest-value families (streaming, dedup,
-# similarity, securities demos, grouped-UDF surface, previously-red entries)
-# so every round's CORRECTNESS sample covers them.
-_PRIORITY_PREFIXES = (
-    "f_json_extract",
-    "s_stream_",
-    "dedup_",
-    "sim_",
-    "sec_",
-    "g_",
-    "udtf_",
-    "t_",
+# ~50 per round, so the registry rotates which family leads each round to
+# guarantee every query is eventually driver-verified:
+#   round 1: relational/TPC-H/window/agg families (natural order)
+#   round 2: streaming, dedup, similarity, securities, grouped-UDF
+#   round 3 (this file): the 33 queries never sampled in rounds 1-2
+#     (mm_*, sq_*, the t_* tail, w4/w5, j_asof/j_range_*, q11, q20,
+#     agg_salted_sum) plus queries newly added this round.
+# After round 3 the union of driver-verified queries covers the registry;
+# later rounds re-front-load whatever is oldest-verified or newest-added.
+_ROUND3_FRONT = (
+    # never sampled by the driver in rounds 1-2
+    "t_lang_id", "t_pack_sequences", "t_pii_scan", "t_quality",
+    "t_quality_filter", "t_redact_terms", "t_repetition_filter",
+    "t_sample_stratified", "t_span_corruption", "t_temperature_mix",
+    "t_token_bpe", "t_token_budget", "t_token_stats", "t_train_split",
+    "t_unigram_logprob", "t_vocab", "t_winnow_fingerprint",
+    "agg_salted_sum", "j_asof_latest_order", "j_range_band", "j_range_bin",
+    "mm_binary_meta", "mm_feature_extract", "mm_frame_sample", "mm_resize",
+    "q11_important_parts", "q20_excess_suppliers", "sq_exists_discount",
+    "sq_large_orders", "sq_rich_inactive_customers", "sq_small_qty_revenue",
+    "w4_session_windows", "w5_lead_lag",
+    # new in round 3
+    "dedup_minhash_pairs_wide", "dedup_components_star",
+    "s_stream_join_attrib_outer",
 )
+_FRONT_RANK = {name: i for i, name in enumerate(_ROUND3_FRONT)}
 
 
 def _prioritized(entries: dict) -> dict:
     def rank(name: str) -> int:
-        for i, p in enumerate(_PRIORITY_PREFIXES):
-            if name.startswith(p):
-                return i
-        return len(_PRIORITY_PREFIXES)
+        return _FRONT_RANK.get(name, len(_FRONT_RANK))
 
     return dict(
         sorted(entries.items(), key=lambda kv: (rank(kv[0]), kv[0]))
