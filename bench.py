@@ -4,14 +4,25 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
 "sec", "queries": {name: sec}, "sf": ...}. Each query executes to
 completion (collect or count — full materialization, no caching
 between queries).
+
+Protocol (BASELINE.md §bench-protocol): after an untimed sf0.001
+warm-up of every query (JITs whole-stage codegen per plan shape),
+each query runs REPEATS(=3) times at the target sf and the reported
+per-query number is the MEDIAN — container scheduling noise was
+measured at ±10-15% per single run, larger than real round-over-round
+deltas, so single-shot timings could not distinguish a regression
+from noise. `value` is the sum of the medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -89,15 +100,27 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        try:
-            n = fn(spark, sf_dir).count()
-        except Exception as ex:
-            # one broken query must not zero out the whole bench record
-            print(f"# {name} FAILED: {ex}", file=sys.stderr)
+        samples: list[float] = []
+        n = -1
+        for _ in range(REPEATS):
+            t0 = time.time()
+            try:
+                n = fn(spark, sf_dir).count()
+            except Exception as ex:
+                # one broken query must not zero out the whole bench record
+                print(f"# {name} FAILED: {ex}", file=sys.stderr)
+                samples = []
+                break
+            samples.append(time.time() - t0)
+        if not samples:
             continue
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        timings[name] = round(statistics.median(samples), 3)
+        spread = round(max(samples) - min(samples), 3)
+        print(
+            f"# {name}: median={timings[name]}s spread={spread}s "
+            f"runs={[round(s, 3) for s in samples]} rows={n}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -108,6 +131,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "repeats": REPEATS,
+                "stat": "median",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
