@@ -723,6 +723,100 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — *Connected Components
+    in MapReduce and Beyond*, SoCC'14): converges in O(log² n) rounds
+    **independent of graph diameter**, unlike min-label propagation
+    (``connected_components``) which needs one round per hop and so
+    degrades to O(diameter) full-label shuffles on a pathological
+    long-chain component. This is the scale-safe default for 100 TB
+    corpora; the propagation loop remains available for the small-
+    diameter near-dup clusters it was written for.
+
+    Per round, on the current edge set E (kept distinct, no
+    self-loops):
+
+    - **large-star**: group the symmetrized neighborhood by node ``u``;
+      with ``m = min(N(u) ∪ {u})``, emit ``(v, m)`` for every strictly
+      larger neighbor ``v > u``.
+    - **small-star**: orient every edge large→small, group by the large
+      endpoint ``u`` (so ``N(u)`` are all smaller); with
+      ``m = min(N(u))``, emit ``(v, m)`` for each ``v ∈ N(u)`` plus
+      ``(u, m)``.
+
+    Both steps are one shuffle each on node ids (8-byte keys — never
+    payload data), and each round strictly contracts toward a star
+    forest rooted at per-component minima; at the fixpoint every edge
+    is ``(node, component_min)``. ``localCheckpoint`` truncates lineage
+    per round, same as the propagation loop.
+
+    ``edges`` columns: (doc_a, doc_b); ``nodes``: (doc_id,).
+    Output: (doc_id, component) — identical contract to
+    ``connected_components``, so the same SQL oracle pins both.
+    """
+    e = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            neigh.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+        )
+        large = (
+            neigh.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        oriented = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("bu"),
+            F.least(F.col("u"), F.col("v")).alias("bv"),
+        )
+        small_min = oriented.groupBy("bu").agg(F.min("bv").alias("m"))
+        small = oriented.join(small_min, "bu")
+        new_e = (
+            small.select(F.col("bv").alias("u"), F.col("m").alias("v"))
+            .union(small.select(F.col("bu").alias("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint: both distinct sets, so empty symmetric difference
+        # ⟺ equal; limit(1) short-circuits the scan
+        changed = (
+            new_e.exceptAll(e).limit(1).count()
+            + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — at O(log² n) expected rounds this indicates a bug, "
+            "not an input property"
+        )
+    # at the fixpoint e is a star forest (child, component_min);
+    # unmatched nodes are singleton components
+    roots = e.groupBy("u").agg(F.min("v").alias("_component"))
+    return (
+        nodes.join(roots, nodes.doc_id == roots.u, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_component"), F.col("doc_id")).alias("component"),
+        )
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH candidate pairs as edges →
     connected components → (doc_id, component) with component = min
@@ -730,6 +824,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     edges = lsh_candidate_pairs(docs)
     return connected_components(edges, docs.select("doc_id"))
+
+
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as ``dedup_components`` through the diameter-
+    independent large-star/small-star contraction — the 100 TB path.
+    Pinned by the same recursive-CTE oracle."""
+    docs = table(spark, sf_dir, "documents")
+    edges = lsh_candidate_pairs(docs)
+    return connected_components_star(edges, docs.select("doc_id"))
 
 
 def _sql_components() -> str:
@@ -769,9 +872,10 @@ def resolve_duplicates(labels: DataFrame) -> DataFrame:
 
 
 def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dedup: LSH pairs → connected components →
+    """End-to-end near-dedup: LSH pairs → connected components (via
+    the diameter-independent star contraction — the scale default) →
     keep-one survivors with per-cluster removal counts."""
-    return resolve_duplicates(dedup_components(spark, sf_dir))
+    return resolve_duplicates(dedup_components_star(spark, sf_dir))
 
 
 def _sql_resolve() -> str:
@@ -807,11 +911,13 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
+    "dedup_components_star": dedup_components_star,
     "dedup_resolve": dedup_resolve,
 }
 
 DEDUP_ORACLES: dict[str, str] = {
     "dedup_components": _sql_components(),
+    "dedup_components_star": _sql_components(),
     "dedup_resolve": _sql_resolve(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signature": _sql_minhash(),
