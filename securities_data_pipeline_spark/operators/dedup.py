@@ -134,22 +134,34 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     difference between a scan-speed map stage and a corpus-wide
     shuffle of exploded shingle rows.
 
-    The hash family is 8 disjoint 16-bit slices of ONE md5 per shingle
+    The hash family is disjoint 16-bit slices of ⌈n/8⌉ md5s per shingle
     (md5 bits are independent, the standard one-hash-many-slices trick)
-    — 8× fewer md5 evaluations than 8 seeded hashes, and byte-identical
-    in any engine with md5. The md5 array is materialized in its own
-    projection so the 8 slice-mins share it instead of re-hashing.
+    — 8× fewer hash evaluations than n seeded hashes, and byte-identical
+    in any engine with md5. md5 #0 is the unsalted ``md5(shingle)``
+    (so the default 8-hash geometry is bit-stable across versions);
+    md5 #i is ``md5('i:' || shingle)``. The md5 arrays materialize in
+    their own projection so the slice-mins share them instead of
+    re-hashing.
     """
+    n_md5 = -(-n_hashes // 8)  # 8 × 16-bit slices per 32-hex md5
+
+    # NB: factory functions, not `lambda x, _i=i:` default-arg binding —
+    # F.transform treats a two-parameter lambda as (element, index) and
+    # would bind the salt/offset to the array-index column
+    def _salted(i: int):
+        if i == 0:
+            return lambda x: F.md5(x)
+        return lambda x: F.md5(F.concat(F.lit(f"{i}:"), x))
+
+    def _slice(o: int):
+        return lambda h: F.conv(F.substring(h, 4 * o + 1, 4), 16, 10).cast("long")
+
     hashed = with_shingles(docs, ["doc_id"]).select(
-        "doc_id", F.transform(F.col("sh"), lambda x: F.md5(x)).alias("hs")
+        "doc_id",
+        *[F.transform(F.col("sh"), _salted(i)).alias(f"hs{i}") for i in range(n_md5)],
     )
     slices = [
-        F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: F.conv(F.substring(h, 4 * s + 1, 4), 16, 10).cast("long"),
-            )
-        ).alias(f"mh{s}")
+        F.array_min(F.transform(F.col(f"hs{s // 8}"), _slice(s % 8))).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
     return hashed.select("doc_id", *slices)
@@ -160,7 +172,9 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_slice(s: int, expr: str = "shingle") -> str:
-    return f"MIN(CAST(concat('0x', substring(md5({expr}), {4 * s + 1}, 4)) AS BIGINT))"
+    i, o = divmod(s, 8)
+    h = f"md5({expr})" if i == 0 else f"md5('{i}:' || {expr})"
+    return f"MIN(CAST(concat('0x', substring({h}, {4 * o + 1}, 4)) AS BIGINT))"
 
 
 def _sql_minhash(n_hashes: int = N_MINHASH) -> str:
@@ -289,6 +303,24 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """
+
+
+N_MINHASH_WIDE = 32
+LSH_BANDS_WIDE = 8  # 8 bands × 4 rows over the 32-slice signature
+
+
+def dedup_minhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped LSH geometry: 32 hashes (16-bit slices over 4
+    salted md5s) banded 8×4, vs the demo 8×(4×2). Same single-shuffle
+    bucket plan — ``minhash_signatures``/``banded_signatures``/
+    ``bucket_pairs`` are geometry-parametric, so widening the sketch
+    changes only per-row projection width (4 md5/shingle instead of 1)
+    and the band-key length (64-bit), never the shuffle structure.
+    The 8×4 S-curve (threshold ≈ (1/8)^(1/4) ≈ 0.6 Jaccard) is the
+    selectivity a production near-dedup run wants; oracle-pinned like
+    the narrow tiers."""
+    docs = table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, bands=LSH_BANDS_WIDE, n_hashes=N_MINHASH_WIDE)
 
 
 MAX_BUCKET = 16  # stop-shingle cap for the capped variant
@@ -905,6 +937,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_capped": dedup_minhash_pairs_capped,
+    "dedup_minhash_pairs_wide": dedup_minhash_pairs_wide,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -923,6 +956,9 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_minhash_signature": _sql_minhash(),
     "dedup_minhash_pairs": _sql_lsh_pairs(),
     "dedup_minhash_pairs_capped": _sql_lsh_pairs_capped(),
+    "dedup_minhash_pairs_wide": _sql_lsh_pairs(
+        bands=LSH_BANDS_WIDE, n_hashes=N_MINHASH_WIDE
+    ),
     "dedup_minhash_estimate": _sql_minhash_estimate(),
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
