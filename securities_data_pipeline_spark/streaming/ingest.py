@@ -368,6 +368,72 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 """
 
 
+def s_stream_join_attrib_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — attribution where
+    un-converted views are first-class output (null-padded purchase
+    columns), the shape real attribution pipelines need.
+
+    Exercises the state-cleanup path the inner join never touches:
+    matched rows emit immediately, but an UNMATCHED view can only emit
+    once the watermark proves no purchase within [view_ts, view_ts+1h]
+    can still arrive — i.e. when ``view_ts + 1h`` falls behind the
+    global watermark, the state store evicts the view AND emits it
+    null-padded. With a 0-second watermark delay the final GLOBAL
+    watermark is min(max view ts, max purchase ts) — Spark takes the
+    min over per-input watermarks, so the lagging purchase side holds
+    eviction back (same honest-watermark technique as
+    ``s_stream_session_rollup``). The only rows still open at
+    end-of-stream are unmatched views within an hour of that
+    watermark — the oracle excludes exactly those (strict ``<`` on
+    the eviction bound, matching the state store's "can still match"
+    test).
+    State is keyed by user_id and bounded by watermark + 1h.
+    """
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "0 seconds")
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"), "value")
+        .withWatermark("buy_ts", "0 seconds")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(F.col("v_user").alias("user_id"), "view_ts", "buy_ts", "value")
+    return run_to_memory(joined, "append")
+
+
+S_JOIN_ATTRIB_OUTER_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id, ts AS buy_ts, value FROM events WHERE event_type = 'purchase'
+), mx AS (
+  -- Spark's GLOBAL watermark is the MIN over per-input watermarks:
+  -- each side tracks max event time over ITS filtered rows, so the
+  -- lagging side (purchases) holds the join's watermark back
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+  ) AS watermark
+)
+SELECT v.user_id, v.view_ts, b.buy_ts, b.value
+FROM v
+LEFT JOIN b
+  ON v.user_id = b.user_id
+ AND b.buy_ts >= v.view_ts AND b.buy_ts <= v.view_ts + INTERVAL 1 HOUR
+WHERE b.buy_ts IS NOT NULL
+   OR v.view_ts + INTERVAL 1 HOUR < (SELECT watermark FROM mx)
+"""
+
+
 def s_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joined to the
     (bounded) customer dimension, rolled up per day × market segment.
@@ -498,6 +564,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_sliding_rollup": s_stream_sliding_rollup,
     "s_stream_user_stats_stateful": s_stream_user_stats_stateful,
     "s_stream_join_attrib": s_stream_join_attrib,
+    "s_stream_join_attrib_outer": s_stream_join_attrib_outer,
     "s_stream_enrich_static": s_stream_enrich_static,
     "s_stream_session_rollup": s_stream_session_rollup,
     "s_stream_dedup_within_watermark": s_stream_dedup_within_watermark,
@@ -509,6 +576,7 @@ STREAMING_ORACLES: dict[str, str] = {
     "s_stream_sliding_rollup": S_SLIDING_SQL,
     "s_stream_user_stats_stateful": S_USER_STATS_SQL,
     "s_stream_join_attrib": S_JOIN_ATTRIB_SQL,
+    "s_stream_join_attrib_outer": S_JOIN_ATTRIB_OUTER_SQL,
     "s_stream_enrich_static": S_ENRICH_STATIC_SQL,
     "s_stream_session_rollup": S_SESSION_SQL,
     "s_stream_dedup_within_watermark": S_DEDUP_SQL,
