@@ -78,7 +78,9 @@ def sp_stock_symbols_source(
         frames.append(t)
     sp = pd.concat(frames, ignore_index=True)
     for n in (400, 500, 600):
-        sp[f"in_sp{n}"] = sp[f"in_sp{n}"].fillna(False).astype(bool)
+        # .eq(True): True→True, NaN/False→False without the object-
+        # dtype fillna downcast warning pandas 2.x emits
+        sp[f"in_sp{n}"] = sp[f"in_sp{n}"].eq(True)
     sp.columns = [str(c) for c in sp.columns]
     return spark.createDataFrame(sp)
 
