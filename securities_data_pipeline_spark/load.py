@@ -118,7 +118,22 @@ def merge_upsert(
     # partitions on the old column set would make later reads sample-
     # dependent (Delta/mergeSchema is the at-scale answer; a full
     # rewrite per evolution is the honest parquet one).
-    evolving = bool(set(incoming.columns) - set(target.columns))
+    # Case-insensitive evolution detection, matching the warehouse
+    # sink's evolve_statements: a batch 'Close' must map onto an
+    # existing 'close' (rename to the table's casing), not trigger a
+    # full rewrite that unions in a case-distinct duplicate column
+    # splitting subsequent reads/merges across the two.
+    target_by_fold = {c.casefold(): c for c in target.columns}
+    renames = {
+        c: target_by_fold[c.casefold()]
+        for c in incoming.columns
+        if c.casefold() in target_by_fold and c != target_by_fold[c.casefold()]
+    }
+    if renames:
+        incoming = incoming.withColumnsRenamed(renames)
+    evolving = bool(
+        {c.casefold() for c in incoming.columns} - set(target_by_fold)
+    )
     if partition_by and not evolving:
         # restrict the rewrite to partitions present in the batch:
         # IN-list on partition values → partition pruning at the scan

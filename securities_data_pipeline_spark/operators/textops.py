@@ -480,11 +480,15 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
        (count desc, token asc).
 
     The result is provably the true top-N whenever the Nth frequency
-    exceeds total/C — trivially satisfied here (50-word vocabulary vs
-    C=64/partition) and stated as the operating condition for
-    production C sizing. Because the output is exact under that
-    condition, a plain SQL top-N is the oracle — the approximate
-    ALGORITHM is verified, not an approximate answer.
+    exceeds total/(C+1) (pigeonhole over per-partition MG guarantees).
+    That operating condition is ASSERTED at runtime, not assumed: a
+    corpus/partitioning where the Nth recounted frequency falls at or
+    below total/(C+1) raises instead of returning a possibly-partial
+    top-N whose content would depend on physical partitioning. Because
+    the output is exact under the (checked) condition, a plain SQL
+    top-N is the oracle — the approximate ALGORITHM is verified, not
+    an approximate answer. The check costs one extra count pass over
+    the token stream plus two jobs on the checkpointed 20-row result.
 
     Tokenization and the top-N tail are the SAME code as ``t_vocab``
     (``token_stream`` / ``ranked_head``), so the two operators cannot
@@ -495,7 +499,19 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    return ranked_head(exact, HH_TOPN, "rank")
+    result = ranked_head(exact, HH_TOPN, "rank").localCheckpoint(eager=True)
+    total = toks.count()
+    if total:
+        nth = result.agg(F.min("n_occurrences")).first()[0]
+        if nth is None or nth * (HH_CAPACITY + 1) <= total:
+            raise RuntimeError(
+                f"t_heavy_hitters exactness condition violated: rank-"
+                f"{HH_TOPN} frequency {nth} ≤ total/(C+1) = "
+                f"{total}/{HH_CAPACITY + 1} — the Misra-Gries survival "
+                "guarantee no longer covers the requested top-N; raise "
+                "HH_CAPACITY (or lower HH_TOPN) for this corpus"
+            )
+    return result
 
 
 T_HEAVY_HITTERS_SQL = f"""

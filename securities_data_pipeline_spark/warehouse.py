@@ -52,6 +52,15 @@ class DbapiConnection(Protocol):  # driver-side warehouse connection
     def execute(self, sql: str): ...
 
 
+def _exec(con, sql: str):
+    """Run one statement on either DBAPI shape: connection-level
+    ``execute`` (duckdb, psycopg3) or strict DBAPI 2.0 cursor-level
+    only (psycopg2 — its connection object has no ``execute``)."""
+    if hasattr(con, "execute"):
+        return con.execute(sql)
+    return con.cursor().execute(sql)
+
+
 def quote_ident(name: str) -> str:
     """Defensively quote an SQL identifier (double-quote, doubled)."""
     if not name or any(ch in name for ch in "\x00\n\r"):
@@ -67,6 +76,7 @@ def merge_statements(
     *,
     mode: str = "merge",
     dialect: str = "portable",
+    null_cols: list[str] | None = None,
 ) -> list[str]:
     """DML to fold the staged batch into ``table``, keyed on ``keys``.
 
@@ -75,6 +85,13 @@ def merge_statements(
     ``ansi`` (Snowflake/BigQuery/SQL Server): single MERGE INTO.
     ``replace`` mode empties the table first (FX-symbols disposition,
     reference load.py:108-110) regardless of dialect.
+
+    ``null_cols``: target-only columns (present in the warehouse table,
+    absent from the batch — the post-schema-evolution case). Matched
+    rows REPLACE wholesale (dlt parity): the portable DELETE+INSERT
+    nulls them structurally, and the ansi MERGE must do so explicitly
+    (``UPDATE SET t.col = NULL``) or the two dialects would keep
+    different surviving data for the same call.
     """
     t, s = quote_ident(table), quote_ident(stage)
     collist = ", ".join(quote_ident(c) for c in cols)
@@ -90,7 +107,8 @@ def merge_statements(
         ]
     if dialect == "ansi":
         sets = ", ".join(
-            f"t.{quote_ident(c)} = s.{quote_ident(c)}" for c in cols if c not in keys
+            [f"t.{quote_ident(c)} = s.{quote_ident(c)}" for c in cols if c not in keys]
+            + [f"t.{quote_ident(c)} = NULL" for c in (null_cols or [])]
         )
         svals = ", ".join(f"s.{quote_ident(c)}" for c in cols)
         matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
@@ -210,31 +228,49 @@ class JdbcMergeSink:
         stage = self.stager or _default_stager(self.url, self.jdbc_options)
         stage(incoming, stage_table)
         ddl: list[str] = []
+        target_only: list[str] = []
         if self.columns_of is not None:
-            ddl = evolve_statements(incoming, table, self.columns_of(table))
+            existing = self.columns_of(table)
+            ddl = evolve_statements(incoming, table, existing)
+            # columns the warehouse has but this batch lacks: matched
+            # rows replace wholesale under both dialects, so the ansi
+            # MERGE nulls these explicitly (see merge_statements)
+            batch_folded = {c.casefold() for c in incoming.columns}
+            target_only = sorted(
+                c for c in existing if c.casefold() not in batch_folded
+            )
         stmts = ddl + merge_statements(
-            table, stage_table, keys, incoming.columns, mode=mode, dialect=self.dialect
+            table,
+            stage_table,
+            keys,
+            incoming.columns,
+            mode=mode,
+            dialect=self.dialect,
+            null_cols=target_only,
         )
         con = self.connection_factory()
         try:
-            con.execute("BEGIN TRANSACTION")
+            _exec(con, "BEGIN TRANSACTION")
             for stmt in stmts:
-                con.execute(stmt)
-            con.execute("COMMIT")
+                _exec(con, stmt)
+            _exec(con, "COMMIT")
         except Exception:
             try:
-                con.execute("ROLLBACK")
+                _exec(con, "ROLLBACK")
             except Exception:
                 pass  # connection may already be dead; original error wins
             raise
         finally:
             try:
-                con.execute(f"DROP TABLE IF EXISTS {quote_ident(stage_table)}")
+                _exec(con, f"DROP TABLE IF EXISTS {quote_ident(stage_table)}")
             except Exception:
                 pass  # stale stage is an audit artifact, not a data bug
-        if hasattr(con, "commit"):
-            try:
-                con.commit()  # autocommit-off DBAPI drivers (psycopg-style)
-            except Exception:
-                pass  # engines where the COMMIT statement already closed the txn
+            # the driver-level commit lives in the finally so the DROP
+            # persists on the FAILURE path too (autocommit-off drivers
+            # would otherwise leak a stage table per failed merge)
+            if hasattr(con, "commit"):
+                try:
+                    con.commit()
+                except Exception:
+                    pass  # engines where COMMIT already closed the txn
         return stmts

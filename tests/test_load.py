@@ -75,6 +75,35 @@ def test_merge_does_not_touch_other_partitions(spark, tmp_path):
     assert out[(D(2025, 1, 1), "AAA")].volume == 10
 
 
+def test_case_variant_batch_column_maps_onto_existing(spark, tmp_path):
+    """A batch spelling an existing column with different case ('Close'
+    vs 'close') must merge INTO that column — not trigger a schema-
+    evolving rewrite that adds a case-distinct duplicate splitting
+    later reads across the two (matches the warehouse sink's
+    case-folded evolve_statements)."""
+    from securities_data_pipeline_spark.load import merge_upsert
+
+    path = str(tmp_path / "prices")
+    merge_upsert(
+        spark,
+        spark.createDataFrame([("AAA", 1.0)], "symbol string, close double"),
+        path,
+        keys=["symbol"],
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [("AAA", 9.0), ("BBB", 2.0)], "symbol string, Close double"
+        ),
+        path,
+        keys=["symbol"],
+    )
+    out = spark.read.parquet(path)
+    assert [c.lower() for c in out.columns].count("close") == 1
+    got = {r.symbol: r.close for r in out.collect()}
+    assert got == {"AAA": 9.0, "BBB": 2.0}
+
+
 def test_incoming_duplicate_pks_are_deduped(spark):
     """dlt tolerates in-batch duplicate PKs; MERGE must see exactly one
     row per key (SURVEY §7 risk #4) — kept deterministically."""
@@ -183,6 +212,106 @@ def test_ansi_merge_statement_shape():
     assert 't."date_stamp" = s."date_stamp" AND t."symbol" = s."symbol"' in m
     assert 'WHEN MATCHED THEN UPDATE SET t."close" = s."close"' in m
     assert 'WHEN NOT MATCHED THEN INSERT ("date_stamp", "symbol", "close")' in m
+
+
+def test_ansi_merge_nulls_target_only_columns():
+    """Dialect parity (dlt = full-row replacement): when the batch has
+    fewer columns than the target, portable DELETE+INSERT nulls the
+    target-only columns structurally; the ansi MERGE must null them
+    EXPLICITLY or the two dialects keep different surviving data."""
+    from securities_data_pipeline_spark.warehouse import merge_statements
+
+    stmts = merge_statements(
+        "prices", "prices__stage", ["symbol"],
+        ["symbol", "close"], dialect="ansi", null_cols=["adj_close", "volume"],
+    )
+    m = stmts[0]
+    assert 'UPDATE SET t."close" = s."close", t."adj_close" = NULL, t."volume" = NULL' in m
+    # portable ignores null_cols (DELETE+INSERT already replaces rows)
+    stmts = merge_statements(
+        "prices", "prices__stage", ["symbol"],
+        ["symbol", "close"], dialect="portable", null_cols=["adj_close"],
+    )
+    assert all("adj_close" not in s for s in stmts)
+
+
+def test_jdbc_merge_narrow_batch_nulls_target_only_columns(spark):
+    """End-to-end (portable/DuckDB): a matched row merged from a batch
+    missing a target column comes out with that column NULL — the
+    semantic the ansi MERGE's explicit NULL sets mirror."""
+    con, sink = _duckdb_warehouse(spark)
+    sink.columns_of = lambda t: {
+        r[0] for r in con.execute(
+            f"SELECT column_name FROM information_schema.columns WHERE table_name = '{t}'"
+        ).fetchall()
+    }
+    con.execute("CREATE TABLE prices (symbol VARCHAR, close DOUBLE, volume BIGINT)")
+    con.execute("INSERT INTO prices VALUES ('AAA', 1.0, 100), ('BBB', 2.0, 200)")
+    batch = spark.createDataFrame([("AAA", 9.0)], "symbol string, close double")
+    stmts = sink.write(batch, "prices", ["symbol"])
+    assert all("ALTER TABLE" not in s for s in stmts)  # nothing to evolve
+    out = {r[0]: (r[1], r[2]) for r in con.execute("SELECT * FROM prices").fetchall()}
+    assert out["AAA"] == (9.0, None)  # matched → replaced wholesale
+    assert out["BBB"] == (2.0, 200)  # untouched
+
+
+def test_jdbc_sink_works_with_cursor_only_connection(spark):
+    """psycopg2-shaped driver: the connection object has NO execute();
+    all statements must go through cursor().execute()."""
+    con, sink = _duckdb_warehouse(spark)
+
+    class CursorOnly:
+        # DBAPI 2.0 strict: cursors share the connection's transaction
+        def cursor(self):
+            return con
+
+        def commit(self):
+            try:
+                con.commit()
+            except Exception:
+                pass
+
+    sink.connection_factory = CursorOnly
+    con.execute("CREATE TABLE fx (symbol VARCHAR, rate DOUBLE)")
+    b = spark.createDataFrame([("EUR", 1.1)], "symbol string, rate double")
+    sink.write(b, "fx", ["symbol"])
+    sink.write(
+        spark.createDataFrame([("EUR", 1.3), ("JPY", 0.007)], "symbol string, rate double"),
+        "fx", ["symbol"],
+    )
+    assert dict(con.execute("SELECT symbol, rate FROM fx").fetchall()) == {
+        "EUR": 1.3, "JPY": 0.007,
+    }
+
+
+def test_jdbc_sink_commits_stage_drop_on_failure(spark):
+    """Failure path: the stage-table DROP in the finally block must be
+    followed by a driver-level commit() (autocommit-off drivers would
+    otherwise leak one stage table per failed merge)."""
+    from securities_data_pipeline_spark.warehouse import JdbcMergeSink
+
+    calls: list[str] = []
+
+    class FailingCon:
+        def execute(self, sql):
+            calls.append(sql)
+            if sql.startswith("DELETE FROM"):
+                raise RuntimeError("warehouse rejected the merge")
+
+        def commit(self):
+            calls.append("<commit>")
+
+    sink = JdbcMergeSink(
+        url="jdbc:x://", connection_factory=FailingCon, stager=lambda df, t: None
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("EUR", 1.1)], "symbol string, rate double")
+    with _pytest.raises(RuntimeError, match="rejected"):
+        sink.write(df, "prices", ["symbol"])
+    drop_idx = next(i for i, c in enumerate(calls) if c.startswith("DROP TABLE"))
+    assert "<commit>" in calls[drop_idx + 1:], "commit must follow the DROP"
+    assert any(c == "ROLLBACK" for c in calls[:drop_idx])
 
 
 def test_default_stager_builds_jdbc_write(spark, monkeypatch):

@@ -555,6 +555,19 @@ def test_heavy_hitters_candidates_bounded_and_exact(spark):
     assert "HOT" in cand
 
 
+def test_heavy_hitters_guard_raises_when_condition_violated(spark, monkeypatch):
+    """The exactness condition (rank-N frequency > total/(C+1)) is
+    asserted at runtime: with C patched to 1 the guard must trip
+    loudly rather than return a partitioning-dependent top-N."""
+    import pytest as _pytest
+
+    from securities_data_pipeline_spark.operators import textops
+
+    monkeypatch.setattr(textops, "HH_CAPACITY", 1)
+    with _pytest.raises(RuntimeError, match="exactness condition"):
+        textops.t_heavy_hitters(spark, "/root/testdata/sf0.001")
+
+
 def test_bigram_logprob_sees_word_order(spark):
     """The point of the bigram tier: two docs with the SAME token
     multiset but different order must score differently (a unigram LM
