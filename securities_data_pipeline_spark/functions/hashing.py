@@ -43,3 +43,20 @@ def sql_stable_hash64(expr: str) -> str:
 
 def sql_seeded_hash64(expr: str, seed: int) -> str:
     return sql_stable_hash64(f"concat('{seed}:', {expr})")
+
+
+def surrogate_key(*cols: Column | str) -> Column:
+    """dbt-utils ``generate_surrogate_key`` parity (the helper the
+    reference stubs at dw_transformer stg_stock_symbols.sql:2): md5 of
+    the '-'-joined string casts of the key parts, with NULLs first
+    coalesced to dbt's sentinel so (NULL, 'a') and ('a', NULL) hash
+    differently (a bare concat_ws would silently skip NULLs and
+    collide them)."""
+    parts = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit("_dbt_utils_surrogate_key_null_"),
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws("-", *parts))

@@ -91,3 +91,23 @@ def test_transform_prices_fx_recode(spark):
 def test_transform_prices_stock_no_recode(spark):
     out = transform_prices(_wide(spark), "sp_stocks")
     assert {r.symbol for r in out.collect()} == {"AAA", "JPY=X"}
+
+
+def test_surrogate_key_dbt_parity(spark):
+    """md5('a-b') for plain values; NULL coalesces to dbt's sentinel
+    BEFORE the join so null position matters and (NULL,'a') ≠ ('a',NULL)."""
+    import hashlib
+
+    from securities_data_pipeline_spark.functions.hashing import surrogate_key
+
+    df = spark.createDataFrame(
+        [("a", "b"), (None, "a"), ("a", None)], "x string, y string"
+    )
+    got = [r.k for r in df.select(surrogate_key("x", "y").alias("k")).collect()]
+    sent = "_dbt_utils_surrogate_key_null_"
+    want = [
+        hashlib.md5(s.encode()).hexdigest()
+        for s in ("a-b", f"{sent}-a", f"a-{sent}")
+    ]
+    assert got == want
+    assert len(set(got)) == 3
