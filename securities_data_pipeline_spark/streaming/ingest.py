@@ -34,6 +34,16 @@ from pyspark.sql import types as T
 
 from securities_data_pipeline_spark.sources.tables import table
 
+#: transformWithStateInPandas needs protobuf for its state-server
+#: protocol — uninstallable in this container (see
+#: s_stream_topk_transform_state docstring)
+try:
+    import importlib.util as _ilu
+
+    HAVE_TWS_DEPS = _ilu.find_spec("google.protobuf") is not None
+except Exception:  # pragma: no cover
+    HAVE_TWS_DEPS = False
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events landing file(s), with the same ns→µs
@@ -326,6 +336,116 @@ GROUP BY user_id
 """
 
 
+def s_stream_topk_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running top-3 values + count via
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-stateful v2
+    API (typed state handles + timers; the designated successor to
+    ``applyInPandasWithState``, which ``s_stream_user_stats_stateful``
+    keeps covered). The processor holds a fixed-size ValueState —
+    (count, v1≥v2≥v3) — per key: O(1) state per user regardless of
+    stream length, the bounded-state shape a 100 TB keyed accumulator
+    must have. Requires the RocksDB state-store provider (scoped to
+    this query and restored — transformWithState refuses the default
+    HDFS-backed store).
+
+    Oracle: rank-by-value per user; top-3 VALUES are order-insensitive
+    to tie-breaks, so the result is deterministic and SQL-exact.
+
+    ENVIRONMENT BLOCKER (same class as delta-spark): the
+    transformWithState Python worker speaks a protobuf-based
+    state-server protocol, so it needs the ``protobuf`` package —
+    absent from this container and uninstallable here. The operator is
+    registered only when ``google.protobuf`` imports
+    (``HAVE_TWS_DEPS``); the skipif-gated pytest and the oracle entry
+    activate automatically wherever it does.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "topk", "n long, v1 double, v2 double, v3 double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._st.get() if self._st.exists() else None
+            n = int(prior[0]) if prior else 0
+            best = [v for v in (prior[1:] if prior else ()) if v is not None]
+            for pdf in rows:
+                vals = pdf["value"].astype(float)
+                n += len(vals)
+                best = sorted(best + vals.tolist(), reverse=True)[:3]
+            padded = (best + [None, None, None])[:3]
+            self._st.update((n, *padded))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "top1": [padded[0]],
+                    "top2": [padded[1]],
+                    "top3": [padded[2]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    result = ev.groupBy("user_id").transformWithStateInPandas(
+        TopK(),
+        outputStructType=(
+            "user_id long, n_events long, top1 double, top2 double, top3 double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory(result, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # update mode re-emits per micro-batch; final state = max n_events
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "top1", "top2", "top3"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.top1", "s.top2", "s.top3")
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        *[F.round(F.col(c), 6).alias(c) for c in ("top1", "top2", "top3")],
+    )
+
+
+S_TOPK_TWS_SQL = """
+WITH ranked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       MAX(n_events) AS n_events,
+       round(MAX(CASE WHEN rn = 1 THEN value END), 6) AS top1,
+       round(MAX(CASE WHEN rn = 2 THEN value END), 6) AS top2,
+       round(MAX(CASE WHEN rn = 3 THEN value END), 6) AS top3
+FROM ranked
+GROUP BY user_id
+"""
+
+
 def s_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchase attribution — each view
     joined to the same user's purchases within the following hour.
@@ -570,6 +690,11 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_dedup_within_watermark": s_stream_dedup_within_watermark,
 }
 
+if HAVE_TWS_DEPS:  # environment-gated: protobuf-backed state protocol
+    STREAMING_QUERIES["s_stream_topk_transform_state"] = (
+        s_stream_topk_transform_state
+    )
+
 STREAMING_ORACLES: dict[str, str] = {
     "s_stream_daily_rollup": S_DAILY_ROLLUP_SQL,
     "s_stream_dedup_keys": S_DEDUP_SQL,
@@ -581,3 +706,6 @@ STREAMING_ORACLES: dict[str, str] = {
     "s_stream_session_rollup": S_SESSION_SQL,
     "s_stream_dedup_within_watermark": S_DEDUP_SQL,
 }
+
+if HAVE_TWS_DEPS:
+    STREAMING_ORACLES["s_stream_topk_transform_state"] = S_TOPK_TWS_SQL

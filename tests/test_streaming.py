@@ -261,3 +261,46 @@ def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
     # idempotent no-op restart: nothing new → nothing written
     run_once()
     assert spark.read.parquet(sink).count() == 2000
+
+
+def test_stream_outer_join_emits_unmatched_views(spark):
+    """Left-outer interval join: every inner-join row present, plus
+    null-padded unmatched views whose match window closed before the
+    global watermark — and no unmatched view younger than that."""
+    from securities_data_pipeline_spark.streaming.ingest import (
+        s_stream_join_attrib,
+        s_stream_join_attrib_outer,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inner = {tuple(map(str, r)) for r in s_stream_join_attrib(spark, sf).collect()}
+    outer = s_stream_join_attrib_outer(spark, sf).collect()
+    matched = {tuple(map(str, r)) for r in outer if r.buy_ts is not None}
+    assert matched == inner
+    unmatched = [r for r in outer if r.buy_ts is None]
+    assert unmatched, "sf0.001 must yield some un-converted views"
+    assert all(r.value is None for r in unmatched)
+
+
+def test_transform_with_state_topk():
+    """Spark 4 transformWithStateInPandas surface — activates wherever
+    protobuf (its state-server protocol dep) installs; environment-
+    blocked in this container like delta-spark."""
+    import pytest
+
+    from securities_data_pipeline_spark.streaming.ingest import HAVE_TWS_DEPS
+
+    if not HAVE_TWS_DEPS:
+        pytest.skip("protobuf unavailable: transformWithState cannot run here")
+    from securities_data_pipeline_spark.session import get_spark
+    from securities_data_pipeline_spark.streaming.ingest import (
+        s_stream_topk_transform_state,
+    )
+
+    spark = get_spark("tws-test")
+    out = {r.user_id: r for r in s_stream_topk_transform_state(
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    assert out, "stateful top-k produced no rows"
+    some = next(iter(out.values()))
+    assert some.top1 is not None and some.n_events >= 1
