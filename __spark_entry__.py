@@ -37,7 +37,8 @@ _ROUND3_FRONT = (
     "w4_session_windows", "w5_lead_lag",
     # new in round 3
     "dedup_minhash_pairs_wide", "dedup_components_star",
-    "s_stream_join_attrib_outer",
+    "s_stream_join_attrib_outer", "s_stream_join_attrib_full",
+    "t_chunk_sliding",
 )
 _FRONT_RANK = {name: i for i, name in enumerate(_ROUND3_FRONT)}
 

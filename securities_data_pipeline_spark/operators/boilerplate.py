@@ -112,6 +112,67 @@ GROUP BY doc_id
 """
 
 
+SLIDE_W = 16  # words per sliding chunk
+SLIDE_STRIDE = 8  # 50% overlap — the context-packing/RAG default
+
+
+def t_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunker — the doc→chunk explosion a
+    training/RAG pipeline runs before embedding or packing: windows of
+    ``SLIDE_W`` words every ``SLIDE_STRIDE`` (50 % overlap), the tail
+    window kept short rather than dropped (no text is silently lost).
+    Output: (doc_id, chunk_idx, n_tokens, chunk_hash).
+
+    Plan: one narrow projection (``let``-bound word array shared by
+    all windows) then a single explode — zero shuffles, scan-speed at
+    any corpus size; the hash is the 60-bit md5 family so downstream
+    chunk-level dedup/joins shuffle 8-byte ints, never chunk text.
+    """
+    docs = table(spark, sf_dir, "documents")
+    chunks = let(
+        words_col(),
+        lambda ws: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size(ws) - F.lit(1)) / F.lit(SLIDE_STRIDE)).cast("int"),
+            ),
+            lambda j: F.struct(
+                j.cast("long").alias("chunk_idx"),
+                F.least(
+                    F.lit(SLIDE_W), F.size(ws) - j * SLIDE_STRIDE
+                ).cast("long").alias("n_tokens"),
+                stable_hash64(
+                    F.array_join(F.slice(ws, j * SLIDE_STRIDE + 1, SLIDE_W), " ")
+                ).alias("chunk_hash"),
+            ),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_hash"
+    )
+
+
+def _sql_chunk_sliding() -> str:
+    gram = sql_stable_hash64(
+        f"array_to_string(w[CAST(j * {SLIDE_STRIDE} + 1 AS BIGINT) : "
+        f"CAST(j * {SLIDE_STRIDE} + {SLIDE_W} AS BIGINT)], ' ')"
+    )
+    return f"""
+WITH ws AS (
+  SELECT doc_id, {_sql_words()} AS w FROM documents
+), wins AS (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(floor((len(w) - 1) / {SLIDE_STRIDE}) AS BIGINT) + 1)) AS j
+  FROM ws
+)
+SELECT doc_id,
+       CAST(j AS BIGINT) AS chunk_idx,
+       CAST(least({SLIDE_W}, len(w) - j * {SLIDE_STRIDE}) AS BIGINT) AS n_tokens,
+       {gram} AS chunk_hash
+FROM wins
+"""
+
+
 def t_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Masked rewrite of the token stream from a denylist, with the
     per-document masked-token count."""
@@ -278,6 +339,7 @@ FROM events
 
 BOILERPLATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_chunk_dedup": t_chunk_dedup,
+    "t_chunk_sliding": t_chunk_sliding,
     "t_redact_terms": t_redact_terms,
     "t_span_corruption": t_span_corruption,
     "t_pii_scan": t_pii_scan,
@@ -285,6 +347,7 @@ BOILERPLATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 BOILERPLATE_ORACLES: dict[str, str] = {
     "t_chunk_dedup": T_CHUNK_DEDUP_SQL,
+    "t_chunk_sliding": _sql_chunk_sliding(),
     "t_redact_terms": T_REDACT_SQL,
     "t_span_corruption": _sql_span_corruption(),
     "t_pii_scan": _sql_pii_scan(),

@@ -554,6 +554,68 @@ WHERE b.buy_ts IS NOT NULL
 """
 
 
+def s_stream_join_attrib_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both un-converted
+    views AND un-attributed purchases survive, null-padded on the
+    opposite side. Exercises state eviction on BOTH stores, which the
+    left-outer variant only half-covers: an unmatched VIEW emits when
+    the watermark passes ``view_ts + 1h`` (no purchase in its forward
+    window can arrive), an unmatched PURCHASE when the watermark
+    passes ``buy_ts`` (its candidate views have view_ts ≤ buy_ts, all
+    below watermark). Same honest-watermark oracle: global watermark =
+    min of per-side maxima (0-second delay), strict ``<`` eviction
+    bounds, rows still open at end-of-stream excluded per side.
+    """
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "0 seconds")
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"), "value")
+        .withWatermark("buy_ts", "0 seconds")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("v_user"), F.col("b_user")).alias("user_id"),
+        "view_ts",
+        "buy_ts",
+        "value",
+    )
+    return run_to_memory(joined, "append")
+
+
+S_JOIN_ATTRIB_FULL_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id, ts AS buy_ts, value FROM events WHERE event_type = 'purchase'
+), mx AS (
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+  ) AS watermark
+)
+SELECT COALESCE(v.user_id, b.user_id) AS user_id, v.view_ts, b.buy_ts, b.value
+FROM v
+FULL JOIN b
+  ON v.user_id = b.user_id
+ AND b.buy_ts >= v.view_ts AND b.buy_ts <= v.view_ts + INTERVAL 1 HOUR
+WHERE (v.view_ts IS NOT NULL AND b.buy_ts IS NOT NULL)
+   OR (b.buy_ts IS NULL
+       AND v.view_ts + INTERVAL 1 HOUR < (SELECT watermark FROM mx))
+   OR (v.view_ts IS NULL
+       AND b.buy_ts < (SELECT watermark FROM mx))
+"""
+
+
 def s_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joined to the
     (bounded) customer dimension, rolled up per day × market segment.
@@ -685,6 +747,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_user_stats_stateful": s_stream_user_stats_stateful,
     "s_stream_join_attrib": s_stream_join_attrib,
     "s_stream_join_attrib_outer": s_stream_join_attrib_outer,
+    "s_stream_join_attrib_full": s_stream_join_attrib_full,
     "s_stream_enrich_static": s_stream_enrich_static,
     "s_stream_session_rollup": s_stream_session_rollup,
     "s_stream_dedup_within_watermark": s_stream_dedup_within_watermark,
@@ -702,6 +765,7 @@ STREAMING_ORACLES: dict[str, str] = {
     "s_stream_user_stats_stateful": S_USER_STATS_SQL,
     "s_stream_join_attrib": S_JOIN_ATTRIB_SQL,
     "s_stream_join_attrib_outer": S_JOIN_ATTRIB_OUTER_SQL,
+    "s_stream_join_attrib_full": S_JOIN_ATTRIB_FULL_SQL,
     "s_stream_enrich_static": S_ENRICH_STATIC_SQL,
     "s_stream_session_rollup": S_SESSION_SQL,
     "s_stream_dedup_within_watermark": S_DEDUP_SQL,
