@@ -113,6 +113,53 @@ SELECT query_id, rank, vec_id, label, sim FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+RANGE_TAU = 0.30  # cosine floor ≈ p99 of the demo query-corpus sims
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search — every corpus vector within ``RANGE_TAU``
+    of a query, not a fixed top-k. The retrieval shape dedup/recall
+    jobs need (\"all near-matches\", unknown count per query) where
+    top-k would silently truncate dense neighborhoods.
+
+    Plan: same broadcast-queries × corpus scan as the brute-force
+    baseline (queries are tiny; the corpus is scanned ONCE for all of
+    them), the τ predicate applied in the same projection — no window,
+    no shuffle at all: the whole query is scan → broadcast-BNLJ →
+    filter. At 100 TB the LSH/IVF tiers pre-filter candidates and this
+    exact test runs only on bucket survivors (sim_lsh_topk composes
+    the same ``cosine``)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select("vec_id", "embedding", "label")
+    return (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+        )
+        .where(F.col("sim") >= RANGE_TAU)
+    )
+
+
+SIM_RANGE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
+)
+SELECT q.query_id, e.vec_id, e.label,
+       {_sql_cosine('q.qvec', 'e.embedding')} AS sim
+FROM q CROSS JOIN embeddings e
+WHERE e.vec_id <> q.query_id
+  AND {_sql_cosine('q.qvec', 'e.embedding')} >= {RANGE_TAU}
+"""
+
+
 def assign_buckets(emb: DataFrame) -> DataFrame:
     """Assign every vector to its nearest deterministic centroid."""
     centroids = emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
@@ -669,6 +716,7 @@ FROM q
 
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
+    "sim_range_search": sim_range_search,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -678,6 +726,7 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 SIMILARITY_ORACLES: dict[str, str] = {
     "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
+    "sim_range_search": SIM_RANGE_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,
     "sim_lsh_topk": _sql_lsh_topk(),
     "dedup_embedding_cosine": _sql_embedding_dedup(),

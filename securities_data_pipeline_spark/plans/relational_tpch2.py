@@ -386,7 +386,49 @@ WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
 GROUP BY l_returnflag
 """
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check (ref b2.2.2 Q4; the
+    synthetic schema has no commit/receipt dates, so "late" =
+    EXISTS a lineitem shipped >30 days after the order date): count
+    Q3-1995 orders per priority having at least one late line.
+
+    Plan: the EXISTS compiles to a LEFT SEMI hash join on orderkey —
+    the lineitem side never duplicates orders (no post-join distinct
+    needed), and the date filters push to both parquet scans."""
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1995-07-01").cast("timestamp"), F.lit("1995-09-30").cast("timestamp")
+        )
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-07-01' AND TIMESTAMP '1995-09-30'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+TPCH2_QUERIES["q4_order_priority"] = q4_order_priority
 TPCH2_QUERIES["q8_market_share"] = q8_market_share
 TPCH2_QUERIES["q12_priority_shipping"] = q12_priority_shipping
+TPCH2_ORACLES["q4_order_priority"] = Q4_SQL
 TPCH2_ORACLES["q8_market_share"] = Q8_SQL
 TPCH2_ORACLES["q12_priority_shipping"] = Q12_SQL
