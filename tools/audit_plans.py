@@ -56,6 +56,7 @@ BNLJ_OK = {
     "dedup_embedding_cosine",
     "j_range_band",
     "sim_bruteforce_topk",
+    "sim_range_search",  # broadcast queries × corpus scan, τ filter
     "sim_ivf_topk",
     "t_idf_top_terms",
     "t_unigram_logprob",
