@@ -187,3 +187,32 @@ def test_cluster_sample_quota_and_determinism(spark):
     assert set(per) == set(sizes)
     for c, n in per.items():
         assert n == min(BALANCED_PER_CLUSTER, sizes[c]), (c, n, sizes[c])
+
+
+def test_sliding_chunker_overlap_and_tail(spark):
+    """50% overlap: chunk j starts at j*stride; the tail chunk is kept
+    short (no text dropped); a doc shorter than one window yields
+    exactly one chunk covering it all."""
+    from securities_data_pipeline_spark.operators.boilerplate import (
+        SLIDE_STRIDE,
+        SLIDE_W,
+        t_chunk_sliding,
+    )
+
+    out = t_chunk_sliding(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        # contiguous indices from 0
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # derive the doc's word count from the tail, then every
+        # chunk's length must satisfy the window law exactly:
+        # n_tokens(j) = min(W, n_words - j*stride), > 0
+        n_words = (len(chunks) - 1) * SLIDE_STRIDE + chunks[-1].n_tokens
+        for c in chunks:
+            want = min(SLIDE_W, n_words - c.chunk_idx * SLIDE_STRIDE)
+            assert c.n_tokens == want > 0, (doc, c, n_words)
