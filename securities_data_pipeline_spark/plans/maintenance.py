@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from securities_data_pipeline_spark.sources.tables import table
@@ -140,12 +140,52 @@ GROUP BY 1, 2
 """
 
 
+def m_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-changelog → SCD **Type 2** dimension materialization — the
+    warehouse load every dimension with history needs (the reference's
+    `dim_symbols` carries a `date_stamp` snapshot history implying
+    exactly this, dw_transformer dim_stock_symbols.sql): each (user,
+    event_type) change event opens a validity interval closed by the
+    user's next change; the latest row per user is `is_current`.
+
+    Plan: one window over (user_id ORDER BY ts) — a single shuffle on
+    the dimension's natural key; `lead(ts)` closes intervals,
+    `valid_to IS NULL` marks current. At 100 TB the changelog shuffles
+    once on user_id and the dimension writes partition-aligned with
+    every fact join that follows. Ties on (user_id, ts) are broken by
+    event_id so re-runs are deterministic.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+M_SCD2_SQL = """
+SELECT user_id,
+       event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+         AS is_current
+FROM events
+"""
+
+
 MAINTENANCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_zorder_cluster": m_zorder_cluster,
     "m_incremental_rollup": m_incremental_rollup,
+    "m_scd2_intervals": m_scd2_intervals,
 }
 
 MAINTENANCE_ORACLES: dict[str, str] = {
     "m_zorder_cluster": M_ZORDER_SQL,
     "m_incremental_rollup": M_INCREMENTAL_SQL,
+    "m_scd2_intervals": M_SCD2_SQL,
 }
