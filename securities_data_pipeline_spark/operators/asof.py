@@ -124,6 +124,91 @@ SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM cand WHERE rn = 1
 """
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward-inclusive as-of join: for each left row, the right row
+    with the SMALLEST ``right_time >= left_time`` per ``on`` key (ties
+    broken by smallest ``tiebreak``) — the "next action after t"
+    mirror of ``asof_join``. Same union-sort-fill plan (one shuffle on
+    the key, zero row explosion): left rows sort BEFORE right rows at
+    equal times so an equal-time right row is inside the left row's
+    forward window (inclusive semantics), and ``F.first(payload,
+    ignorenulls=True)`` over current-row→unbounded-following picks the
+    earliest right payload."""
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload_cols collide with left columns {sorted(clash)}; "
+            "rename one side before the as-of join"
+        )
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+        payload,
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).alias("__tb"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__tb")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    unioned = r.unionByName(l)
+    filled = unioned.withColumn("__match", F.first("__p", ignorenulls=True).over(w))
+    return filled.where(F.col("__side") == 0).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__match")[c].alias(c) for c in payload_cols],
+    )
+
+
+def j_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the user's FIRST order at-or-after the event
+    time (forward as-of — conversion/next-action attribution; events
+    with no later order keep nulls)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    return asof_join_forward(
+        ev.withColumnRenamed("user_id", "k"),
+        orders.withColumnRenamed("o_custkey", "k"),
+        on="k",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    ).select(
+        "event_id", F.col("k").alias("user_id"), "ts", "o_orderkey", "o_orderdate"
+    )
+
+
+J_ASOF_FWD_SQL = """
+WITH cand AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+)
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM cand WHERE rn = 1
+"""
+
+
 VALUE_BANDS = [(0.0, 20.0, "low"), (20.0, 60.0, "mid"), (60.0, 1e9, "high")]
 
 
@@ -261,6 +346,7 @@ GROUP BY p.event_id
 
 ASOF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_asof_latest_order": j_asof_latest_order,
+    "j_asof_next_order": j_asof_next_order,
     "j_range_band": j_range_band,
     "j_range_bin": j_range_bin,
     "w4_session_windows": w4_session_windows,
@@ -268,6 +354,7 @@ ASOF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ASOF_ORACLES: dict[str, str] = {
     "j_asof_latest_order": J_ASOF_SQL,
+    "j_asof_next_order": J_ASOF_FWD_SQL,
     "j_range_band": J_RANGE_SQL,
     "j_range_bin": J_RANGE_BIN_SQL,
     "w4_session_windows": W4_SESSION_SQL,
