@@ -84,3 +84,41 @@ def test_range_bin_plans_as_equi_join_not_nested_loop(spark):
     assert "Cartesian" not in plan
     # the range condition is a residual on an equi-join over (user, bin)
     assert "Join" in plan
+
+
+def test_forward_asof_inclusive_and_unmatched(spark):
+    from securities_data_pipeline_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "eq"), (1, 20, "mid"), (1, 30, "late")], "k long, rts long, tag string"
+    )
+    out = {
+        (r.k, r.ts): r.tag
+        for r in asof_join_forward(
+            left, right, on="k", left_time="ts", right_time="rts",
+            payload_cols=["tag"],
+        ).collect()
+    }
+    assert out[(1, 10)] == "eq"    # inclusive: equal time matches
+    assert out[(1, 25)] == "late"  # earliest at-or-after
+    assert out[(2, 5)] is None     # key with no right rows → null
+
+
+def test_scd2_intervals_chain(spark):
+    """Exactly one open (is_current) interval per user; each closed
+    interval's valid_to equals the next interval's valid_from."""
+    from securities_data_pipeline_spark.plans.maintenance import m_scd2_intervals
+
+    rows = m_scd2_intervals(spark, "/root/testdata/sf0.001").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].valid_to is None and ivs[-1].is_current
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, user
