@@ -107,9 +107,12 @@ def main() -> None:
             try:
                 n = fn(spark, sf_dir).count()
             except Exception as ex:
-                # one broken query must not zero out the whole bench record
-                print(f"# {name} FAILED: {ex}", file=sys.stderr)
-                samples = []
+                # one broken query must not zero out the whole bench
+                # record — and a TRANSIENT failure must not discard the
+                # repeats that did complete (dropping the query would
+                # silently shrink the total and skew round-over-round
+                # comparison); median whatever finished
+                print(f"# {name} FAILED (run {len(samples) + 1}): {ex}", file=sys.stderr)
                 break
             samples.append(time.time() - t0)
         if not samples:

@@ -37,6 +37,61 @@ from pyspark.sql import functions as F
 from securities_data_pipeline_spark.sources.tables import table
 
 
+def _asof_union_fill(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tiebreak: str | None,
+    *,
+    forward: bool,
+) -> DataFrame:
+    """Shared union-sort-fill core for both as-of directions. The
+    direction decides three things only: which side sorts first at
+    equal times (the side that must be VISIBLE to the other at a tie —
+    right for backward-inclusive, left for forward-inclusive), the
+    window frame (trailing vs leading), and the payload picker
+    (``last`` = greatest right row behind, ``first`` = smallest right
+    row ahead; with ``__tb`` ascending that also gives
+    greatest-tiebreak backward / smallest-tiebreak forward)."""
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload_cols collide with left columns {sorted(clash)}; "
+            "rename one side before the as-of join"
+        )
+    right_side, left_side = (1, 0) if forward else (0, 1)
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(right_side).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+        payload,
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(left_side).alias("__side"),
+        F.lit(None).alias("__tb"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    frame = (0, Window.unboundedFollowing) if forward else (Window.unboundedPreceding, 0)
+    pick = F.first if forward else F.last
+    w = Window.partitionBy("__k").orderBy("__t", "__side", "__tb").rowsBetween(*frame)
+    filled = r.unionByName(l).withColumn(
+        "__match", pick("__p", ignorenulls=True).over(w)
+    )
+    return filled.where(F.col("__side") == left_side).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__match")[c].alias(c) for c in payload_cols],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -55,43 +110,10 @@ def asof_join(
     duplicate would poison every later by-name reference
     (AMBIGUOUS_REFERENCE on select, failure on write).
     """
-    clash = set(payload_cols) & set(left.columns)
-    if clash:
-        raise ValueError(
-            f"payload_cols collide with left columns {sorted(clash)}; "
-            "rename one side before the as-of join"
-        )
-    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
-    r = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
-        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
-        payload,
-        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    return _asof_union_fill(
+        left, right, on, left_time, right_time, payload_cols, tiebreak,
+        forward=False,
     )
-    l = left.select(
-        F.col(on).alias("__k"),
-        F.col(left_time).alias("__t"),
-        F.lit(1).alias("__side"),
-        F.lit(None).alias("__tb"),
-        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
-        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
-    )
-    # right rows (side=0) sort before left rows (side=1) at equal time
-    # → backward-INCLUSIVE; among right ties the greatest __tb wins
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__side", "__tb")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    unioned = r.unionByName(l)
-    filled = unioned.withColumn("__match", F.last("__p", ignorenulls=True).over(w))
-    out = filled.where(F.col("__side") == 1).select(
-        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.col("__match")[c].alias(c) for c in payload_cols],
-    )
-    return out
 
 
 def j_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,39 +164,9 @@ def asof_join_forward(
     forward window (inclusive semantics), and ``F.first(payload,
     ignorenulls=True)`` over current-row→unbounded-following picks the
     earliest right payload."""
-    clash = set(payload_cols) & set(left.columns)
-    if clash:
-        raise ValueError(
-            f"payload_cols collide with left columns {sorted(clash)}; "
-            "rename one side before the as-of join"
-        )
-    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
-    r = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_time).alias("__t"),
-        F.lit(1).alias("__side"),
-        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
-        payload,
-        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
-    )
-    l = left.select(
-        F.col(on).alias("__k"),
-        F.col(left_time).alias("__t"),
-        F.lit(0).alias("__side"),
-        F.lit(None).alias("__tb"),
-        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
-        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
-    )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__side", "__tb")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    unioned = r.unionByName(l)
-    filled = unioned.withColumn("__match", F.first("__p", ignorenulls=True).over(w))
-    return filled.where(F.col("__side") == 0).select(
-        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.col("__match")[c].alias(c) for c in payload_cols],
+    return _asof_union_fill(
+        left, right, on, left_time, right_time, payload_cols, tiebreak,
+        forward=True,
     )
 
 

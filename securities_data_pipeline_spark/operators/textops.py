@@ -499,17 +499,27 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+    exact = exact.localCheckpoint(eager=True)  # feeds result + both guards
     result = ranked_head(exact, HH_TOPN, "rank").localCheckpoint(eager=True)
     total = toks.count()
     if total:
+        # Exactness holds under EITHER condition:
+        # (a) full coverage — candidate occurrences sum to the stream
+        #     total, i.e. every token survived MG (vocabulary ≤ C per
+        #     partition), exact for any distribution;
+        # (b) pigeonhole — rank-N frequency > total/(C+1), the MG
+        #     survival guarantee.
+        covered = exact.agg(F.sum("n_occurrences")).first()[0] or 0
         nth = result.agg(F.min("n_occurrences")).first()[0]
-        if nth is None or nth * (HH_CAPACITY + 1) <= total:
+        if covered != total and (nth is None or nth * (HH_CAPACITY + 1) <= total):
             raise RuntimeError(
                 f"t_heavy_hitters exactness condition violated: rank-"
                 f"{HH_TOPN} frequency {nth} ≤ total/(C+1) = "
-                f"{total}/{HH_CAPACITY + 1} — the Misra-Gries survival "
-                "guarantee no longer covers the requested top-N; raise "
-                "HH_CAPACITY (or lower HH_TOPN) for this corpus"
+                f"{total}/{HH_CAPACITY + 1} and candidates cover only "
+                f"{covered}/{total} occurrences — the Misra-Gries "
+                "survival guarantee no longer covers the requested "
+                "top-N; raise HH_CAPACITY (or lower HH_TOPN) for this "
+                "corpus"
             )
     return result
 

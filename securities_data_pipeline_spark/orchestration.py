@@ -76,7 +76,9 @@ def cron_next_fire(expr: str, after: dt.datetime) -> dt.datetime:
     hours = _parse_field(fields[1], 0, 23)
     doms = _parse_field(fields[2], 1, 31)
     months = _parse_field(fields[3], 1, 12)
-    dows = {d % 7 for d in _parse_field(fields[4].replace("7", "0"), 0, 6)}
+    # parse with hi=7 then fold 7→0 per VALUE: a string-level '7'→'0'
+    # rewrite would corrupt ranges/steps ('5-7'→'5-0', '*/7'→'*/0')
+    dows = {d % 7 for d in _parse_field(fields[4], 0, 7)}
     dom_any = fields[2] == "*"
     dow_any = fields[4] == "*"
 

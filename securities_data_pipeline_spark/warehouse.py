@@ -224,13 +224,24 @@ class JdbcMergeSink:
         import uuid
 
         incoming = dedupe_on_keys(df, keys)
-        stage_table = f"{table}__stage_{uuid.uuid4().hex[:8]}"
-        stage = self.stager or _default_stager(self.url, self.jdbc_options)
-        stage(incoming, stage_table)
         ddl: list[str] = []
         target_only: list[str] = []
         if self.columns_of is not None:
             existing = self.columns_of(table)
+            # map case-variant batch columns onto the TARGET's casing
+            # BEFORE staging: evolve/target_only already case-fold, but
+            # the merge DML quotes batch names verbatim — on a
+            # case-sensitive engine (Postgres) a batch 'Close' against
+            # table 'close' would otherwise fail the INSERT. Mirrors
+            # load.py's parquet-side rename.
+            by_fold = {c.casefold(): c for c in existing}
+            renames = {
+                c: by_fold[c.casefold()]
+                for c in incoming.columns
+                if c.casefold() in by_fold and c != by_fold[c.casefold()]
+            }
+            if renames:
+                incoming = incoming.withColumnsRenamed(renames)
             ddl = evolve_statements(incoming, table, existing)
             # columns the warehouse has but this batch lacks: matched
             # rows replace wholesale under both dialects, so the ansi
@@ -239,6 +250,9 @@ class JdbcMergeSink:
             target_only = sorted(
                 c for c in existing if c.casefold() not in batch_folded
             )
+        stage_table = f"{table}__stage_{uuid.uuid4().hex[:8]}"
+        stage = self.stager or _default_stager(self.url, self.jdbc_options)
+        stage(incoming, stage_table)
         stmts = ddl + merge_statements(
             table,
             stage_table,

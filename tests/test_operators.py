@@ -555,17 +555,29 @@ def test_heavy_hitters_candidates_bounded_and_exact(spark):
     assert "HOT" in cand
 
 
-def test_heavy_hitters_guard_raises_when_condition_violated(spark, monkeypatch):
-    """The exactness condition (rank-N frequency > total/(C+1)) is
-    asserted at runtime: with C patched to 1 the guard must trip
-    loudly rather than return a partitioning-dependent top-N."""
+def test_heavy_hitters_guard_raises_when_condition_violated(spark, tmp_path):
+    """The exactness conditions (full candidate coverage OR rank-N
+    frequency > total/(C+1)) are asserted at runtime: a flat
+    distribution over a vocabulary ≫ capacity satisfies neither, and
+    the guard must trip loudly rather than return a
+    partitioning-dependent top-N. (The small-vocab sf corpora take the
+    full-coverage escape and never raise — pinned by
+    test_heavy_hitters_candidates_bounded_and_exact.)"""
     import pytest as _pytest
 
     from securities_data_pipeline_spark.operators import textops
 
-    monkeypatch.setattr(textops, "HH_CAPACITY", 1)
+    # 400 docs × 5 words, uniform 1000-token vocabulary → every
+    # frequency ≈ 2 ≤ total/(64+1) ≈ 30, and MG(64) evicts constantly
+    # so candidates cover only a fraction of occurrences
+    rows = [
+        (i, " ".join(f"tok{(i * 5 + j) % 1000}" for j in range(5)))
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     with _pytest.raises(RuntimeError, match="exactness condition"):
-        textops.t_heavy_hitters(spark, "/root/testdata/sf0.001")
+        textops.t_heavy_hitters(spark, str(tmp_path))
 
 
 def test_bigram_logprob_sees_word_order(spark):
