@@ -40,6 +40,8 @@ _ROUND3_FRONT = (
     "s_stream_join_attrib_outer", "s_stream_join_attrib_full",
     "t_chunk_sliding", "q4_order_priority", "sim_range_search",
     "m_scd2_intervals", "j_asof_next_order",
+    # registered only where protobuf installs (no-op here)
+    "s_stream_topk_transform_state",
 )
 _FRONT_RANK = {name: i for i, name in enumerate(_ROUND3_FRONT)}
 
