@@ -178,6 +178,71 @@ def assign_buckets(emb: DataFrame) -> DataFrame:
     )
 
 
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean embedding — distributed vector aggregation, the
+    building block IVF/k-means training runs at corpus scale: posexplode
+    to (label, dim, x) rows, ONE shuffle on (label, dim), exact-DECIMAL
+    sums (groupBy float sums are accumulation-order-nondeterministic;
+    decimal sums are associative, so the mean is bit-stable across
+    partitionings AND engines), then reassemble each label's dims into
+    an ordered centroid array. Output: (label, cvec array<double>),
+    k×d values — broadcastable however large the corpus."""
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = dims.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(27,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"))
+    )
+
+
+def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each vector's Euclidean distance to its own label centroid — the
+    cluster-cohesion statistic curation uses to flag mislabeled /
+    outlier embeddings. Centroids (k×d) broadcast back; the distance
+    folds in array order (``F.aggregate``), so it is deterministic
+    like every other similarity kernel here."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("cvec"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    dist2 = F.aggregate(diff2, F.lit(0.0), lambda a, v: a + v)
+    return emb.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", F.round(F.sqrt(dist2), 6).alias("dist")
+    )
+
+
+SIM_LABEL_CENTROID_SQL = """
+WITH dims AS (
+  SELECT label,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+         round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM dims GROUP BY label, pos
+), cvecs AS (
+  SELECT label, list(m ORDER BY pos) AS cvec FROM cent GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round(sqrt(list_aggregate(list_transform(list_zip(e.embedding, c.cvec),
+             p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+             'sum')), 6) AS dist
+FROM embeddings e JOIN cvecs c USING (label)
+"""
+
+
 N_PROBES = 4  # multiprobe: search the query's 4 nearest centroid buckets
 
 
@@ -717,6 +782,7 @@ FROM q
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_range_search": sim_range_search,
+    "sim_label_centroid_dist": sim_label_centroid_dist,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -727,6 +793,7 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SIMILARITY_ORACLES: dict[str, str] = {
     "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
     "sim_range_search": SIM_RANGE_SQL,
+    "sim_label_centroid_dist": SIM_LABEL_CENTROID_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,
     "sim_lsh_topk": _sql_lsh_topk(),
     "dedup_embedding_cosine": _sql_embedding_dedup(),
