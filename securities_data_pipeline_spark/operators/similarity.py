@@ -496,6 +496,51 @@ WHERE {_sql_cosine('ea.embedding', 'eb.embedding')} >= {threshold}
 """
 
 
+def dedup_embedding_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SEMANTIC dedup: hyperplane-LSH cosine pairs →
+    diameter-independent star-contraction components → keep-one
+    survivors with removal counts. The embedding-space mirror of the
+    text pipeline's ``dedup_resolve`` — same CC engine
+    (``connected_components_star``), same resolve policy, proving the
+    cluster machinery is modality-agnostic. Output: (vec_id,
+    cluster_size, n_removed), one row per surviving representative."""
+    from securities_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+        resolve_duplicates,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = embedding_cosine_pairs(emb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    return resolve_duplicates(connected_components_star(edges, nodes)).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+
+
+def _sql_embedding_resolve() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_embedding_dedup().strip()}),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+labels AS (
+  SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src
+)
+SELECT component AS vec_id,
+       COUNT(*) AS cluster_size,
+       COUNT(*) - 1 AS n_removed
+FROM labels GROUP BY component
+"""
+
+
 # ANN banding: the synthetic corpus's nearest neighbors sit at cosine
 # 0.25-0.40 (near-random vectors), where 8-bit bands almost never
 # collide (0.6^8 ≈ 1.7%/band). 12 bands × 4 bits gives ~0.8 recall@10
@@ -786,6 +831,7 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_resolve": dedup_embedding_resolve,
     "sim_knn_graph": sim_knn_graph,
     "sim_quantize": sim_quantize,
 }
@@ -797,6 +843,7 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "sim_ivf_topk": SIM_IVF_SQL,
     "sim_lsh_topk": _sql_lsh_topk(),
     "dedup_embedding_cosine": _sql_embedding_dedup(),
+    "dedup_embedding_resolve": _sql_embedding_resolve(),
     "sim_knn_graph": _sql_knn_graph(),
     "sim_quantize": SIM_QUANTIZE_SQL,
 }
