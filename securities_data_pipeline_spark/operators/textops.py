@@ -608,6 +608,45 @@ GROUP BY doc_id
 """
 
 
+def t_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its
+    unigram-LM fluency score and split the corpus into head / middle /
+    tail terciles — the bucket label CCNet trains per-bucket filters
+    on (Wenzek et al.; their KenLM perplexity reduces to
+    ``t_unigram_logprob``'s statistic here, so the bucket edges are
+    exactly recomputable).
+
+    Plan: the scoring plan plus ONE ntile window over (score desc,
+    doc_id asc) — the global rank is a single range-partitioned sort
+    (Spark samples boundaries, so no single-reducer bottleneck at
+    corpus scale); the deterministic doc_id tie-break makes the
+    tercile assignment engine-independent.
+    """
+    from pyspark.sql import Window
+
+    scored = t_unigram_logprob(spark, sf_dir)
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
+    tercile = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "avg_logprob",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tercile
+        ).alias("bucket"),
+    )
+
+
+T_FLUENCY_BUCKETS_SQL = f"""
+WITH scored AS ({T_UNIGRAM_SQL.strip()})
+SELECT doc_id,
+       avg_logprob,
+       (['head', 'middle', 'tail'])[
+         NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC)
+       ] AS bucket
+FROM scored
+"""
+
+
 def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean bigram conditional log-probability with
     add-one smoothing — one LM order up from ``t_unigram_logprob``,
@@ -714,6 +753,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_unigram_logprob": t_unigram_logprob,
     "t_heavy_hitters": t_heavy_hitters,
     "t_bigram_logprob": t_bigram_logprob,
+    "t_fluency_buckets": t_fluency_buckets,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -728,4 +768,5 @@ TEXT_ORACLES: dict[str, str] = {
     "t_unigram_logprob": T_UNIGRAM_SQL,
     "t_heavy_hitters": T_HEAVY_HITTERS_SQL,
     "t_bigram_logprob": T_BIGRAM_SQL,
+    "t_fluency_buckets": T_FLUENCY_BUCKETS_SQL,
 }
