@@ -616,24 +616,63 @@ def t_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``t_unigram_logprob``'s statistic here, so the bucket edges are
     exactly recomputable).
 
-    Plan: the scoring plan plus ONE ntile window over (score desc,
-    doc_id asc) — the global rank is a single range-partitioned sort
-    (Spark samples boundaries, so no single-reducer bottleneck at
-    corpus scale); the deterministic doc_id tie-break makes the
-    tercile assignment engine-independent.
+    Plan — the scalable exact-global-rank pattern, NOT a bare
+    ``Window.orderBy`` (a global window with no partitionBy funnels
+    every row through ONE reducer — the single-partition trap):
+
+    1. ``repartitionByRange`` on (score desc, doc_id asc) — Spark
+       samples range boundaries, so the sort spreads over all
+       partitions;
+    2. per-partition row counts → cumulative offsets (one tiny driver
+       collect, #partitions rows — O(cluster), not O(data));
+    3. global rank = offset[partition] + intra-partition row_number
+       (window PARTITIONED by spark_partition_id — parallel);
+    4. NTILE arithmetic on the rank with driver-computed boundaries
+       (bucket sizes differ by ≤1, larger buckets first — ANSI NTILE,
+       so the plain-NTILE oracle pins it exactly).
     """
     from pyspark.sql import Window
 
     scored = t_unigram_logprob(spark, sf_dir)
-    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
-    tercile = F.ntile(3).over(w)
-    return scored.select(
-        "doc_id",
-        "avg_logprob",
-        F.element_at(
-            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tercile
-        ).alias("bucket"),
+    order = [F.col("avg_logprob").desc(), F.col("doc_id").asc()]
+    n_part = max(2, scored.sparkSession.sparkContext.defaultParallelism // 4)
+    # localCheckpoint pins partition ids: the counts pass and the
+    # ranking pass must see the SAME physical partitioning
+    # __pid must be MATERIALIZED as a column on the range-partitioned
+    # data before any further exchange: spark_partition_id() is
+    # physical-evaluation-time, so referencing it after the window's
+    # own shuffle would read the post-shuffle id, not the range id
+    ordered = (
+        scored.repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
+    sizes = dict(
+        ordered.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    n = acc
+    q, r = divmod(n, 3)
+    # ANSI NTILE boundaries: bucket i (1-based) ends at i*q + min(i, r)
+    b1, b2 = q + min(1, r), 2 * q + min(2, r)
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(v) for p in sorted(offsets) for v in (p, offsets[p])]
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    rank = off_expr + F.row_number().over(w)
+    bucket = (
+        F.when(rank <= F.lit(b1), "head")
+        .when(rank <= F.lit(b2), "middle")
+        .otherwise("tail")
+    )
+    return ordered.select("doc_id", "avg_logprob", bucket.alias("bucket"))
 
 
 T_FLUENCY_BUCKETS_SQL = f"""
