@@ -40,7 +40,7 @@ _ROUND3_FRONT = (
     "s_stream_join_attrib_outer", "s_stream_join_attrib_full",
     "t_chunk_sliding", "q4_order_priority", "sim_range_search",
     "m_scd2_intervals", "j_asof_next_order", "sim_label_centroid_dist",
-    "dedup_embedding_resolve", "t_fluency_buckets",
+    "dedup_embedding_resolve", "t_fluency_buckets", "dedup_source_priority",
     # registered only where protobuf installs (no-op here)
     "s_stream_topk_transform_state",
 )

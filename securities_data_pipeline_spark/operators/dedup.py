@@ -120,6 +120,60 @@ GROUP BY 1
 """
 
 
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup with a keep policy: when the same
+    normalized text appears under several ``source``s, keep the copy
+    from the highest-priority (lexicographically smallest) source,
+    ties broken by doc_id — the "prefer the curated corpus over the
+    crawl" rule every multi-source training mix applies. One shuffle
+    on the 16-byte fingerprint; ``min_by`` of a (source, doc_id)
+    struct picks the survivor without a second pass or self-join.
+    Output: (fp, keep_doc_id, keep_source, n_copies, n_sources)."""
+    docs = table(spark, sf_dir, "documents")
+    pick = F.min_by(
+        F.struct("doc_id", "source"), F.struct("source", "doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(
+            pick.alias("k"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .select(
+            "fp",
+            F.col("k.doc_id").alias("keep_doc_id"),
+            F.col("k.source").alias("keep_source"),
+            "n_copies",
+            "n_sources",
+        )
+    )
+
+
+DEDUP_SOURCE_PRIORITY_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, source,
+         md5(array_to_string({_sql_words()}, ' ')) AS fp
+  FROM documents
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY source ASC, doc_id ASC) AS rn
+  FROM fps
+)
+SELECT r.fp,
+       r.doc_id AS keep_doc_id,
+       r.source AS keep_source,
+       agg.n_copies,
+       agg.n_sources
+FROM ranked r
+JOIN (
+  SELECT fp, COUNT(*) AS n_copies, COUNT(DISTINCT source) AS n_sources
+  FROM fps GROUP BY fp
+) agg USING (fp)
+WHERE r.rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # minhash
 
@@ -934,6 +988,7 @@ FROM labels GROUP BY component
 
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
+    "dedup_source_priority": dedup_source_priority,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_capped": dedup_minhash_pairs_capped,
@@ -953,6 +1008,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_components_star": _sql_components(),
     "dedup_resolve": _sql_resolve(),
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_source_priority": DEDUP_SOURCE_PRIORITY_SQL,
     "dedup_minhash_signature": _sql_minhash(),
     "dedup_minhash_pairs": _sql_lsh_pairs(),
     "dedup_minhash_pairs_capped": _sql_lsh_pairs_capped(),
