@@ -139,7 +139,11 @@ def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             pick.alias("k"),
             F.count(F.lit(1)).alias("n_copies"),
-            F.count_distinct("source").alias("n_sources"),
+            # size(collect_set) not count_distinct: a distinct count
+            # inserts a second (fp, source) expand-shuffle; the set is
+            # tiny per fingerprint, so collecting it keeps the whole
+            # aggregate to the single fp shuffle the docstring claims
+            F.size(F.collect_set("source")).cast("long").alias("n_sources"),
         )
         .select(
             "fp",

@@ -37,9 +37,9 @@ def test_cron_fields_steps_lists_ranges():
     assert cron_next_fire("0 0 13 * 5", DT(2026, 1, 10, 0, 0)) == DT(2026, 1, 13, 0, 0)
     # 7 == Sunday alias — as a value, inside a range, and spanning one
     assert cron_next_fire("0 0 * * 7", DT(2026, 1, 1, 0, 0)).strftime("%a") == "Sun"
-    assert cron_next_fire("0 0 * * 5-7", DT(2026, 1, 1, 0, 0)).strftime("%a") in (
-        "Fri", "Sat", "Sun",
-    )
+    # from a Saturday, '5-7' must fire SUNDAY — fails if a parser bug
+    # drops 7 from ranges (then next would be Friday)
+    assert cron_next_fire("0 0 * * 5-7", DT(2026, 1, 3, 0, 1)) == DT(2026, 1, 4, 0, 0)
     # 0-7 = every day (both Sunday spellings): Thu Jan 1 → fires Jan 2
     assert cron_next_fire("0 0 * * 0-7", DT(2026, 1, 1, 0, 0)) == DT(2026, 1, 2, 0, 0)
     with pytest.raises(ValueError):
