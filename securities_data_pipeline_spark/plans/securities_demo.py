@@ -591,3 +591,86 @@ WHERE n_d = 14
 
 SECURITIES_QUERIES["sec_rsi"] = sec_rsi
 SECURITIES_ORACLES["sec_rsi"] = SEC_RSI_SQL
+
+
+def sec_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol annualized Sharpe ratio (zero risk-free rate) over
+    the full daily log-return history — the portfolio-screening
+    aggregate on top of the bar derivation every ``sec_*`` query
+    shares.
+
+    Float determinism without a window: a groupBy mean/stddev over
+    doubles sums in partition order (nondeterministic at the last
+    ulp), so the moments accumulate as EXACT decimals — returns
+    rounded to 6 dp cast to DECIMAL(18,6), Σx and Σx² summed exactly
+    — and only the final mean/variance/ratio arithmetic runs in
+    (deterministic, per-group scalar) double math. Same trick as
+    ``a8_corr_moments``; one shuffle on symbol for the bar rollup,
+    one map-side-combined aggregate for the moments.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(F.max("value").alias("close"))
+    wlag = Window.partitionBy("symbol").orderBy("date_stamp")
+    ret = F.round(F.log(F.col("close") / F.lag("close").over(wlag)), 6).cast(
+        "decimal(18,6)"
+    )
+    rets = bars.select("symbol", ret.alias("r")).where(F.col("r").isNotNull())
+    mom = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("r").alias("s1"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,12)")).alias("s2"),
+    )
+    n = F.col("n_days").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return mom.where(F.col("n_days") >= 2).select(
+        "symbol",
+        "n_days",
+        F.round(mean, 6).alias("mean_ret"),
+        F.round(F.sqrt(var), 6).alias("vol"),
+        F.round(mean / F.sqrt(var) * F.sqrt(F.lit(252.0)), 6).alias("sharpe_ann"),
+    )
+
+
+SEC_SHARPE_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         MAX(value) AS close
+  FROM events
+  GROUP BY 1, 2
+), rets AS (
+  SELECT symbol,
+         CAST(round(ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY date_stamp)), 6)
+              AS DECIMAL(18,6)) AS r
+  FROM bars
+), mom AS (
+  SELECT symbol,
+         COUNT(*) AS n_days,
+         SUM(r) AS s1,
+         SUM(CAST(r * r AS DECIMAL(38,12))) AS s2
+  FROM rets WHERE r IS NOT NULL
+  GROUP BY symbol
+)
+SELECT symbol,
+       n_days,
+       round(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_ret,
+       round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days)
+                  / (n_days - 1)), 6) AS vol,
+       round(CAST(s1 AS DOUBLE) / n_days
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days)
+                    / (n_days - 1))
+             * sqrt(252.0), 6) AS sharpe_ann
+FROM mom
+WHERE n_days >= 2
+"""
+
+SECURITIES_QUERIES["sec_sharpe"] = sec_sharpe
+SECURITIES_ORACLES["sec_sharpe"] = SEC_SHARPE_SQL
