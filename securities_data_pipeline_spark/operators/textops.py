@@ -686,6 +686,39 @@ FROM scored
 """
 
 
+def t_doc_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram — the first diagnostic
+    every corpus intake runs (truncation cliffs and boilerplate spikes
+    show up as bucket anomalies). Bucket = floor(log2(n_chars + 0.5)):
+    the +0.5 keeps the argument strictly between powers of two, so the
+    floor cannot flip on an engine's last-ulp log difference — integer
+    inputs map to the same bucket everywhere. Single map-side-combined
+    aggregate; output one row per occupied bucket."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.col("n_chars") + F.lit(0.5))).cast("long")
+    return (
+        docs.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg(F.col("n_chars").cast("decimal(18,2)")).cast("double"), 6)
+            .alias("avg_chars"),
+        )
+    )
+
+
+T_DOC_LEN_HIST_SQL = """
+SELECT CAST(floor(log2(n_chars + 0.5)) AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       round(CAST(AVG(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE), 6) AS avg_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean bigram conditional log-probability with
     add-one smoothing — one LM order up from ``t_unigram_logprob``,
@@ -793,6 +826,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_heavy_hitters": t_heavy_hitters,
     "t_bigram_logprob": t_bigram_logprob,
     "t_fluency_buckets": t_fluency_buckets,
+    "t_doc_len_hist": t_doc_len_hist,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -808,4 +842,5 @@ TEXT_ORACLES: dict[str, str] = {
     "t_heavy_hitters": T_HEAVY_HITTERS_SQL,
     "t_bigram_logprob": T_BIGRAM_SQL,
     "t_fluency_buckets": T_FLUENCY_BUCKETS_SQL,
+    "t_doc_len_hist": T_DOC_LEN_HIST_SQL,
 }
