@@ -990,6 +990,50 @@ FROM labels GROUP BY component
 """
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph — the dedup-run
+    report card (how much of the corpus is singleton vs small-cluster
+    vs boilerplate blob). Composes the star-contraction labels; the
+    histogram is two tiny aggregates over (doc_id, component) pairs:
+    bytes per component, then bytes per size class."""
+    labels = dedup_components_star(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+def _sql_cluster_stats() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_lsh_pairs().strip()}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
+),
+labels AS (
+  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM labels GROUP BY component
+)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       cluster_size * COUNT(*) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_source_priority": dedup_source_priority,
@@ -1005,12 +1049,14 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     "dedup_resolve": dedup_resolve,
+    "dedup_cluster_stats": dedup_cluster_stats,
 }
 
 DEDUP_ORACLES: dict[str, str] = {
     "dedup_components": _sql_components(),
     "dedup_components_star": _sql_components(),
     "dedup_resolve": _sql_resolve(),
+    "dedup_cluster_stats": _sql_cluster_stats(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_source_priority": DEDUP_SOURCE_PRIORITY_SQL,
     "dedup_minhash_signature": _sql_minhash(),

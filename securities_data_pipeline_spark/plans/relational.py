@@ -553,6 +553,34 @@ LIMIT 5
 """
 
 
+def p9_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample: keep rows whose md5(key)
+    starts below the rate threshold. Unlike ``p8``'s exact-N global
+    sort, this is a pure per-row filter — ZERO shuffles, pushes to the
+    scan, and the SAME rows survive in any engine, at any parallelism,
+    on any day: the property ``df.sample()`` (seeded per-partition
+    RNG, partitioning-dependent) cannot give. The per-row decision is
+    the first 4 hex chars of md5 as an integer < 0.10 × 16^4."""
+    li = table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("_", "l_orderkey", "l_linenumber")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity").where(
+        h < int(0.10 * 16**4)
+    )
+
+
+P9_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE CAST(concat('0x', substring(
+        md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)),
+        1, 4)) AS BIGINT) < {int(0.10 * 16**4)}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registries
 
@@ -576,6 +604,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_scalar_recode": f_scalar_recode,
     "agg_rollup": agg_rollup,
     "p8_deterministic_sample": p8_deterministic_sample,
+    "p9_bernoulli_sample": p9_bernoulli_sample,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -598,4 +627,5 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "f_scalar_recode": FSCALAR_SQL,
     "agg_rollup": ROLLUP_SQL,
     "p8_deterministic_sample": P8_SQL,
+    "p9_bernoulli_sample": P9_SQL,
 }
