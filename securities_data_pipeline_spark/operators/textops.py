@@ -423,6 +423,79 @@ SELECT token, n_occurrences, token_id FROM ranked WHERE token_id <= {VOCAB_SIZE}
 """
 
 
+TFIDF_DOC_TOPK = 3
+
+
+def t_tfidf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-``TFIDF_DOC_TOPK`` terms
+    by tf·idf — the per-doc mirror of ``t_idf_top_terms``' corpus
+    statistic, and the feature a retrieval/tagging pipeline stores
+    per document.
+
+    Plan: one exploded (doc, term, tf) aggregate; df from a second
+    aggregate over its DISTINCT (doc, term) projection (no re-scan of
+    documents); the vocab-sized df table broadcasts back, and the
+    per-doc top-k window rides the doc_id shuffle the tf aggregate
+    already produced. The tf·idf score rounds at 6 dp BEFORE ranking,
+    with (score desc, term asc) tie-breaks, so ranks are
+    engine-exact."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(words_col()).alias("term")
+    ).where(F.col("term") != "").localCheckpoint(eager=False)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.select("doc_id", "term").groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", "df", score.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_DOC_TOPK)
+    )
+
+
+T_TFIDF_DOC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_words()}) AS term FROM documents
+), toks_ne AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks_ne GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf,
+       CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+WHERE rn <= {TFIDF_DOC_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Misra-Gries heavy hitters (bounded-memory top-N)
 #
@@ -827,6 +900,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bigram_logprob": t_bigram_logprob,
     "t_fluency_buckets": t_fluency_buckets,
     "t_doc_len_hist": t_doc_len_hist,
+    "t_tfidf_doc_terms": t_tfidf_doc_terms,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -843,4 +917,5 @@ TEXT_ORACLES: dict[str, str] = {
     "t_bigram_logprob": T_BIGRAM_SQL,
     "t_fluency_buckets": T_FLUENCY_BUCKETS_SQL,
     "t_doc_len_hist": T_DOC_LEN_HIST_SQL,
+    "t_tfidf_doc_terms": T_TFIDF_DOC_SQL,
 }
