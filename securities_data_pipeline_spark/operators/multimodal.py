@@ -127,6 +127,32 @@ FROM documents
 """
 
 
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-level exact dedup: group media rows by payload sha256 —
+    the first dedup tier every image/audio corpus runs (identical
+    bytes across URLs/sources), upstream of any perceptual hash. Only
+    (digest, doc_id) pairs shuffle — the payloads themselves never
+    move, which is the entire point at 100 TB of media."""
+    media = documents_as_media(spark, sf_dir)
+    return (
+        media.select("doc_id", F.sha2(F.col("payload"), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+MM_PAYLOAD_DEDUP_SQL = """
+SELECT sha256(text) AS digest,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-checked decode path: the full binary→feature mapInPandas
     pipeline, exploded to (doc_id, feat_idx, feat_val) rows. The
@@ -273,6 +299,7 @@ WHERE len(text) > 0
 
 MULTIMODAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_binary_meta": mm_binary_meta,
+    "mm_payload_dedup": mm_payload_dedup,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
@@ -280,6 +307,7 @@ MULTIMODAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 MULTIMODAL_ORACLES: dict[str, str] = {
     "mm_binary_meta": MM_BINARY_META_SQL,
+    "mm_payload_dedup": MM_PAYLOAD_DEDUP_SQL,
     "mm_feature_extract": MM_FEATURE_EXTRACT_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_resize": MM_RESIZE_SQL,
