@@ -59,6 +59,7 @@ BNLJ_OK = {
     "sim_range_search",  # broadcast queries × corpus scan, τ filter
     "sim_ivf_topk",
     "t_idf_top_terms",
+    "t_tfidf_doc_terms",  # same 1-row n_docs crossJoin as t_idf_top_terms
     "t_unigram_logprob",
     "t_bigram_logprob",  # same 1-row vocab-size crossJoin as the unigram op
     "sec_rolling_beta",
