@@ -268,3 +268,51 @@ def test_jdbc_merge_matches_dict_model(spark, script):
         assert got.keys() == model.keys()
         for k in model:
             assert math.isclose(got[k], model[k], rel_tol=1e-6), (k, got[k], model[k])
+
+
+# ---------------------------------------------------------------------------
+# connected components: star contraction ≡ label propagation
+
+EDGE = st.tuples(st.integers(0, 14), st.integers(0, 14))
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(EDGE, min_size=0, max_size=25))
+def test_star_contraction_equals_label_propagation(spark, edges):
+    """The two CC implementations share one contract; on arbitrary
+    graphs (self-loops, duplicates, both orientations, isolated nodes)
+    their labelings must be identical — and equal to a plain Python
+    union-find oracle."""
+    from securities_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = list(range(15))
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+
+    # union-find oracle
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    star = {r.doc_id: r.component for r in connected_components_star(edf, ndf).collect()}
+    prop = {r.doc_id: r.component for r in connected_components(edf, ndf, max_iter=40).collect()}
+    assert star == want
+    assert prop == want
