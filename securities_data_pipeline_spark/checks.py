@@ -174,3 +174,22 @@ def run_checks(checks: list[CheckResult], *, raise_on_failure: bool = False) -> 
     if failed and raise_on_failure:
         raise SchemaErrors([f"{c.name}: {c.violations} violations" for c in failed])
     return checks
+
+
+def with_observed_counts(df, name: str, *metrics):
+    """Attach free pipeline metrics to a DataFrame: ``df.observe``
+    accumulates the given aggregate expressions DURING whatever action
+    consumes the frame — no second scan, no cached materialization.
+    The production use is load-time row/null accounting on a 100 TB
+    write, where a separate counting pass would double the job.
+
+    Returns (df, observation); read ``observation.get`` AFTER an
+    action has run. Default metrics: row count.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    if not metrics:
+        metrics = (F.count(F.lit(1)).alias("n_rows"),)
+    return df.observe(obs, *metrics), obs

@@ -74,3 +74,22 @@ def test_run_checks_raises_with_all_failures(spark):
     df = spark.createDataFrame([("A",), ("A",)], "symbol string")
     with pytest.raises(SchemaErrors, match="unique"):
         run_checks([check_unique(df, "symbol")], raise_on_failure=True)
+
+
+def test_observed_counts_piggyback_on_action(spark):
+    """df.observe metrics accumulate during the consuming action —
+    row + null accounting with zero extra scans."""
+    from pyspark.sql import functions as F
+
+    from securities_data_pipeline_spark.checks import with_observed_counts
+
+    df = spark.createDataFrame(
+        [("A", 1.0), (None, 2.0), ("C", None)], "symbol string, price double"
+    )
+    observed, obs = with_observed_counts(
+        df, "load_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("symbol").isNull().cast("long")).alias("null_symbols"),
+    )
+    assert observed.count() == 3  # the action that drives the metrics
+    assert obs.get == {"n_rows": 3, "null_symbols": 1}
