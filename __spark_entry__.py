@@ -41,6 +41,8 @@ _ROUND3_FRONT = (
     "t_chunk_sliding", "q4_order_priority", "sim_range_search",
     "m_scd2_intervals", "j_asof_next_order", "sim_label_centroid_dist",
     "dedup_embedding_resolve", "t_fluency_buckets", "dedup_source_priority",
+    "dedup_cluster_stats", "mm_payload_dedup", "p9_bernoulli_sample",
+    "sec_sharpe", "t_doc_len_hist", "t_tfidf_doc_terms",
     # registered only where protobuf installs (no-op here)
     "s_stream_topk_transform_state",
 )
