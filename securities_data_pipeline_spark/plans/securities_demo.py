@@ -630,12 +630,22 @@ def sec_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = F.col("s2").cast("double")
     mean = s1 / n
     var = (s2 - s1 * s1 / n) / (n - 1)
-    return mom.where(F.col("n_days") >= 2).select(
-        "symbol",
-        "n_days",
-        F.round(mean, 6).alias("mean_ret"),
-        F.round(F.sqrt(var), 6).alias("vol"),
-        F.round(mean / F.sqrt(var) * F.sqrt(F.lit(252.0)), 6).alias("sharpe_ann"),
+    # flat (zero-variance) series are excluded, not divided by: a
+    # halted/illiquid symbol would otherwise DIVIDE_BY_ZERO under
+    # ANSI mode (and NULL-diverge from the oracle); the exact-decimal
+    # moments make var == 0 a clean test, never a float near-miss
+    return (
+        mom.where(F.col("n_days") >= 2)
+        .withColumn("__var", var)
+        .where(F.col("__var") > 0)
+        .select(
+            "symbol",
+            "n_days",
+            F.round(mean, 6).alias("mean_ret"),
+            F.round(F.sqrt(F.col("__var")), 6).alias("vol"),
+            F.round(mean / F.sqrt(F.col("__var")) * F.sqrt(F.lit(252.0)), 6)
+            .alias("sharpe_ann"),
+        )
     )
 
 
@@ -670,6 +680,8 @@ SELECT symbol,
              * sqrt(252.0), 6) AS sharpe_ann
 FROM mom
 WHERE n_days >= 2
+  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days)
+      / (n_days - 1) > 0
 """
 
 SECURITIES_QUERIES["sec_sharpe"] = sec_sharpe

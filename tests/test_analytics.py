@@ -369,3 +369,26 @@ def test_sec_rsi_bounds_and_known_values(spark):
     l = -sum(x for x in frame if x < 0)
     exp = 100.0 if l == 0 else round(100.0 - 100.0 / (1.0 + g / l), 6)
     assert abs(target.rsi_14 - exp) < 1e-6
+
+
+def test_sec_sharpe_excludes_flat_series(spark, tmp_path):
+    """A zero-variance (flat) symbol must be EXCLUDED, not divided by:
+    under Spark 4's ANSI default a 0/0 would kill the whole query."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.plans.securities_demo import sec_sharpe
+
+    rows = []
+    for d in range(1, 6):
+        ts = dt.datetime(2024, 1, d, 12, 0)
+        rows.append((d * 2, ts, 1, "view", 50.0, "{}"))          # user 1: flat
+        rows.append((d * 2 + 1, ts, 2, "view", 50.0 + d * d, "{}"))  # user 2: moves
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.symbol: r for r in sec_sharpe(spark, str(tmp_path)).collect()}
+    assert "U1" not in out  # flat series excluded, no crash
+    assert out["U2"].vol > 0 and out["U2"].n_days == 4

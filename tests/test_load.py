@@ -557,8 +557,16 @@ def test_partitioned_lake_read_prunes_partitions(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0], "date predicate must reach PartitionFilters"
     # inputFiles() reports the relation's full listing (pre-pruning);
-    # the execution metric is the truth: one day's file read, not three
+    # the execution metric is the truth. Compare against the ACTUAL
+    # file counts on disk — the writer's task layout (AQE coalescing,
+    # shuffle partition count) decides files-per-partition, and the
+    # pruning claim is "only day-2's files", not "exactly one file"
+    import glob
+
     assert {r.symbol for r in df.collect()} == {"AAA", "BBB"}
     scan = df._jdf.queryExecution().executedPlan().collectLeaves().head()
     n_files = scan.metrics().apply("numFiles").value()
-    assert n_files == 1, f"partition pruning read {n_files} files, expected 1"
+    day2_files = len(glob.glob(f"{path}/date_stamp=2025-01-02/*.parquet"))
+    all_files = len(glob.glob(f"{path}/date_stamp=*/*.parquet"))
+    assert n_files == day2_files, (n_files, day2_files)
+    assert n_files < all_files, "scan read files outside the pruned partition"

@@ -58,10 +58,13 @@ def main() -> int:
 
     tot_o = sum(oq[q] for q in shared)
     tot_n = sum(nq[q] for q in shared)
-    print(
-        f"\nshared-query total: {tot_o:.2f}s -> {tot_n:.2f}s "
-        f"({(tot_n - tot_o) / tot_o * 100:+.1f}%)"
-    )
+    if tot_o > 0:
+        print(
+            f"\nshared-query total: {tot_o:.2f}s -> {tot_n:.2f}s "
+            f"({(tot_n - tot_o) / tot_o * 100:+.1f}%)"
+        )
+    else:
+        print("\nno shared queries between the two runs — nothing to gate on")
     if only_old:
         print(f"dropped from headline: {only_old}")
     if only_new:
