@@ -446,6 +446,68 @@ GROUP BY user_id
 """
 
 
+def s_stream_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: a 1-day
+    tumbling aggregate feeding a 7-day tumbling re-aggregate — the
+    multi-stage rollup topology (Spark 3.5+ chained time-window
+    aggregations in append mode) that previously required two queries
+    and an intermediate sink. The second ``F.window`` groups on the
+    FIRST's window struct, so the weekly stage consumes finalized
+    daily windows as they cross the watermark.
+
+    With a 0-second delay the final watermark is max(ts): only weeks
+    whose end ≤ max(ts) are finalized and emitted — the oracle keeps
+    exactly those (epoch-aligned 7-day buckets, same alignment as
+    ``F.window``). State: day-keyed then week-keyed aggregates, both
+    watermark-bounded.
+    """
+    ev = events_stream(spark, sf_dir)
+    daily = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("day_w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    weekly = (
+        daily.groupBy(
+            F.window(F.col("day_w"), "7 days").alias("week_w"), F.col("event_type")
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )
+    out = run_to_memory(weekly, "append")
+    return out.select(
+        F.to_date(F.col("week_w.start")).alias("week_start"),
+        "event_type",
+        "n_events",
+        "n_days",
+    )
+
+
+S_WEEKLY_FROM_DAILY_SQL = """
+WITH mx AS (
+  SELECT MAX(ts) AS watermark FROM events
+), daily AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), weekly AS (
+  -- epoch-aligned 7-day buckets (1970-01-01 anchor), matching F.window
+  SELECT CAST(DATE '1970-01-01'
+              + INTERVAL 7 DAY * CAST(floor(date_diff('day', DATE '1970-01-01', day) / 7) AS BIGINT)
+              AS DATE) AS week_start,
+         event_type,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1, 2
+)
+SELECT week_start, event_type, n_events, n_days
+FROM weekly
+WHERE week_start + INTERVAL 7 DAY <= (SELECT watermark FROM mx)
+"""
+
+
 def s_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchase attribution — each view
     joined to the same user's purchases within the following hour.
@@ -751,6 +813,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_enrich_static": s_stream_enrich_static,
     "s_stream_session_rollup": s_stream_session_rollup,
     "s_stream_dedup_within_watermark": s_stream_dedup_within_watermark,
+    "s_stream_weekly_from_daily": s_stream_weekly_from_daily,
 }
 
 if HAVE_TWS_DEPS:  # environment-gated: protobuf-backed state protocol
@@ -769,6 +832,7 @@ STREAMING_ORACLES: dict[str, str] = {
     "s_stream_enrich_static": S_ENRICH_STATIC_SQL,
     "s_stream_session_rollup": S_SESSION_SQL,
     "s_stream_dedup_within_watermark": S_DEDUP_SQL,
+    "s_stream_weekly_from_daily": S_WEEKLY_FROM_DAILY_SQL,
 }
 
 if HAVE_TWS_DEPS:
