@@ -304,3 +304,24 @@ def test_transform_with_state_topk():
     assert out, "stateful top-k produced no rows"
     some = next(iter(out.values()))
     assert some.top1 is not None and some.n_events >= 1
+
+
+def test_stream_full_outer_join_covers_both_sides(spark):
+    """Full-outer interval join: inner rows preserved, plus null-padded
+    unmatched rows on BOTH sides (un-converted views and
+    un-attributed purchases)."""
+    from securities_data_pipeline_spark.streaming.ingest import (
+        s_stream_join_attrib,
+        s_stream_join_attrib_full,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inner = {tuple(map(str, r)) for r in s_stream_join_attrib(spark, sf).collect()}
+    full = s_stream_join_attrib_full(spark, sf).collect()
+    matched = {tuple(map(str, r)) for r in full if r.view_ts is not None and r.buy_ts is not None}
+    assert matched == inner
+    orphan_views = [r for r in full if r.buy_ts is None]
+    orphan_buys = [r for r in full if r.view_ts is None]
+    assert orphan_views and orphan_buys, "both eviction paths must emit"
+    assert all(r.value is None for r in orphan_views)
+    assert all(r.value is not None for r in orphan_buys)
