@@ -132,3 +132,21 @@ def test_wide_bars_single_symbol_flat_columns(spark):
     ).rename_axis("Date")
     long = wide_bars_to_long(flat, ["SOLO"])
     assert list(long["symbol"]) == ["SOLO"] and float(long["close"].iloc[0]) == 1.5
+
+
+def test_query_registry_contract():
+    """Driver-contract invariants the rest of the suite assumes:
+    queries and oracles are 1:1, names carry a known family prefix
+    (the rotation logic keys on them), and the ordering is identical
+    between the two maps (the driver zips them positionally)."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(q) == set(o), set(q) ^ set(o)
+    assert list(q) == list(o), "queries() and oracle_sql() order diverged"
+    families = (
+        "q", "p", "s", "a", "j", "w", "u", "f", "g", "m", "agg",
+        "dedup_", "sim_", "sec_", "t_", "mm_", "sq_", "udtf_", "s_stream_",
+    )
+    bad = [n for n in q if not n.startswith(families)]
+    assert not bad, f"unknown family prefixes: {bad}"
