@@ -392,3 +392,24 @@ def test_sec_sharpe_excludes_flat_series(spark, tmp_path):
     out = {r.symbol: r for r in sec_sharpe(spark, str(tmp_path)).collect()}
     assert "U1" not in out  # flat series excluded, no crash
     assert out["U2"].vol > 0 and out["U2"].n_days == 4
+
+
+def test_variant_json_path_matches_string_path(spark):
+    """Spark 4 VARIANT ingestion: parse_json → variant_get must agree
+    with the string-path get_json_object the registered f_json_extract
+    uses — the upgrade path for semi-structured props at scale
+    (variant stores a parsed binary form; repeated extraction stops
+    re-parsing the JSON text per access)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, '{"k": 87, "tag": "a"}'), (2, '{"k": 3}'), (3, "{}")],
+        "event_id long, props string",
+    )
+    out = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("via_string"),
+        F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("via_variant"),
+    ).collect()
+    assert all(r.via_string == r.via_variant for r in out), out
+    assert {r.event_id: r.via_variant for r in out} == {1: 87, 2: 3, 3: None}
