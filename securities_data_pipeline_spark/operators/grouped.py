@@ -208,10 +208,75 @@ FROM (SELECT doc_id, {_sql_words()} AS w FROM documents)
 """
 
 
+TOPN_PER_GROUP = 3
+
+
+def g_topn_per_group_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-``TOPN_PER_GROUP`` orders by totalprice per priority,
+    computed WITHOUT sorting whole groups: a bounded per-partition
+    pre-aggregate (each partition's local top-N per group, via an
+    Arrow-batched pandas pass — ≤ N×groups rows survive per
+    partition) feeds a window over the tiny candidate union. EXACT by
+    the merge property — a group's global top-N rows are each in
+    their own partition's local top-N — with no operating condition
+    to check, unlike a frequency sketch.
+
+    The contrast with ``w3_topn_per_group`` is the point: the window
+    formulation sorts EVERY group member at one shuffle; this shape
+    moves only candidates (N × groups × partitions rows — KBs at
+    100 TB) and is the standard answer once groups stop fitting a
+    sort buffer. The final window runs on the candidate set only.
+    """
+    import pandas as pd
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+
+    def local_topn(parts) -> "pd.DataFrame":
+        for pdf in parts:
+            yield (
+                pdf.sort_values(
+                    ["o_orderpriority", "o_totalprice", "o_orderkey"],
+                    ascending=[True, False, True],
+                )
+                .groupby("o_orderpriority", sort=False)
+                .head(TOPN_PER_GROUP)
+            )
+
+    cand = orders.mapInPandas(
+        local_topn,
+        schema="o_orderpriority string, o_orderkey long, o_totalprice double",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPN_PER_GROUP)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+G_TOPN_SQL = f"""
+SELECT o_orderpriority, CAST(rn AS INTEGER) AS rank, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= {TOPN_PER_GROUP}
+"""
+
+
 GROUPED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_user_trend": g_user_trend,
     "g_user_trend_udf": g_user_trend_udf,
     "g_weighted_mean_udaf": g_weighted_mean_udaf,
+    "g_topn_per_group_scalable": g_topn_per_group_scalable,
     "udtf_token_positions": udtf_token_positions,
 }
 
@@ -219,5 +284,6 @@ GROUPED_ORACLES: dict[str, str] = {
     "g_user_trend": G_USER_TREND_SQL,
     "g_user_trend_udf": G_USER_TREND_SQL,
     "g_weighted_mean_udaf": G_WMEAN_SQL,
+    "g_topn_per_group_scalable": G_TOPN_SQL,
     "udtf_token_positions": _sql_token_positions(),
 }

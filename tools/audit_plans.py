@@ -41,6 +41,9 @@ PY_OK = {
     # per-partition Misra-Gries summary: imperative bounded-memory state,
     # the documented mapInPandas exception (textops.t_heavy_hitters)
     "t_heavy_hitters",
+    # bounded per-partition top-N pre-aggregate (grouped.py) — the
+    # mapInPandas stage IS the operator's point
+    "g_topn_per_group_scalable",
 }
 
 # queries where a broadcast nested-loop join is the intended plan:
