@@ -1034,6 +1034,109 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 2
+
+
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup graph: ``PR_ITERS`` power
+    iterations of PageRank on the (symmetrized) LSH candidate edges —
+    the signal that ranks WHICH duplicate to keep by how central it is
+    to its cluster, instead of min-doc_id. The other iterative-
+    computation shape next to connected components: per iteration one
+    join of ranks onto edges + one aggregate, both shuffling on doc
+    ids only.
+
+    Cross-engine determinism: per-edge contributions round to 12 dp
+    and sum as exact decimals, each iteration's rank rounds to 9 dp —
+    the oracle UNROLLS the same two iterations in SQL, so every
+    intermediate agrees bit-for-bit. Dangling mass is dropped (the
+    standard simplified variant) identically in both engines. N comes
+    from a broadcast one-row count, never a driver collect.
+    """
+    docs = table(spark, sf_dir, "documents")
+    edges = lsh_candidate_pairs(docs)
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = docs.select("doc_id")
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "doc_id", F.round(F.lit(1.0) / F.col("n"), 9).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            sym.join(ranks.select(F.col("doc_id").alias("doc_a"), "r"), "doc_a")
+            .join(deg, "doc_a")
+            .select(
+                F.col("doc_b").alias("doc_id"),
+                F.round(F.col("r") / F.col("outdeg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(inflow, "doc_id", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "doc_id",
+                F.round(
+                    (1.0 - PR_DAMPING) / F.col("n")
+                    + PR_DAMPING * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    9,
+                ).alias("r"),
+            )
+        )
+    return ranks.select("doc_id", F.col("r").alias("pagerank"))
+
+
+def _sql_pagerank() -> str:
+    d = PR_DAMPING
+    return f"""
+WITH pairs AS ({_sql_lsh_pairs().strip()}),
+sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (
+  SELECT doc_a, COUNT(*) AS outdeg FROM sym GROUP BY doc_a
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+r0 AS (
+  -- CAST AS DOUBLE: DuckDB types bare 1.0 as DECIMAL, whose division
+  -- rounds differently from Spark's double path
+  SELECT doc_id, round(CAST(1.0 AS DOUBLE) / n, 9) AS r
+  FROM documents CROSS JOIN n
+),
+in1 AS (
+  SELECT s.doc_b AS doc_id,
+         SUM(CAST(round(r0.r / deg.outdeg, 12) AS DECIMAL(28,12))) AS s
+  FROM sym s JOIN r0 ON r0.doc_id = s.doc_a JOIN deg ON deg.doc_a = s.doc_a
+  GROUP BY s.doc_b
+),
+r1 AS (
+  SELECT d.doc_id,
+         round(CAST({1.0 - d} AS DOUBLE) / n
+               + CAST({d} AS DOUBLE) * COALESCE(CAST(in1.s AS DOUBLE), 0.0), 9) AS r
+  FROM documents d LEFT JOIN in1 ON in1.doc_id = d.doc_id CROSS JOIN n
+),
+in2 AS (
+  SELECT s.doc_b AS doc_id,
+         SUM(CAST(round(r1.r / deg.outdeg, 12) AS DECIMAL(28,12))) AS s
+  FROM sym s JOIN r1 ON r1.doc_id = s.doc_a JOIN deg ON deg.doc_a = s.doc_a
+  GROUP BY s.doc_b
+)
+SELECT d.doc_id,
+       round(CAST({1.0 - d} AS DOUBLE) / n
+             + CAST({d} AS DOUBLE) * COALESCE(CAST(in2.s AS DOUBLE), 0.0), 9)
+         AS pagerank
+FROM documents d LEFT JOIN in2 ON in2.doc_id = d.doc_id CROSS JOIN n
+"""
+
+
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_source_priority": dedup_source_priority,
@@ -1050,6 +1153,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components_star": dedup_components_star,
     "dedup_resolve": dedup_resolve,
     "dedup_cluster_stats": dedup_cluster_stats,
+    "dedup_pagerank": dedup_pagerank,
 }
 
 DEDUP_ORACLES: dict[str, str] = {
@@ -1057,6 +1161,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_components_star": _sql_components(),
     "dedup_resolve": _sql_resolve(),
     "dedup_cluster_stats": _sql_cluster_stats(),
+    "dedup_pagerank": _sql_pagerank(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_source_priority": DEDUP_SOURCE_PRIORITY_SQL,
     "dedup_minhash_signature": _sql_minhash(),
