@@ -57,6 +57,7 @@ BNLJ_OK = {
     "t_assemble_manifest",
     "sq_rich_inactive_customers",
     "dedup_embedding_cosine",
+    "dedup_pagerank",  # one-row corpus-count crossJoin per iteration
     "j_range_band",
     "sim_bruteforce_topk",
     "sim_range_search",  # broadcast queries × corpus scan, τ filter
