@@ -18,35 +18,23 @@ from pyspark.sql import DataFrame, SparkSession
 # guarantee every query is eventually driver-verified:
 #   round 1: relational/TPC-H/window/agg families (natural order)
 #   round 2: streaming, dedup, similarity, securities, grouped-UDF
-#   round 3 (this file): the 33 queries never sampled in rounds 1-2
-#     (mm_*, sq_*, the t_* tail, w4/w5, j_asof/j_range_*, q11, q20,
-#     agg_salted_sum) plus queries newly added this round.
-# After round 3 the union of driver-verified queries covers the registry;
-# later rounds re-front-load whatever is oldest-verified or newest-added.
-_ROUND3_FRONT = (
-    # never sampled by the driver in rounds 1-2
-    "t_lang_id", "t_pack_sequences", "t_pii_scan", "t_quality",
-    "t_quality_filter", "t_redact_terms", "t_repetition_filter",
-    "t_sample_stratified", "t_span_corruption", "t_temperature_mix",
-    "t_token_bpe", "t_token_budget", "t_token_stats", "t_train_split",
-    "t_unigram_logprob", "t_vocab", "t_winnow_fingerprint",
-    "agg_salted_sum", "j_asof_latest_order", "j_range_band", "j_range_bin",
-    "mm_binary_meta", "mm_feature_extract", "mm_frame_sample", "mm_resize",
-    "q11_important_parts", "q20_excess_suppliers", "sq_exists_discount",
-    "sq_large_orders", "sq_rich_inactive_customers", "sq_small_qty_revenue",
-    "w4_session_windows", "w5_lead_lag",
-    # new in round 3
-    "dedup_minhash_pairs_wide", "dedup_components_star",
-    "s_stream_join_attrib_outer", "s_stream_join_attrib_full",
-    "t_chunk_sliding", "q4_order_priority", "sim_range_search",
-    "m_scd2_intervals", "j_asof_next_order", "sim_label_centroid_dist",
-    "dedup_embedding_resolve", "t_fluency_buckets", "dedup_source_priority",
-    "dedup_cluster_stats", "mm_payload_dedup", "p9_bernoulli_sample",
-    "sec_sharpe", "t_doc_len_hist", "t_tfidf_doc_terms",
-    # registered only where protobuf installs (no-op here)
-    "s_stream_topk_transform_state",
+#   round 3: the 33 queries never sampled in rounds 1-2 plus round-3 adds.
+#   round 4 (this file): the 3 round-3 hash-fails (HUGEINT oracle types,
+#     now CAST to BIGINT), the 5 registered-but-never-driver-sampled
+#     queries, the newly gated a6/transform-state entries, and round-4
+#     additions; then the rest of the registry in name order.
+# After round 4 every registered query should have been driver-green
+# at least once; later rounds re-front-load oldest-verified or newest.
+_ROUND4_FRONT = (
+    # round-3 driver hash-fails, oracles fixed this round
+    "t_sample_stratified", "t_pack_sequences", "t_train_split",
+    # registered in round 3 but past the ~50-query sampling window
+    "dedup_pagerank", "g_topn_per_group_scalable",
+    "s_stream_weekly_from_daily", "t_doc_len_hist", "t_tfidf_doc_terms",
+    # newly gated / newly registered in round 4
+    "a6_approx_distinct", "s_stream_topk_transform_state",
 )
-_FRONT_RANK = {name: i for i, name in enumerate(_ROUND3_FRONT)}
+_FRONT_RANK = {name: i for i, name in enumerate(_ROUND4_FRONT)}
 
 
 def _prioritized(entries: dict) -> dict:

@@ -86,7 +86,7 @@ def _sql_rate_case() -> str:
 
 
 T_SAMPLE_STRATIFIED_SQL = f"""
-SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE {sql_stable_hash64("CAST(doc_id AS VARCHAR)")} % 1000 < {_sql_rate_case()}
 GROUP BY lang
@@ -219,7 +219,7 @@ WITH toks AS (
 )
 SELECT doc_id, shard,
        CAST(floor(before_sum / {SEQ_LEN}) AS BIGINT) AS pack_id,
-       before_sum % {SEQ_LEN} AS offset,
+       CAST(before_sum % {SEQ_LEN} AS BIGINT) AS offset,
        n_tokens
 FROM ordered
 """
@@ -262,7 +262,7 @@ def _sql_train_split() -> str:
 SELECT CASE WHEN {h} % 1000 < {SPLIT_TRAIN_PM} THEN 'train'
             WHEN {h} % 1000 < {SPLIT_VAL_PM} THEN 'val'
             ELSE 'test' END AS split,
-       COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1
 """
 

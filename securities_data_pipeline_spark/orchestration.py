@@ -79,8 +79,14 @@ def cron_next_fire(expr: str, after: dt.datetime) -> dt.datetime:
     # parse with hi=7 then fold 7→0 per VALUE: a string-level '7'→'0'
     # rewrite would corrupt ranges/steps ('5-7'→'5-0', '*/7'→'*/0')
     dows = {d % 7 for d in _parse_field(fields[4], 0, 7)}
-    dom_any = fields[2] == "*"
-    dow_any = fields[4] == "*"
+    # vixie-cron's star flag: a field BEGINNING with '*' (so '*/2'
+    # counts too, not just bare '*'). The dom/dow rule is OR only when
+    # BOTH fields are non-star; if either carries the star flag the
+    # day must match both fields (a stepped '*/2' still applies its
+    # step restriction in matching) — so '0 0 */2 * 1' fires only on
+    # Mondays that fall on odd days, not Mondays-or-odd-days.
+    dom_star = fields[2].startswith("*")
+    dow_star = fields[4].startswith("*")
 
     t = after.replace(second=0, microsecond=0) + dt.timedelta(minutes=1)
     for _ in range(366 * 24 * 60):  # ≥ one full year of minutes is unreachable
@@ -88,9 +94,9 @@ def cron_next_fire(expr: str, after: dt.datetime) -> dt.datetime:
         cron_dow = (t.weekday() + 1) % 7
         dom_ok, dow_ok = t.day in doms, cron_dow in dows
         day_ok = (
-            (dom_ok or dow_ok)
-            if not dom_any and not dow_any
-            else (dom_ok if dow_any else dow_ok)
+            (dom_ok and dow_ok)
+            if dom_star or dow_star
+            else (dom_ok or dow_ok)
         )
         if t.month in months and day_ok and t.hour in hours and t.minute in minutes:
             return t

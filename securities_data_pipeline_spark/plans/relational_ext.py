@@ -149,17 +149,53 @@ GROUP BY o_orderpriority
 """
 
 
-def a6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_distinct_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct count of order keys per
-    month. Sketch internals are engine-specific, so this is a
-    library-only surface (not registered in ``queries()``); the
-    companion test (tests/test_analytics.py) asserts the estimate
-    lands within the configured 2% rsd of the exact count."""
+    month — the raw library surface (sketch internals are
+    engine-specific, so the raw estimate has no SQL oracle; its
+    accuracy is pinned by tests/test_analytics.py)."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"))
         .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
     )
+
+
+def a6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated HLL contract: per-month exact distinct order count
+    plus an in-plan check that the HLL++ estimate (rsd=0.02) lands
+    within 3·rsd of it. approx_count_distinct is deterministic for a
+    fixed dataset, so ``estimate_ok`` is reproducible and the DuckDB
+    oracle asserts it TRUE alongside the exact counts — giving the
+    sketch a hash-checkable correctness gate without comparing
+    engine-specific sketch internals. Both aggregates share one
+    shuffle on the month key; at scale the HLL partial aggregates are
+    constant-size per group while exact count-distinct shuffles the
+    keys — the query exists to certify the cheap path tracks the
+    expensive one."""
+    li = table(spark, sf_dir, "lineitem")
+    month = F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month")
+    agg = li.groupBy(month).agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    err_bound = F.lit(3 * 0.02) * F.col("exact_orders")
+    return agg.select(
+        "ship_month",
+        "exact_orders",
+        (F.abs(F.col("_approx") - F.col("exact_orders")) <= err_bound).alias(
+            "estimate_ok"
+        ),
+    )
+
+
+A6_SQL = """
+SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS ship_month,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS estimate_ok
+FROM lineitem
+GROUP BY 1
+"""
 
 
 def q6_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,9 +291,9 @@ RELATIONAL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_unpivot_measures": f_unpivot_measures,
     "a5_multi_distinct": a5_multi_distinct,
     "a7_percentiles": a7_percentiles,
-    # a6_approx_distinct stays library-only (HLL sketch has no SQL oracle;
-    # accuracy is pinned in tests/test_analytics.py instead) so the driver
-    # correctness gate carries no structurally-red rows.
+    # a6 is gated via its exact-count + estimate_ok contract (the raw
+    # HLL estimate stays library-only as approx_distinct_by_month).
+    "a6_approx_distinct": a6_approx_distinct,
     "q6_banded_revenue": q6_banded_revenue,
     "q14_promo_revenue": q14_promo_revenue,
     "agg_grouping_sets": agg_grouping_sets,
@@ -271,7 +307,7 @@ RELATIONAL_EXT_ORACLES: dict[str, str] = {
     "f_unpivot_measures": F_UNPIVOT_SQL,
     "a5_multi_distinct": A5_SQL,
     "a7_percentiles": A7_SQL,
-    # a6_approx_distinct: intentionally no oracle (sketch-based)
+    "a6_approx_distinct": A6_SQL,
     "q6_banded_revenue": Q6_SQL,
     "q14_promo_revenue": Q14_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,

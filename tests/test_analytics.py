@@ -313,17 +313,22 @@ def test_span_corruption_rate_and_determinism(spark):
 
 
 def test_a6_approx_distinct_within_rsd(spark):
-    """a6_approx_distinct is library-only (no SQL oracle — HLL sketches
-    are engine-specific); pin its accuracy here instead: every monthly
-    estimate must land within ~3x the configured 2% rsd of the exact
-    distinct count."""
+    """Pin the raw HLL estimate's accuracy (the sketch internals are
+    engine-specific, so the raw estimate has no SQL oracle): every
+    monthly estimate must land within ~3x the configured 2% rsd of the
+    exact distinct count. The registered a6_approx_distinct query
+    carries the driver-facing estimate_ok contract built on this."""
     from securities_data_pipeline_spark.plans.relational_ext import (
         a6_approx_distinct,
+        approx_distinct_by_month,
     )
 
     approx = {
-        r.ship_month: r.approx_orders for r in a6_approx_distinct(spark, SF).collect()
+        r.ship_month: r.approx_orders
+        for r in approx_distinct_by_month(spark, SF).collect()
     }
+    gated = a6_approx_distinct(spark, SF).collect()
+    assert gated and all(r.estimate_ok for r in gated)
     exact = {
         r.ship_month: r.exact_orders
         for r in table(spark, SF, "lineitem")

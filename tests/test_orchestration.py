@@ -42,6 +42,17 @@ def test_cron_fields_steps_lists_ranges():
     assert cron_next_fire("0 0 * * 5-7", DT(2026, 1, 3, 0, 1)) == DT(2026, 1, 4, 0, 0)
     # 0-7 = every day (both Sunday spellings): Thu Jan 1 → fires Jan 2
     assert cron_next_fire("0 0 * * 0-7", DT(2026, 1, 1, 0, 0)) == DT(2026, 1, 2, 0, 0)
+    # vixie star flag: '*/2' in dom BEGINS with '*', so the dom/dow OR
+    # rule does NOT apply — '0 0 */2 * 1' fires only on Mondays that
+    # land on odd days. From Thu Jan 1 2026: Mon Jan 5 is odd → fires;
+    # a bare-'*'-equality bug would instead fire Fri Jan 2 (even-day OR).
+    assert cron_next_fire("0 0 */2 * 1", DT(2026, 1, 1, 0, 0)) == DT(2026, 1, 5, 0, 0)
+    # ...and the step restriction itself still applies with dow='*':
+    # '*/2' over 1-31 yields odd days, so from Jan 1 00:01 → Jan 3
+    assert cron_next_fire("0 0 */2 * *", DT(2026, 1, 1, 0, 1)) == DT(2026, 1, 3, 0, 0)
+    # stepped star in dow keeps its restriction too: '*/2' over 0-7 →
+    # {Sun,Tue,Thu,Sat}; from Thu Jan 1 00:01 the next is Sat Jan 3
+    assert cron_next_fire("0 0 * * */2", DT(2026, 1, 1, 0, 1)) == DT(2026, 1, 3, 0, 0)
     with pytest.raises(ValueError):
         cron_next_fire("0 0 * *", DT(2026, 1, 1))  # 4 fields
     with pytest.raises(ValueError):

@@ -306,6 +306,36 @@ def test_transform_with_state_topk():
     assert some.top1 is not None and some.n_events >= 1
 
 
+def test_topk_state_fallback_matches_batch(spark):
+    """The registered s_stream_topk_transform_state runs everywhere:
+    the applyInPandasWithState v1 twin where protobuf is absent, the
+    transformWithState v2 path where present. Either way the final
+    per-user (count, top-3) must equal the batch answer."""
+    from pyspark.sql import functions as F
+
+    from securities_data_pipeline_spark.streaming.ingest import (
+        s_stream_topk_transform_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.user_id: r for r in s_stream_topk_transform_state(spark, sf).collect()}
+    assert out, "stateful top-k produced no rows"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    batch = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("value"), 6).alias("top1"),
+        )
+        .collect()
+    }
+    assert set(out) == set(batch)
+    for uid, r in out.items():
+        assert r.n_events == batch[uid].n_events, uid
+        assert abs(r.top1 - batch[uid].top1) < 1e-6, uid
+
+
 def test_stream_full_outer_join_covers_both_sides(spark):
     """Full-outer interval join: inner rows preserved, plus null-padded
     unmatched rows on BOTH sides (un-converted views and

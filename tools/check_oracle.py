@@ -33,6 +33,43 @@ def canon(rows, cols):
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
 
 
+def type_family(t: str) -> str:
+    """Collapse an engine type name to a comparison family.
+
+    The driver's hasher is type-sensitive: DuckDB ``HUGEINT`` (int128,
+    from SUM over integers) canonicalizes differently from Spark's
+    BIGINT even when the values are equal (round-3 driver failures
+    t_pack_sequences / t_sample_stratified / t_train_split). HUGEINT
+    is therefore its own family so the local gate reproduces the
+    driver's strictness; int widths below 64 bits are equivalent.
+    """
+    t = t.lower().strip()
+    if t.startswith(("decimal", "numeric")):
+        return "decimal"
+    if "hugeint" in t or "int128" in t:
+        return "hugeint"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "short", "byte", "utinyint", "usmallint", "uinteger", "ubigint"):
+        return "int"
+    if t in ("float", "double", "real"):
+        return "float"
+    if t in ("varchar", "string", "text", "char"):
+        return "str"
+    if t in ("bool", "boolean"):
+        return "bool"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t.startswith(("array", "list", "integer[]", "bigint[]", "varchar[]", "double[]", "float[]")) or t.endswith("[]"):
+        return "array"
+    if t.startswith(("struct", "row", "map")):
+        return "nested"
+    if t in ("binary", "blob", "bytea"):
+        return "binary"
+    return t
+
+
 def main() -> int:
     import duckdb
 
@@ -69,6 +106,7 @@ def main() -> int:
         try:
             res = con.sql(sql)
             ocols = [c for c in res.columns]
+            otypes = [str(t) for t in res.types]
             orows = res.fetchall()
         except Exception as ex:
             failures.append(name)
@@ -78,6 +116,16 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            continue
+        stypes = dict(sdf.dtypes)
+        tmism = [
+            (c, stypes[c], ot)
+            for c, ot in zip(ocols, otypes)
+            if type_family(stypes[c]) != type_family(ot)
+        ]
+        if tmism:
+            failures.append(name)
+            print(f"FAIL {name}: type-family mismatch (driver hasher is type-sensitive): {tmism}")
             continue
         if len(srows) != len(orows):
             failures.append(name)

@@ -1,0 +1,103 @@
+"""Scale-stress the dedup family beyond the largest driver SF.
+
+The sf-scaling table (SCALE.md) shows the dedup family as the repo's
+steepest curve (~2.8x wall-time over 100x data). This harness pushes
+one step further: it materializes an Nx-amplified ``documents`` table
+(each replica re-keyed and, for non-zero replicas, content-perturbed so
+near-dup structure grows realistically instead of collapsing into
+exact clusters), then times the candidate-generation queries against
+it and reports pair counts vs wall time.
+
+The amplified table lives under a scratch dir (default /tmp) — the
+driver-provided testdata is never modified. Usage::
+
+    python tools/stress_dedup.py [sf_dir] [factor] [scratch_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def amplify_documents(spark, sf_dir: str, factor: int, out_dir: str) -> str:
+    """Write a factor-x documents table: replica 0 is the original
+    corpus; replicas 1..factor-1 get distinct doc_ids and a per-replica
+    token appended to the text — so every original near-dup pair gains
+    factor^2 near-dup descendants while exact-dup collisions stay rare,
+    matching how a growing crawl behaves."""
+    from pyspark.sql import functions as F
+
+    from securities_data_pipeline_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    amplified = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n_docs * 10))
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string"))
+            ),
+        )
+        .drop("rep")
+    )
+    path = os.path.join(out_dir, "documents.parquet")
+    amplified.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> int:
+    from securities_data_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sdp_dedup_stress"
+
+    spark = get_spark("dedup-stress")
+    os.makedirs(scratch, exist_ok=True)
+    t0 = time.time()
+    amp_path = amplify_documents(spark, sf_dir, factor, scratch)
+    # the harness reads tables by sf_dir convention, so the scratch dir
+    # doubles as an sf_dir containing only documents.parquet; the
+    # stressed queries touch no other table
+    prep_s = time.time() - t0
+
+    from securities_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_pairs,
+        dedup_minhash_pairs_capped,
+        dedup_minhash_pairs_wide,
+        dedup_ngram_jaccard_capped,
+    )
+
+    n_docs = spark.read.parquet(amp_path).count()
+    results = {"sf_dir": sf_dir, "factor": factor, "n_docs": n_docs,
+               "prep_sec": round(prep_s, 2), "queries": {}}
+    for name, fn in [
+        ("dedup_minhash_pairs", dedup_minhash_pairs),
+        ("dedup_minhash_pairs_wide", dedup_minhash_pairs_wide),
+        ("dedup_minhash_pairs_capped", dedup_minhash_pairs_capped),
+        ("dedup_ngram_jaccard_capped", dedup_ngram_jaccard_capped),
+    ]:
+        t = time.time()
+        n_pairs = fn(spark, scratch).count()
+        results["queries"][name] = {
+            "pairs": n_pairs,
+            "sec": round(time.time() - t, 2),
+        }
+        print(f"{name}: {n_pairs} pairs in {results['queries'][name]['sec']}s",
+              file=sys.stderr)
+    print(json.dumps(results))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
