@@ -824,6 +824,64 @@ FROM q
 """
 
 
+#: recall@k floor the IVF multiprobe tier must clear against the exact
+#: brute-force baseline — multiprobe (4 probes) measures ~0.9 on the
+#: synthetic corpus; 0.5 is the contract floor (single-probe level), so
+#: the gate trips on real regressions (probe ordering, bucket
+#: assignment, tie-break drift) without being SF-sensitive.
+IVF_RECALL_FLOOR = 0.5
+
+
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated ANN quality contract (the a6_approx_distinct
+    pattern applied to retrieval): per query, the exact top-k neighbor
+    count and whether IVF multiprobe recall@k clears
+    ``IVF_RECALL_FLOOR``. Both sub-plans are deterministic (fixed
+    centroids, tie-breaks on vec_id), so ``recall_ok`` is reproducible;
+    the DuckDB oracle recomputes the exact side and asserts the
+    booleans TRUE — certifying the approximate tier against ground
+    truth without comparing engine internals. Scale: this is the
+    recall-evaluation job an ANN deployment runs on a sampled query
+    set; the exact side is O(n·|queries|) with broadcast queries, the
+    IVF side probes buckets only."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = sim_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("av")),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            (F.count("av") >= F.lit(IVF_RECALL_FLOOR) * F.count(F.lit(1))).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+SIM_IVF_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         {_sql_cosine('q.qvec', 'e.embedding')} AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k, TRUE AS recall_ok
+FROM ranked WHERE rank <= {TOP_K}
+GROUP BY query_id
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_range_search": sim_range_search,
@@ -834,6 +892,7 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_resolve": dedup_embedding_resolve,
     "sim_knn_graph": sim_knn_graph,
     "sim_quantize": sim_quantize,
+    "sim_ivf_recall": sim_ivf_recall,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
@@ -846,4 +905,5 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "dedup_embedding_resolve": _sql_embedding_resolve(),
     "sim_knn_graph": _sql_knn_graph(),
     "sim_quantize": SIM_QUANTIZE_SQL,
+    "sim_ivf_recall": SIM_IVF_RECALL_SQL,
 }
