@@ -33,7 +33,7 @@ _ROUND4_FRONT = (
     "s_stream_weekly_from_daily", "t_doc_len_hist", "t_tfidf_doc_terms",
     # newly gated / newly registered in round 4
     "a6_approx_distinct", "s_stream_topk_transform_state",
-    "sim_ivf_recall",
+    "sim_ivf_recall", "j_asof_tolerance_purchase", "dedup_containment",
 )
 _FRONT_RANK = {name: i for i, name in enumerate(_ROUND4_FRONT)}
 

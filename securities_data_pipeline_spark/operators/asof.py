@@ -201,6 +201,83 @@ SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM cand WHERE rn = 1
 """
 
 
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tolerance: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join with a staleness bound — pandas
+    ``merge_asof(..., tolerance=...)`` parity: a match older than
+    ``tolerance`` (a Spark interval literal body, e.g. ``'30 DAYS'``)
+    is discarded exactly like no match (payload nulls).
+
+    Same single-shuffle union-sort-fill plan as ``asof_join``; the
+    bound is a ROW-LEVEL post-projection on the carried match time
+    (the matched right row is by construction the greatest
+    ``right_time <= left_time``, so if IT is out of tolerance every
+    earlier one is too) — zero extra shuffles, zero row explosion.
+    """
+    cols = payload_cols if right_time in payload_cols else [right_time, *payload_cols]
+    joined = _asof_union_fill(
+        left, right, on, left_time, right_time, cols, tiebreak, forward=False
+    )
+    within = F.col(right_time) >= F.col(left_time) - F.expr(f"INTERVAL {tolerance}")
+    out = joined.select(
+        *left.columns,
+        *[F.when(within, F.col(c)).alias(c) for c in payload_cols],
+    )
+    return out
+
+
+def j_asof_tolerance_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every non-purchase event: the same user's most recent
+    purchase at-or-before it, but only if at most 1 day old — stale
+    matches null out (the merge_asof-tolerance semantics attribution /
+    feature-staleness jobs rely on). Both sides are the fact-scale
+    event stream, so this is the big⋈big as-of case: one union-sort
+    shuffle on user_id, tolerance as a row-level post-projection."""
+    ev = table(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") != "purchase").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return asof_join_tolerance(
+        probe,
+        purchases,
+        on="k",
+        left_time="ts",
+        right_time="p_ts",
+        payload_cols=["p_event_id", "p_ts"],
+        tolerance="1 DAY",
+        tiebreak="p_event_id",
+    ).select("event_id", F.col("k").alias("user_id"), "ts", "p_event_id", "p_ts")
+
+
+J_ASOF_TOL_SQL = """
+WITH cand AS (
+  SELECT e.event_id, e.user_id, e.ts, p.event_id AS p_event_id, p.ts AS p_ts,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM events e
+  LEFT JOIN events p ON p.user_id = e.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts <= e.ts
+       AND p.ts >= e.ts - INTERVAL 1 DAY
+  WHERE e.event_type <> 'purchase'
+)
+SELECT event_id, user_id, ts, p_event_id, p_ts FROM cand WHERE rn = 1
+"""
+
+
 VALUE_BANDS = [(0.0, 20.0, "low"), (20.0, 60.0, "mid"), (60.0, 1e9, "high")]
 
 
@@ -339,6 +416,7 @@ GROUP BY p.event_id
 ASOF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_asof_latest_order": j_asof_latest_order,
     "j_asof_next_order": j_asof_next_order,
+    "j_asof_tolerance_purchase": j_asof_tolerance_purchase,
     "j_range_band": j_range_band,
     "j_range_bin": j_range_bin,
     "w4_session_windows": w4_session_windows,
@@ -347,6 +425,7 @@ ASOF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ASOF_ORACLES: dict[str, str] = {
     "j_asof_latest_order": J_ASOF_SQL,
     "j_asof_next_order": J_ASOF_FWD_SQL,
+    "j_asof_tolerance_purchase": J_ASOF_TOL_SQL,
     "j_range_band": J_RANGE_SQL,
     "j_range_bin": J_RANGE_BIN_SQL,
     "w4_session_windows": W4_SESSION_SQL,

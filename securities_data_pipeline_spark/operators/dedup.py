@@ -628,6 +628,39 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
 # n-gram jaccard pairs (also the LSH verifier)
 
 
+def _shingle_pair_stream(
+    docs: DataFrame, block_col: str = "source", max_bucket: int | None = None
+) -> DataFrame:
+    """Shared candidate-pair stream for the exact shingle-overlap
+    scorers (Jaccard, containment): one row per (doc_a, doc_b, shared
+    shingle), carrying each side's exact shingle-set size. Shingles
+    shuffle as xxhash64 ints; co-occurring docs expand in-bucket (one
+    shuffle), never via a corpus self-join. ``max_bucket`` is the
+    stop-shingle document-frequency cap."""
+    base = with_shingles(
+        docs.select("doc_id", F.col(block_col).alias("blk"), "text"), ["doc_id", "blk"]
+    )
+    sh = base.select(
+        "doc_id",
+        "blk",
+        F.size("sh").alias("n_sh"),
+        F.explode(F.transform(F.col("sh"), lambda x: F.xxhash64(x))).alias("h"),
+    )
+    buckets = (
+        sh.groupBy("blk", "h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ds") <= max_bucket)
+    return buckets.select(F.explode(_pair_array(F.col("ds"))).alias("p")).select(
+        F.col("p.doc_a.doc_id").alias("doc_a"),
+        F.col("p.doc_b.doc_id").alias("doc_b"),
+        F.col("p.doc_a.n_sh").alias("na"),
+        F.col("p.doc_b.n_sh").alias("nb"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_col: str = "source",
@@ -657,28 +690,7 @@ def ngram_jaccard_pairs(
       capped jaccard is ≤ the exact one — a conservative filter whose
       exact pair-sacrifice behavior the oracle pins.
     """
-    base = with_shingles(
-        docs.select("doc_id", F.col(block_col).alias("blk"), "text"), ["doc_id", "blk"]
-    )
-    sh = base.select(
-        "doc_id",
-        "blk",
-        F.size("sh").alias("n_sh"),
-        F.explode(F.transform(F.col("sh"), lambda x: F.xxhash64(x))).alias("h"),
-    )
-    buckets = (
-        sh.groupBy("blk", "h")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
-        .where(F.size("ds") >= 2)
-    )
-    if max_bucket is not None:
-        buckets = buckets.where(F.size("ds") <= max_bucket)
-    pairs = buckets.select(F.explode(_pair_array(F.col("ds"))).alias("p")).select(
-        F.col("p.doc_a.doc_id").alias("doc_a"),
-        F.col("p.doc_b.doc_id").alias("doc_b"),
-        F.col("p.doc_a.n_sh").alias("na"),
-        F.col("p.doc_b.n_sh").alias("nb"),
-    )
+    pairs = _shingle_pair_stream(docs, block_col, max_bucket)
     return (
         pairs.groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -709,6 +721,65 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), max_bucket=MAX_BUCKET
     )
+
+
+#: min containment of the smaller shingle set inside the larger —
+#: 0.8 means ≥80% of the smaller document's shingles appear in the
+#: other document
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(
+    docs: DataFrame,
+    block_col: str = "source",
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT ≥ threshold: C(A,B) = |A∩B| /
+    min(|A|,|B|) — the asymmetric-duplication detector. Jaccard
+    divides by the UNION, so a short document fully quoted inside a
+    long one scores near |A|/|B| ≈ 0 and is invisible to the Jaccard
+    tier; containment scores it 1.0. This is the sub-/super-set pass a
+    training-data pipeline runs after near-dup (quote inclusion,
+    boilerplate-wrapped reposts, truncated re-crawls). Same bucketed
+    single-shuffle plan as ``ngram_jaccard_pairs`` (shared
+    ``_shingle_pair_stream``), same stop-shingle cap story at 100 TB."""
+    pairs = _shingle_pair_stream(docs, block_col, max_bucket)
+    return (
+        pairs.groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(table(spark, sf_dir, "documents"))
+
+
+def _sql_containment(threshold: float = CONTAINMENT_THRESHOLD) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, source AS blk, unnest({_sql_shingles()}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b
+    ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_shared AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_shared AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) >= {threshold}
+"""
 
 
 def _sql_jaccard(threshold: float = JACCARD_THRESHOLD) -> str:
@@ -1148,6 +1219,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
@@ -1174,5 +1246,6 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": _sql_jaccard(),
+    "dedup_containment": _sql_containment(),
     "dedup_ngram_jaccard_capped": _sql_jaccard_capped(),
 }

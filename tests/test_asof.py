@@ -122,3 +122,31 @@ def test_scd2_intervals_chain(spark):
         assert ivs[-1].valid_to is None and ivs[-1].is_current
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from, user
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """merge_asof-tolerance parity: a backward match older than the
+    tolerance nulls out exactly like no match; in-tolerance matches
+    (including equal-time) are untouched."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.operators.asof import asof_join_tolerance
+
+    T = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    left = spark.createDataFrame(
+        [(1, T(10)), (1, T(12)), (2, T(10))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T(9, 12), "fresh"), (2, T(1), "stale")],
+        "k long, rts timestamp, tag string",
+    )
+    out = {
+        (r.k, r.ts): r.tag
+        for r in asof_join_tolerance(
+            left, right, on="k", left_time="ts", right_time="rts",
+            payload_cols=["tag"], tolerance="1 DAY",
+        ).collect()
+    }
+    assert out[(1, T(10))] == "fresh"   # 12h old: within 1 day
+    assert out[(1, T(12))] is None      # same match now 2.5 days old
+    assert out[(2, T(10))] is None      # 9 days old: stale → null

@@ -216,3 +216,25 @@ def test_sliding_chunker_overlap_and_tail(spark):
         for c in chunks:
             want = min(SLIDE_W, n_words - c.chunk_idx * SLIDE_STRIDE)
             assert c.n_tokens == want > 0, (doc, c, n_words)
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short document fully embedded in a much longer one scores
+    containment 1.0 but a low Jaccard — the asymmetric-duplication
+    case the containment tier exists for."""
+    from securities_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} item{i} thing{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short, "s"), (2, short + " " + filler, "s"), (3, filler, "s")],
+        "doc_id long, text string, source string",
+    )
+    cont = {(r.doc_a, r.doc_b): r.containment for r in containment_pairs(docs).collect()}
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert cont[(1, 2)] == 1.0          # short doc fully contained
+    assert (1, 2) not in jac            # union-normalized score misses it
+    assert (2, 3) in cont               # filler is most of doc 2 too

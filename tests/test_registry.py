@@ -150,3 +150,17 @@ def test_query_registry_contract():
     )
     bad = [n for n in q if not n.startswith(families)]
     assert not bad, f"unknown family prefixes: {bad}"
+
+
+def test_round_front_queries_lead_registry_order():
+    """The driver samples ~50 queries in registry order; the round's
+    front-load list must actually lead (and every front name must
+    exist — a typo would silently drop a query from priority)."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    names = list(q)
+    front = [n for n in e._ROUND4_FRONT if n in q]
+    missing = set(e._ROUND4_FRONT) - set(q)
+    assert not missing, f"front-load names not in registry: {missing}"
+    assert names[: len(front)] == front

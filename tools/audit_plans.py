@@ -38,6 +38,9 @@ PY_OK = {
     "mm_frame_sample",
     "mm_resize",
     "s_stream_user_stats_stateful",
+    # custom stateful streaming processor (transformWithState v2 or its
+    # applyInPandasWithState v1 twin) — the Python state op IS the point
+    "s_stream_topk_transform_state",
     # per-partition Misra-Gries summary: imperative bounded-memory state,
     # the documented mapInPandas exception (textops.t_heavy_hitters)
     "t_heavy_hitters",
@@ -62,6 +65,7 @@ BNLJ_OK = {
     "sim_bruteforce_topk",
     "sim_range_search",  # broadcast queries × corpus scan, τ filter
     "sim_ivf_topk",
+    "sim_ivf_recall",  # composes the two allowlisted plans above
     "t_idf_top_terms",
     "t_tfidf_doc_terms",  # same 1-row n_docs crossJoin as t_idf_top_terms
     "t_unigram_logprob",
