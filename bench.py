@@ -72,6 +72,13 @@ HEADLINE = [
     "j_range_bin",
     "sec_rolling_beta",
     "t_assemble_manifest",
+    # round-4 additions
+    "sim_pq_rerank_topk",
+    "dedup_containment",
+    "j_asof_tolerance_purchase",
+    "t_char_entropy",
+    "w8_pattern_match",
+    "sim_ivf_recall",
 ]
 
 

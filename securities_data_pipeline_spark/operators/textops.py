@@ -886,6 +886,67 @@ GROUP BY doc_id
 """
 
 
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    gibberish / keyboard-mash / low-diversity curation signal (natural
+    prose sits ~3.5-4.5 bits; repeated-character spam collapses toward
+    0; uniform random base64 pushes ~6).
+
+    Plan: pure per-row higher-order functions — chars, their distinct
+    set, and per-char counts never leave the row, so the op runs at
+    scan speed with ZERO shuffles (an explode→groupBy formulation
+    would shuffle every character of a 100 TB corpus). Float rule:
+    each −p·log2(p) term rounds to 9 dp and accumulates as exact
+    DECIMAL over the SORTED distinct-char order (sum order engine-
+    independent), then one final 6-dp round — the same determinism
+    recipe as ``t_unigram_logprob``."""
+    docs = table(spark, sf_dir, "documents")
+    ent = F.expr(
+        """
+        round(CAST(aggregate(
+          transform(
+            array_sort(array_distinct(filter(split(text, ''), x -> x != ''))),
+            c -> CAST(round(
+              (CAST(size(filter(filter(split(text, ''), x -> x != ''), x -> x = c)) AS DOUBLE)
+               / CAST(size(filter(split(text, ''), x -> x != '')) AS DOUBLE))
+              * log2(CAST(size(filter(filter(split(text, ''), x -> x != ''), x -> x = c)) AS DOUBLE)
+                     / CAST(size(filter(split(text, ''), x -> x != '')) AS DOUBLE)),
+              9) AS DECIMAL(18,9))
+          ),
+          CAST(0 AS DECIMAL(18,9)),
+          (a, t) -> CAST(a + t AS DECIMAL(18,9))
+        ) AS DOUBLE) * -1 + 0.0D, 6)
+        """
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        ent.alias("entropy"),
+    )
+
+
+T_CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
+  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
+), counts AS (
+  SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(cnt) AS n FROM counts GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(d.text) AS BIGINT) AS n_chars_text,
+       COALESCE(round(CAST(SUM(CAST(round(
+         (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+         * log2(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)))
+         AS DOUBLE) * -1 + 0.0, 6), 0.0) AS entropy
+FROM documents d
+LEFT JOIN counts USING (doc_id)
+LEFT JOIN tot USING (doc_id)
+GROUP BY d.doc_id, d.text
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_token_stats": t_token_stats,
     "t_vocab": t_vocab,
@@ -894,6 +955,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_fingerprint": t_fingerprint,
     "t_token_bpe": t_token_bpe,
     "t_winnow_fingerprint": t_winnow_fingerprint,
+    "t_char_entropy": t_char_entropy,
     "t_idf_top_terms": t_idf_top_terms,
     "t_unigram_logprob": t_unigram_logprob,
     "t_heavy_hitters": t_heavy_hitters,
@@ -911,6 +973,7 @@ TEXT_ORACLES: dict[str, str] = {
     "t_fingerprint": T_FINGERPRINT_SQL,
     "t_token_bpe": T_TOKEN_BPE_SQL,
     "t_winnow_fingerprint": _sql_winnow(),
+    "t_char_entropy": T_CHAR_ENTROPY_SQL,
     "t_idf_top_terms": T_IDF_SQL,
     "t_unigram_logprob": T_UNIGRAM_SQL,
     "t_heavy_hitters": T_HEAVY_HITTERS_SQL,

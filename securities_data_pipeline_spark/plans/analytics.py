@@ -170,6 +170,52 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def w8_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection without the CEP
+    engine: find every purchase whose user's two IMMEDIATELY preceding
+    events (by ts, tie-broken on event_id) were both views — the
+    "browse-browse-buy" motif funnel analyses count. Lag chains over
+    one per-user window express strict-contiguity patterns exactly;
+    longer motifs add lags, not shuffles.
+
+    One shuffle on user_id (the stream's natural clustering key); the
+    pattern test is a row-local predicate after the sort — at 100 TB
+    this is the same single sorted pass any sessionization makes.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.lag("event_type", 1).over(w).alias("_p1"),
+            F.lag("event_type", 2).over(w).alias("_p2"),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("_p1") == "view")
+            & (F.col("_p2") == "view")
+        )
+        .select("user_id", F.col("event_id").alias("purchase_event_id"), "ts")
+    )
+
+
+W8_PATTERN_SQL = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(event_type, 1) OVER w AS p1,
+         LAG(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_id AS purchase_event_id, ts
+FROM seq
+WHERE event_type = 'purchase' AND p1 = 'view' AND p2 = 'view'
+"""
+
+
 # ---------------------------------------------------------------------------
 # array higher-order-function vector statistics
 
@@ -215,10 +261,12 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_corr_moments": a8_corr_moments,
     "w7_interval_range": w7_interval_range,
     "f_array_stats": f_array_stats,
+    "w8_pattern_match": w8_pattern_match,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
     "a8_corr_moments": A8_SQL,
     "w7_interval_range": W7_SQL,
     "f_array_stats": F_ARRAY_STATS_SQL,
+    "w8_pattern_match": W8_PATTERN_SQL,
 }
