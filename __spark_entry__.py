@@ -35,6 +35,7 @@ _ROUND4_FRONT = (
     "a6_approx_distinct", "s_stream_topk_transform_state",
     "sim_ivf_recall", "j_asof_tolerance_purchase", "dedup_containment",
     "sim_pq_topk", "sim_pq_rerank_topk", "t_char_entropy", "w8_pattern_match",
+    "a9_approx_percentile",
 )
 _FRONT_RANK = {name: i for i, name in enumerate(_ROUND4_FRONT)}
 

@@ -198,6 +198,42 @@ GROUP BY 1
 """
 
 
+def a9_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated sketch-percentile contract (the a6 pattern for
+    quantiles): per order-priority, the exact interpolated median of
+    o_totalprice plus an in-plan check that Spark's
+    ``approx_percentile`` (G-K sketch, accuracy 10000 ⇒ rank error
+    ≤ n/10000) lands within 2% of it. The sketch is deterministic for
+    fixed data, so ``estimate_ok``
+    is reproducible; the oracle recomputes the exact side and asserts
+    the booleans. At 100 TB the sketch is the runnable path — constant
+    memory per group vs the exact percentile's full sort — and this
+    query is the calibration job certifying it."""
+    orders = table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("_exact"),
+        F.percentile_approx(F.col("o_totalprice"), F.lit(0.5), F.lit(10000)).alias(
+            "_approx"
+        ),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round("_exact", 4).alias("p50"),
+        (F.abs(F.col("_approx") - F.col("_exact")) <= 0.02 * F.col("_exact")).alias(
+            "estimate_ok"
+        ),
+    )
+
+
+A9_SQL = """
+SELECT o_orderpriority,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+       TRUE AS estimate_ok
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def q6_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight scan-and-sum — date range + discount band
     + quantity cap, all pushed to the parquet scan; single partial→
@@ -294,6 +330,7 @@ RELATIONAL_EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # a6 is gated via its exact-count + estimate_ok contract (the raw
     # HLL estimate stays library-only as approx_distinct_by_month).
     "a6_approx_distinct": a6_approx_distinct,
+    "a9_approx_percentile": a9_approx_percentile,
     "q6_banded_revenue": q6_banded_revenue,
     "q14_promo_revenue": q14_promo_revenue,
     "agg_grouping_sets": agg_grouping_sets,
@@ -308,6 +345,7 @@ RELATIONAL_EXT_ORACLES: dict[str, str] = {
     "a5_multi_distinct": A5_SQL,
     "a7_percentiles": A7_SQL,
     "a6_approx_distinct": A6_SQL,
+    "a9_approx_percentile": A9_SQL,
     "q6_banded_revenue": Q6_SQL,
     "q14_promo_revenue": Q14_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
