@@ -901,18 +901,28 @@ def sim_pq_topk(
         .collect()
     }
 
-    def sub_dist_expr(m: int, c: int) -> str:
-        # Σ_d (x[m·8+d] − cent)² as a left-assoc chain (Spark [] is 0-based)
-        terms = []
-        for d in range(PQ_DSUB):
-            i = m * PQ_DSUB + d
-            # 'D' suffix: Spark parses a bare decimal literal as DECIMAL,
-            # which would silently promote the whole ADC sum to decimal
-            # and hash-mismatch the oracle's DOUBLE
-            lit = f"{cb[c][i]!r}D"
-            x = f"_nv[{i}]"
-            terms.append(f"({x} - ({lit})) * ({x} - ({lit}))")
-        return "(" + " + ".join(terms) + ")"
+    def cb_band_lit(m: int) -> str:
+        # codebook slice for subspace m as an array-of-arrays literal —
+        # one nested literal + zip_with/aggregate instead of K unrolled
+        # distance chains keeps the expression tree ~10× smaller (the
+        # unrolled form cost seconds of driver analysis/codegen per
+        # run). 'D' suffix: a bare decimal literal parses as DECIMAL
+        # and would promote the ADC sum away from the oracle's DOUBLE.
+        rows = ", ".join(
+            "array(" + ", ".join(f"{cb[c][m * PQ_DSUB + d]!r}D" for d in range(PQ_DSUB)) + ")"
+            for c in range(PQ_K)
+        )
+        return f"array({rows})"
+
+    def band_dists_expr(m: int) -> str:
+        # per-entry Σ_d (x−cent)²: zip_with pairs in index order and
+        # aggregate folds left-to-right — the same order as the
+        # DuckDB oracle's list_zip/list_aggregate
+        return (
+            f"transform({cb_band_lit(m)}, cv -> "
+            f"aggregate(zip_with(slice(_nv, {m * PQ_DSUB + 1}, {PQ_DSUB}), cv, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v))"
+        )
 
     normalized = emb.select(
         "vec_id",
@@ -925,12 +935,7 @@ def sim_pq_topk(
     encoded = normalized.select(
         "vec_id",
         "_nv",
-        *[
-            F.expr(
-                f"array({', '.join(sub_dist_expr(m, c) for c in range(PQ_K))})"
-            ).alias(f"_pqd{m}")
-            for m in range(PQ_M)
-        ],
+        *[F.expr(band_dists_expr(m)).alias(f"_pqd{m}") for m in range(PQ_M)],
     ).select(
         "vec_id",
         *[
