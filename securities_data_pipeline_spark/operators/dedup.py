@@ -628,6 +628,19 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
 # n-gram jaccard pairs (also the LSH verifier)
 
 
+def _shingle_shared_counts(
+    docs: DataFrame, block_col: str = "source", max_bucket: int | None = None
+) -> DataFrame:
+    """Shared-shingle pair counts for the exact overlap scorers
+    (Jaccard, containment): one row per candidate pair with
+    (doc_a, doc_b, na, nb, n_shared). Both scorers differ only in
+    their final score expression over these five columns."""
+    pairs = _shingle_pair_stream(docs, block_col, max_bucket)
+    return pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+
+
 def _shingle_pair_stream(
     docs: DataFrame, block_col: str = "source", max_bucket: int | None = None
 ) -> DataFrame:
@@ -690,10 +703,8 @@ def ngram_jaccard_pairs(
       capped jaccard is ≤ the exact one — a conservative filter whose
       exact pair-sacrifice behavior the oracle pins.
     """
-    pairs = _shingle_pair_stream(docs, block_col, max_bucket)
     return (
-        pairs.groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _shingle_shared_counts(docs, block_col, max_bucket)
         .select(
             "doc_a",
             "doc_b",
@@ -744,10 +755,8 @@ def containment_pairs(
     boilerplate-wrapped reposts, truncated re-crawls). Same bucketed
     single-shuffle plan as ``ngram_jaccard_pairs`` (shared
     ``_shingle_pair_stream``), same stop-shingle cap story at 100 TB."""
-    pairs = _shingle_pair_stream(docs, block_col, max_bucket)
     return (
-        pairs.groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _shingle_shared_counts(docs, block_col, max_bucket)
         .select(
             "doc_a",
             "doc_b",

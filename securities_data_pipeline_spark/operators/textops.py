@@ -895,51 +895,72 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: pure per-row higher-order functions — chars, their distinct
     set, and per-char counts never leave the row, so the op runs at
     scan speed with ZERO shuffles (an explode→groupBy formulation
-    would shuffle every character of a 100 TB corpus). Float rule:
-    each −p·log2(p) term rounds to 9 dp and accumulates as exact
-    DECIMAL over the SORTED distinct-char order (sum order engine-
-    independent), then one final 6-dp round — the same determinism
-    recipe as ``t_unigram_logprob``."""
+    would shuffle every character of a 100 TB corpus). The char array,
+    its size, and each per-char count bind through ``let`` so they
+    evaluate once (HOF lambdas are interpreted per element — an
+    inlined split would recompute O(distinct_chars) times per row).
+    Float rule: each −p·log2(p) term rounds to 9 dp and accumulates as
+    exact DECIMAL over the SORTED distinct-char order, and the final
+    6-dp round ALSO happens in exact decimal before the double cast —
+    a 9-dp sum landing exactly on a 6-dp half-way boundary rounds
+    engine-dependently in binary double (found at sf0.1, doc 1120)
+    but identically (HALF_UP) in decimal. NULL text counts as empty
+    (entropy 0), matching the oracle's LEFT-JOIN shape."""
+    from securities_data_pipeline_spark.functions.expr import let
+
     docs = table(spark, sf_dir, "documents")
-    ent = F.expr(
-        """
-        round(CAST(aggregate(
-          transform(
-            array_sort(array_distinct(filter(split(text, ''), x -> x != ''))),
-            c -> CAST(round(
-              (CAST(size(filter(filter(split(text, ''), x -> x != ''), x -> x = c)) AS DOUBLE)
-               / CAST(size(filter(split(text, ''), x -> x != '')) AS DOUBLE))
-              * log2(CAST(size(filter(filter(split(text, ''), x -> x != ''), x -> x = c)) AS DOUBLE)
-                     / CAST(size(filter(split(text, ''), x -> x != '')) AS DOUBLE)),
-              9) AS DECIMAL(18,9))
-          ),
-          CAST(0 AS DECIMAL(18,9)),
-          (a, t) -> CAST(a + t AS DECIMAL(18,9))
-        ) AS DOUBLE) * -1 + 0.0D, 6)
-        """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    chars = F.filter(F.split(text, ""), lambda x: x != F.lit(""))
+    dec = "decimal(18,9)"
+
+    def term(cnt: "F.Column", n: "F.Column") -> "F.Column":
+        p = cnt / n
+        return F.round(p * F.log2(p), 9).cast(dec)
+
+    ent = let(
+        chars,
+        lambda cs: let(
+            F.size(cs).cast("double"),
+            lambda n: F.round(
+                F.lit(0).cast(dec)
+                - F.aggregate(
+                    F.transform(
+                        F.array_sort(F.array_distinct(cs)),
+                        lambda c: let(
+                            F.size(F.filter(cs, lambda x: x == c)).cast("double"),
+                            lambda cnt: term(cnt, n),
+                        ),
+                    ),
+                    F.lit(0).cast(dec),
+                    lambda a, t: (a + t).cast(dec),
+                ),
+                6,
+            ).cast("double"),
+        ),
     )
     return docs.select(
         "doc_id",
-        F.length("text").cast("long").alias("n_chars_text"),
+        F.length(text).cast("long").alias("n_chars_text"),
         ent.alias("entropy"),
     )
 
 
 T_CHAR_ENTROPY_SQL = """
 WITH ch AS (
-  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
-  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
+  SELECT doc_id, substring(COALESCE(text, ''), CAST(i AS INT), 1) AS c
+  FROM documents, unnest(range(1, len(COALESCE(text, '')) + 1)) AS t(i)
 ), counts AS (
   SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2
 ), tot AS (
   SELECT doc_id, SUM(cnt) AS n FROM counts GROUP BY 1
 )
 SELECT d.doc_id,
-       CAST(len(d.text) AS BIGINT) AS n_chars_text,
-       COALESCE(round(CAST(SUM(CAST(round(
-         (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
-         * log2(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)))
-         AS DOUBLE) * -1 + 0.0, 6), 0.0) AS entropy
+       CAST(len(COALESCE(d.text, '')) AS BIGINT) AS n_chars_text,
+       COALESCE(CAST(round(
+         CAST(0 AS DECIMAL(18,9)) - SUM(CAST(round(
+           (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+           * log2(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9))),
+         6) AS DOUBLE), 0.0) AS entropy
 FROM documents d
 LEFT JOIN counts USING (doc_id)
 LEFT JOIN tot USING (doc_id)

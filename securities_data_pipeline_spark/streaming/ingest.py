@@ -393,8 +393,6 @@ def s_stream_topk_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame
     the operator registers — and its oracle gates — everywhere. The
     skipif-gated pytest pins the v2 path wherever it can run.
     """
-    import pandas as pd
-
     if not HAVE_TWS_DEPS:
         return _topk_state_v1_fallback(spark, sf_dir)
 
@@ -405,29 +403,13 @@ def s_stream_topk_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame
 
     class TopK(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._st = handle.getValueState(
-                "topk", "n long, v1 double, v2 double, v3 double"
-            )
+            self._st = handle.getValueState("topk", _TOPK_STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
             prior = self._st.get() if self._st.exists() else None
-            n = int(prior[0]) if prior else 0
-            best = [v for v in (prior[1:] if prior else ()) if v is not None]
-            for pdf in rows:
-                vals = pdf["value"].astype(float)
-                n += len(vals)
-                best = sorted(best + vals.tolist(), reverse=True)[:3]
-            padded = (best + [None, None, None])[:3]
+            n, padded = _topk_accumulate(prior, rows)
             self._st.update((n, *padded))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "top1": [padded[0]],
-                    "top2": [padded[1]],
-                    "top3": [padded[2]],
-                }
-            )
+            yield _topk_emit(key, n, padded)
 
         def close(self) -> None:
             pass
@@ -435,9 +417,7 @@ def s_stream_topk_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = events_stream(spark, sf_dir).select("user_id", "value")
     result = ev.groupBy("user_id").transformWithStateInPandas(
         TopK(),
-        outputStructType=(
-            "user_id long, n_events long, top1 double, top2 double, top3 double"
-        ),
+        outputStructType=_TOPK_OUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )
@@ -454,7 +434,47 @@ def s_stream_topk_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
-    # update mode re-emits per micro-batch; final state = max n_events
+    return _topk_finalize(out)
+
+
+#: shared between the transformWithState (v2) processor and its
+#: applyInPandasWithState (v1) twin — top-k semantics (k, rounding,
+#: tie-breaks, schemas) must change in ONE place or the two paths
+#: silently desynchronize across environments
+_TOPK_STATE_SCHEMA = "n long, v1 double, v2 double, v3 double"
+_TOPK_OUT_SCHEMA = (
+    "user_id long, n_events long, top1 double, top2 double, top3 double"
+)
+
+
+def _topk_accumulate(prior, pdfs):
+    """Fold micro-batch values into the (count, v1≥v2≥v3) state tuple."""
+    n = int(prior[0]) if prior else 0
+    best = [v for v in (prior[1:] if prior else ()) if v is not None]
+    for pdf in pdfs:
+        vals = pdf["value"].astype(float)
+        n += len(vals)
+        best = sorted(best + vals.tolist(), reverse=True)[:3]
+    return n, (best + [None, None, None])[:3]
+
+
+def _topk_emit(key, n, padded):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "top1": [padded[0]],
+            "top2": [padded[1]],
+            "top3": [padded[2]],
+        }
+    )
+
+
+def _topk_finalize(out: DataFrame) -> DataFrame:
+    """Update mode re-emits per micro-batch; keep the final state per
+    user (max n_events is the last emission) and round for the oracle."""
     final = (
         out.groupBy("user_id")
         .agg(F.max_by(F.struct("n_events", "top1", "top2", "top3"), "n_events").alias("s"))
@@ -470,53 +490,27 @@ def s_stream_topk_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame
 def _topk_state_v1_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState twin of the TopK transformWithState
     processor: identical per-user (count, v1≥v2≥v3) bounded state and
-    identical output schema, used where protobuf (and with it the v2
-    state-server protocol) is unavailable."""
-    import pandas as pd
+    identical output schema (both via the shared _topk_* helpers),
+    used where protobuf (and with it the v2 state-server protocol) is
+    unavailable."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ev = events_stream(spark, sf_dir).select("user_id", "value")
 
     def update(key, pdfs, state: GroupState):
         prior = state.get if state.exists else None
-        n = int(prior[0]) if prior else 0
-        best = [v for v in (prior[1:] if prior else ()) if v is not None]
-        for pdf in pdfs:
-            vals = pdf["value"].astype(float)
-            n += len(vals)
-            best = sorted(best + vals.tolist(), reverse=True)[:3]
-        padded = (best + [None, None, None])[:3]
+        n, padded = _topk_accumulate(prior, pdfs)
         state.update((n, *padded))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "top1": [padded[0]],
-                "top2": [padded[1]],
-                "top3": [padded[2]],
-            }
-        )
+        yield _topk_emit(key, n, padded)
 
     result = ev.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType=(
-            "user_id long, n_events long, top1 double, top2 double, top3 double"
-        ),
-        stateStructType="n long, v1 double, v2 double, v3 double",
+        outputStructType=_TOPK_OUT_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_to_memory(result, "update")
-    final = (
-        out.groupBy("user_id")
-        .agg(F.max_by(F.struct("n_events", "top1", "top2", "top3"), "n_events").alias("s"))
-        .select("user_id", "s.n_events", "s.top1", "s.top2", "s.top3")
-    )
-    return final.select(
-        "user_id",
-        "n_events",
-        *[F.round(F.col(c), 6).alias(c) for c in ("top1", "top2", "top3")],
-    )
+    return _topk_finalize(run_to_memory(result, "update"))
 
 
 S_TOPK_TWS_SQL = """

@@ -8,10 +8,11 @@ near-dup structure grows realistically instead of collapsing into
 exact clusters), then times the candidate-generation queries against
 it and reports pair counts vs wall time.
 
-The amplified table lives under a scratch dir (default /tmp) — the
-driver-provided testdata is never modified. Usage::
+The amplified table lives under ``<scratch_root>/sdp_dedup_stress``
+(root defaults to /tmp; only that harness-owned subdirectory is ever
+deleted) — the driver-provided testdata is never modified. Usage::
 
-    python tools/stress_dedup.py [sf_dir] [factor] [scratch_dir]
+    python tools/stress_dedup.py [sf_dir] [factor] [scratch_root]
 """
 
 from __future__ import annotations
@@ -59,7 +60,12 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sdp_dedup_stress"
+    # work strictly inside a harness-owned subdirectory of the given
+    # scratch root — the cleanup rmtree below must never touch a
+    # user-supplied directory's other contents (passing /tmp as the
+    # root would otherwise delete all of /tmp at the end)
+    scratch_root = sys.argv[3] if len(sys.argv) > 3 else "/tmp"
+    scratch = os.path.join(scratch_root, "sdp_dedup_stress")
 
     spark = get_spark("dedup-stress")
     os.makedirs(scratch, exist_ok=True)
