@@ -35,6 +35,19 @@ from securities_data_pipeline_spark.sources.tables import table
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 10
 CENTROID_STRIDE = 100  # vec_id % 100 == 0 → coarse centroid
+#: hard cap on the IVF centroid roster: K must be INDEPENDENT of
+#: corpus size or the nearest-centroid assignment scan is O(n·n/stride)
+#: = quadratic — measured 51× wall on 10× vectors before the cap
+#: (tools/stress_sim.py). 20 donors covers every driver SF unchanged
+#: (max donor vec_id there is 1900 < 2000); amplified corpora keep the
+#: same fixed-K roster, the real IVF contract.
+N_CENTROIDS_CAP = 20
+
+
+def _centroid_filter():
+    return (F.col("vec_id") % CENTROID_STRIDE == 0) & (
+        F.col("vec_id") < CENTROID_STRIDE * N_CENTROIDS_CAP
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -162,7 +175,7 @@ WHERE e.vec_id <> q.query_id
 
 def assign_buckets(emb: DataFrame) -> DataFrame:
     """Assign every vector to its nearest deterministic centroid."""
-    centroids = emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+    centroids = emb.where(_centroid_filter()).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     scored = F.broadcast(centroids).crossJoin(emb).select(
@@ -254,7 +267,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str, n_probes: int = N_PROBES) -> 
     recall/latency dial)."""
     emb = table(spark, sf_dir, "embeddings")
     bucketed = assign_buckets(emb)
-    centroids = emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+    centroids = emb.where(_centroid_filter()).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -290,7 +303,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str, n_probes: int = N_PROBES) -> 
 SIM_IVF_SQL = f"""
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
-  WHERE vec_id % {CENTROID_STRIDE} = 0
+  WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {CENTROID_STRIDE * N_CENTROIDS_CAP}
 ), assigned AS (
   SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
          ROW_NUMBER() OVER (
