@@ -99,10 +99,13 @@ def validate_schema(
 
 
 def check_not_null(df: DataFrame, column: str, sample: int = 5) -> CheckResult:
-    """dbt ``not_null`` (properties.yml:26-52)."""
+    """dbt ``not_null`` (properties.yml:26-52). The sample carries the
+    offending ROWS (the null column itself is uninformative) so the
+    diagnostic identifies which records broke the constraint."""
     bad = df.where(F.col(column).isNull())
+    rows = bad.limit(sample).collect()
     n = bad.count()
-    return CheckResult(f"not_null({column})", n == 0, n)
+    return CheckResult(f"not_null({column})", n == 0, n, rows)
 
 
 def check_unique(df: DataFrame, columns: str | list[str], sample: int = 5) -> CheckResult:
