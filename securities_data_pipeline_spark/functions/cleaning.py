@@ -117,7 +117,16 @@ def transform_prices(df: DataFrame, asset_category: str) -> DataFrame:
     """Raw wide price matrix → long validated rows (transform.py:72-90):
     prune all-null columns → unpivot → timestamp→date → FX recode."""
     if df.isEmpty():
-        return df
+        # an empty fetch must short-circuit to an empty LONG-schema
+        # frame — returning the raw wide frame would crash downstream
+        # (load_prices partitions by date_stamp/symbol, which the wide
+        # schema lacks), turning a no-op vendor day into a pipeline
+        # abort
+        return df.sparkSession.createDataFrame(
+            [],
+            "date_stamp date, symbol string, open double, high double, "
+            "low double, close double, volume bigint",
+        )
     long_df = unpivot_wide_prices(drop_all_null_columns(df))
     out = long_df.select(
         F.to_date(F.col("date")).alias("date_stamp"),

@@ -34,8 +34,6 @@ Physical strategy (100 TB design):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -45,6 +43,35 @@ try:  # pragma: no cover - not installed in the test container
     HAVE_DELTA = True
 except ImportError:
     HAVE_DELTA = False
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via Hadoop's FS API — resolves
+    the scheme (file://, s3a://, hdfs://, ...), unlike driver-local
+    ``os.path`` which silently answers False for every remote URI (and
+    a False "exists" turns a merge into a full overwrite)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    # NB: dynamic-partition-overwrite commits don't leave a top-level
+    # _SUCCESS marker, so "table exists" = directory with any content
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath)) and len(fs.listStatus(hpath)) > 0
+
+
+def _is_delta_table(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(spark._jvm.org.apache.hadoop.fs.Path(hpath, "_delta_log")))
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def dedupe_on_keys(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -89,9 +116,7 @@ def merge_upsert(
     partition-pruned merges.
     """
     incoming = dedupe_on_keys(incoming, keys)
-    # NB: dynamic-partition-overwrite commits don't leave a top-level
-    # _SUCCESS marker, so "table exists" = directory with any content
-    exists = os.path.isdir(path) and bool(os.listdir(path))
+    exists = _table_exists(spark, path)
 
     writer = incoming.write
     if partition_by:
@@ -102,7 +127,7 @@ def merge_upsert(
         spark.catalog.refreshByPath(path)
         return
 
-    if HAVE_DELTA and os.path.isdir(os.path.join(path, "_delta_log")):
+    if HAVE_DELTA and _is_delta_table(spark, path):
         _delta_merge(spark, incoming, path, keys)
         return
 
@@ -136,32 +161,42 @@ def merge_upsert(
     )
     if partition_by and not evolving:
         # restrict the rewrite to partitions present in the batch:
-        # IN-list on partition values → partition pruning at the scan
+        # IN-list on partition values → partition pruning at the scan.
+        # NULL partition values need an explicit isNull arm — isin()
+        # never matches NULL, which would silently DROP the target's
+        # null-partition survivors from the dynamic overwrite.
         pvals = [r[0] for r in incoming.select(*partition_by).distinct().collect()]
         pcol = partition_by[0]
-        target = target.where(F.col(pcol).isin(pvals))
+        non_null = [v for v in pvals if v is not None]
+        pred = F.col(pcol).isin(non_null) if non_null else F.lit(False)
+        if len(non_null) != len(pvals):
+            pred = pred | F.col(pcol).isNull()
+        target = target.where(pred)
         survivors = target.join(incoming.select(*keys), keys, "left_anti")
         merged = survivors.unionByName(incoming, allowMissingColumns=True)
-        # materialize before overwriting the partitions being read;
-        # dynamic overwrite is scoped to this write (writer option, not
-        # session conf) so unrelated writes keep static semantics
-        merged = merged.localCheckpoint(eager=True)
-        (
-            merged.write.partitionBy(*partition_by)
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(path)
-        )
+        merged = _stage_merged(spark, merged, path)
+        try:
+            (
+                merged.write.partitionBy(*partition_by)
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(path)
+            )
+        finally:
+            _delete_path(spark, _stage_path(path))
     else:
         # unpartitioned merge, or a schema-evolving partitioned one
         # (full rewrite keeps every file on the evolved column set)
         survivors = target.join(incoming.select(*keys), keys, "left_anti")
         merged = survivors.unionByName(incoming, allowMissingColumns=True)
-        merged = merged.localCheckpoint(eager=True)
-        writer = merged.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        merged = _stage_merged(spark, merged, path)
+        try:
+            writer = merged.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+        finally:
+            _delete_path(spark, _stage_path(path))
 
     # clear the shared file-status cache so *new* reads list the
     # rewritten files. NB: DataFrames created BEFORE this merge hold
@@ -170,6 +205,27 @@ def merge_upsert(
     # isolation (Delta's txn log is the cluster answer; see module
     # docstring). Re-obtain handles after a merge.
     spark.catalog.refreshByPath(path)
+
+
+def _stage_path(path: str) -> str:
+    return path.rstrip("/") + "__merge_stage"
+
+
+def _stage_merged(spark: SparkSession, merged: DataFrame, path: str) -> DataFrame:
+    """Durably materialize the merged result BEFORE overwriting the
+    target it reads from. A localCheckpoint would avoid the read-while-
+    overwrite conflict but stores un-replicated executor blocks: an
+    executor lost mid-overwrite cannot recompute (lineage truncated AND
+    the source files being deleted), leaving the table partially
+    destroyed. Writing the merge result to a sibling stage directory
+    first means the overwrite's input survives any executor/driver
+    crash — the stage IS the recovery copy until the target write
+    commits (Delta's transaction log is the real answer; this is the
+    honest plain-parquet one). Written unpartitioned so partition
+    column types round-trip exactly."""
+    stage = _stage_path(path)
+    merged.write.mode("overwrite").parquet(stage)
+    return spark.read.parquet(stage)
 
 
 def compact_table(

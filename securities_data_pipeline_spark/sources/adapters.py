@@ -105,7 +105,18 @@ def wide_bars_to_long(bars, batch_symbols: Sequence[str] | None = None):
         df.columns = df.columns.set_names("Ticker", level=-1)
     long = df.stack("Ticker", future_stack=True).reset_index()
     long.columns = [str(c).lower() for c in long.columns]
-    long = long.rename(columns={"ticker": "symbol", "date": "date_stamp"})
+    # the stacked index column is 'date' for daily bars but 'datetime'
+    # for intraday frames and 'index' for unnamed indexes — all three
+    # must land on date_stamp or the projection below KeyErrors on
+    # executors
+    long = long.rename(
+        columns={
+            "ticker": "symbol",
+            "date": "date_stamp",
+            "datetime": "date_stamp",
+            "index": "date_stamp",
+        }
+    )
     cols = ["date_stamp", "symbol", "open", "high", "low", "close", "volume"]
     for c in cols[2:]:
         if c not in long.columns:
@@ -145,11 +156,26 @@ def price_history_source(
     distributed path: symbols partition into ≤``batch_size`` batches,
     each executor calls the yfinance-shaped ``downloader`` once per
     batch and normalizes wide→long in the same Arrow batch. Volume
-    stays double here (vendors emit NaN); cast at the merge sink."""
+    stays double here (vendors emit NaN); cast at the merge sink.
+
+    Partial-failure parity with the reference (extract.py:110-137): a
+    batch whose fetch or normalization raises yields ZERO rows instead
+    of killing the whole job — every symbol of the failed batch then
+    surfaces through ``failed_symbols`` exactly like symbols the
+    vendor individually declined, and the rest of the fetch loads."""
     dl = downloader or _default_downloader
 
     def fetch_batch(batch: list[str]):
-        return wide_bars_to_long(dl(batch, start_date, end_date), batch)
+        import pandas as pd
+
+        try:
+            return wide_bars_to_long(dl(batch, start_date, end_date), batch)
+        except Exception:
+            return pd.DataFrame(
+                columns=[
+                    "date_stamp", "symbol", "open", "high", "low", "close", "volume",
+                ]
+            )
 
     return fetch_prices_distributed(
         spark, list(symbols), fetch_batch, schema=BARS_SCHEMA, batch_size=batch_size

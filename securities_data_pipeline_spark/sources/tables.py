@@ -42,11 +42,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pruning/pushdown on other columns is unaffected.
     """
     if name == "events":
-        # runtime-settable; without these a session not built by our
-        # factory (e.g. a driver-provided one) rejects the
-        # TIMESTAMP(NANOS) parquet column outright, and the ns→µs
-        # epoch conversion below is only wall-clock-stable under UTC
-        # (SURVEY §7 risk 7)
+        # DELIBERATE session-wide side effect, part of the engine's
+        # contract: every query surface in this package assumes UTC
+        # session semantics (the session factory pins it; the oracle
+        # gate and all to_date/window results depend on it), and a
+        # driver-provided session without our factory config would
+        # otherwise reject the TIMESTAMP(NANOS) parquet column outright
+        # while the ns→µs conversion below is only wall-clock-stable
+        # under UTC (SURVEY §7 risk 7). Callers embedding this engine
+        # in a session that must keep a different timezone should read
+        # events through their own scan instead of table().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -32,6 +32,11 @@ def read_wide_price_csv(
         fields = [c.strip() for c in f.readline().rstrip("\n").split(",")]
         tickers = [c.strip() for c in f.readline().rstrip("\n").split(",")]
 
+    if len(fields) != len(tickers):
+        raise ValueError(
+            f"ragged 2-level header: {len(fields)} field cells vs "
+            f"{len(tickers)} ticker cells in {path}"
+        )
     names: list[str] = []
     for i, (field, ticker) in enumerate(zip(fields, tickers)):
         if i == 0:
@@ -39,16 +44,20 @@ def read_wide_price_csv(
         else:
             names.append(f"{field}_{ticker}")
 
+    # Volume parses as DOUBLE, not LONG: pandas serializes a volume
+    # column as floats ('53228400.0') whenever the ticker has any
+    # missing bar (NaN forces float dtype), and a LongType field would
+    # silently NULL every such value under PERMISSIVE mode. The
+    # integer cast happens after the parse, where floats convert
+    # instead of vanishing.
     schema = T.StructType(
         [T.StructField(date_col, T.StringType(), True)]
-        + [
-            T.StructField(
-                n, T.LongType() if n.startswith("Volume_") else T.DoubleType(), True
-            )
-            for n in names[1:]
-        ]
+        + [T.StructField(n, T.DoubleType(), True) for n in names[1:]]
     )
     raw = spark.read.csv(path, schema=schema, header=False, mode="PERMISSIVE")
+    for n in names[1:]:
+        if n.startswith("Volume_"):
+            raw = raw.withColumn(n, F.col(n).cast(T.LongType()))
     # try_to_timestamp: header rows yield NULL instead of an ANSI cast
     # error, and get filtered out
     ts = F.try_to_timestamp(F.col(date_col))

@@ -125,6 +125,11 @@ _SQL_TYPES = {
     "bigint": "BIGINT",
     "int": "INTEGER",
     "smallint": "SMALLINT",
+    # tinyint must map to a numeric DDL type: Spark's JDBC writer
+    # stages ByteType as a small integer, and a VARCHAR fallback here
+    # would make the merge INSERT type-mismatch the staged column —
+    # the exact failure the decimal passthrough below exists to avoid
+    "tinyint": "SMALLINT",
     "double": "DOUBLE PRECISION",
     "float": "REAL",
     "string": "VARCHAR",
@@ -171,7 +176,15 @@ def _default_stager(url: str, options: dict[str, str]) -> Callable[[DataFrame, s
         (
             df.write.format("jdbc")
             .option("url", url)
-            .option("dbtable", stage_table)
+            # QUOTED: the merge DML references the stage via
+            # quote_ident (case-exact). An unquoted dbtable would let
+            # the engine case-fold the created name (Postgres → lower,
+            # Oracle → upper), so a mixed-case target like 'Prices'
+            # would stage a table the quoted DML can't find — failing
+            # the merge AND leaking the stage (the quoted DROP misses
+            # it too). Custom stagers must create the name case-exactly
+            # for the same reason.
+            .option("dbtable", quote_ident(stage_table))
             .options(**options)
             .mode("overwrite")
             .save()

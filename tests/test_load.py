@@ -357,7 +357,10 @@ def test_default_stager_builds_jdbc_write(spark, monkeypatch):
         "format": "jdbc",
         "options": {
             "url": "jdbc:postgresql://dw:5432/sec",
-            "dbtable": "fx__stage",
+            # QUOTED: creation must preserve exact case so the merge
+            # DML's quote_ident reference (and the DROP) find the
+            # stage on case-folding engines
+            "dbtable": '"fx__stage"',
             "user": "loader",
             "numPartitions": "8",
         },
@@ -570,3 +573,74 @@ def test_partitioned_lake_read_prunes_partitions(spark, tmp_path):
     all_files = len(glob.glob(f"{path}/date_stamp=*/*.parquet"))
     assert n_files == day2_files, (n_files, day2_files)
     assert n_files < all_files, "scan read files outside the pruned partition"
+
+
+def test_merge_preserves_null_partition_survivors(spark, tmp_path):
+    """isin() never matches NULL: without the explicit isNull arm a
+    merge into the null partition silently DELETED the target's other
+    null-partition rows."""
+    from securities_data_pipeline_spark.load import merge_upsert
+
+    path = str(tmp_path / "nulpart")
+    base = spark.createDataFrame(
+        [(None, "A", 1.0), ("2024-01-01", "C", 3.0)],
+        "date_stamp string, symbol string, close double",
+    )
+    merge_upsert(spark, base, path, ["date_stamp", "symbol"],
+                 partition_by=("date_stamp",))
+    batch = spark.createDataFrame(
+        [(None, "B", 2.0)], "date_stamp string, symbol string, close double"
+    )
+    merge_upsert(spark, batch, path, ["date_stamp", "symbol"],
+                 partition_by=("date_stamp",))
+    rows = {(r.symbol): r.close for r in spark.read.parquet(path).collect()}
+    assert rows == {"A": 1.0, "B": 2.0, "C": 3.0}
+
+
+def test_transform_prices_empty_input_yields_long_schema(spark):
+    """An empty vendor fetch must be a no-op with the LONG schema —
+    the raw wide frame would crash load_prices' partitionBy."""
+    from securities_data_pipeline_spark.functions.cleaning import transform_prices
+
+    wide = spark.createDataFrame(
+        [], "date timestamp, Open_EURUSD double, Close_EURUSD double"
+    )
+    out = transform_prices(wide, "fx")
+    assert out.columns == [
+        "date_stamp", "symbol", "open", "high", "low", "close", "volume"
+    ]
+    assert out.count() == 0
+
+
+def test_price_fetch_partial_batch_failure_quarantines_not_aborts(spark):
+    """One failing batch yields zero rows (its symbols surface via
+    failed_symbols) while other batches still load — the reference's
+    YF_ERRORS semantics, not a whole-job abort."""
+    import pandas as pd
+
+    from securities_data_pipeline_spark.sources.adapters import (
+        failed_symbols,
+        price_history_source,
+    )
+
+    def downloader(symbols, start, end):
+        if "BAD" in symbols:
+            raise RuntimeError("vendor 429")
+        dates = pd.to_datetime(["2025-01-01"])
+        fields = ["Open", "High", "Low", "Close", "Volume"]
+        cols = pd.MultiIndex.from_product([fields, symbols], names=["Price", "Ticker"])
+        data = {(f, s): [1.0] for f in fields for s in symbols}
+        return pd.DataFrame(data, index=dates, columns=cols).rename_axis("Date")
+
+    symbols = ["AAA", "BBB", "BAD", "CCC"]
+    bars = price_history_source(
+        spark, symbols=symbols, downloader=downloader, batch_size=1
+    )
+    got = {r.symbol for r in bars.collect()}
+    # failure granularity is the BATCH (repartition is hash-based, so
+    # healthy symbols sharing BAD's partition drop with it): the job
+    # must not abort, BAD must never load, other batches still land,
+    # and every casualty surfaces through failed_symbols
+    assert "BAD" not in got and got
+    failed = {r.symbol for r in failed_symbols(spark, symbols, bars).collect()}
+    assert "BAD" in failed and failed == set(symbols) - got
