@@ -24,6 +24,7 @@ class Engine:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self.tables: dict[str, DataFrame] = {}
+        self.sf_dir: str | None = None
 
     def open(self, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> "Engine":
         """Load tables from a data directory and register SQL views."""
@@ -38,15 +39,19 @@ class Engine:
         return self.tables[name]
 
     def query(self, name: str) -> DataFrame:
-        """Run a named query from the engine registry."""
-        import __spark_entry__ as entry
+        """Run a named query from the package registry (the facade
+        depends only on the package — never on the repo-root driver
+        script, so an installed library import works)."""
+        if self.sf_dir is None:
+            raise RuntimeError("Engine.query requires open(sf_dir) first")
+        from securities_data_pipeline_spark.registry import all_queries
 
-        return entry.queries()[name](self.spark, self.sf_dir)
+        return all_queries()[name](self.spark, self.sf_dir)
 
     def query_names(self) -> list[str]:
-        import __spark_entry__ as entry
+        from securities_data_pipeline_spark.registry import all_queries
 
-        return sorted(entry.queries().keys())
+        return sorted(all_queries().keys())
 
     def run_pipeline(self, lake_root: str, **kwargs):
         from securities_data_pipeline_spark.pipeline import etl_flow

@@ -178,15 +178,20 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     class TokenPositions:
         def eval(self, text: str):
             # mirror the oracle's regexp_split_to_array(trim(lower(text)),
-            # '\s+') semantics EXACTLY: a blank/empty document yields ONE
-            # row with the empty-string token (str.split() would yield
+            # '\s+') semantics EXACTLY: NULL text yields ZERO rows (the
+            # SQL split of NULL is NULL and unnest(NULL) emits nothing —
+            # a `text or ''` fallback would instead emit one
+            # empty-token row); a blank/empty STRING yields ONE row
+            # with the empty-string token (str.split() would yield
             # zero rows); trim()/TRIM strips ONLY spaces in both engines
             # (Python str.strip() also eats tabs/newlines/Unicode ws —
             # wrong); and \s must be the ASCII class (Java regex and RE2
             # are ASCII-\s, Python defaults to Unicode-\s, which would
             # split on NBSP where the engines don't).
+            if text is None:
+                return
             for i, tok in enumerate(
-                re.split(r"\s+", (text or "").lower().strip(" "), flags=re.ASCII)
+                re.split(r"\s+", text.lower().strip(" "), flags=re.ASCII)
             ):
                 yield i, tok
 

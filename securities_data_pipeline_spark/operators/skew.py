@@ -12,9 +12,9 @@ explicit tools for the cases AQE can't fix:
   result is bit-identical to the unsalted plan.
 - ``salted_join``: broadcast-free join against a *skewed build side*:
   the small side is replicated once per salt (explode), the big side
-  gets a deterministic salt from its row content, and the join key
-  becomes (key, salt) — the hot key's probe rows land on n_salts
-  reducers instead of one.
+  gets a position-derived salt (content-derived salts collapse for
+  duplicate hot-key rows), and the join key becomes (key, salt) — the
+  hot key's probe rows land on n_salts reducers instead of one.
 - ``write_bucketed`` / bucketed reads: pre-shuffle a fact table ONCE
   into ``n`` buckets by join key (`df.write.bucketBy`). Every later
   equi-join/agg on that key reads co-located buckets and skips its
@@ -43,8 +43,17 @@ def salted_group_sum(
     ``groupBy(keys).agg(sum, count)`` for any input (algebraic
     re-association), but the widest reducer sees ~1/n_salts of the
     hottest key.
+
+    The salt comes from the row's PHYSICAL position
+    (``monotonically_increasing_id``), never from row content: a hot
+    key's rows are often literal duplicates (the boilerplate-document
+    case this operator exists for), and a content hash would give them
+    ALL one salt — silently degenerating to the unsalted single-reducer
+    plan. Position salts spread duplicates evenly; the aggregate's
+    value is salt-independent, so nondeterminism of the id across runs
+    is invisible.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in df.columns]), F.lit(n_salts)).alias(
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias(
         "_salt"
     )
     partial = (
@@ -72,15 +81,27 @@ def salted_join(
     ``n_salts`` reducers.
 
     The small side is replicated n_salts times (one row per salt), the
-    big side is salted deterministically from its full row content, and
-    the shuffle key becomes (key, salt). Semantically identical to
-    ``big.join(small, key, how)`` for inner/left joins (each big row
-    still matches exactly the same small rows)."""
+    big side is salted by physical row position (content-derived salts
+    collapse for duplicate hot-key rows — see ``salted_group_sum``),
+    and the shuffle key becomes (key, salt). Semantically identical to
+    ``big.join(small, key, how)`` for the big-side-preserving joins
+    (each big row still matches exactly the same small rows); joins
+    that preserve the SMALL side (right/full outer) would emit every
+    unmatched small-side replica n_salts times, so they are rejected
+    rather than silently wrong."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, not {how!r}: "
+            "right/full outer would duplicate unmatched small-side replicas "
+            "once per salt"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
     big_salted = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int"),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
     )
     joined = big_salted.join(small_rep, [key, "_salt"], how)
     return joined.drop("_salt")

@@ -32,6 +32,40 @@ TABLE_NAMES = (
 )
 
 
+def pin_event_session_confs(spark: SparkSession) -> None:
+    """DELIBERATE session-wide side effect, part of the engine's
+    contract (shared by the batch scan AND the streaming source so the
+    two reads of the same file can never diverge): every query surface
+    in this package assumes UTC session semantics (the session factory
+    pins it; the oracle gate and all to_date/window results depend on
+    it), and a session not built by our factory would otherwise reject
+    the TIMESTAMP(NANOS) parquet column outright while the ns→µs
+    conversion is only wall-clock-stable under UTC (SURVEY §7 risk 7).
+    Callers embedding this engine in a session that must keep a
+    different timezone should scan events themselves."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """ts-column normalization shared by batch and streaming reads of
+    the events table — one definition, so a future change to the ns→µs
+    rounding or a new parquet type branch cannot desynchronize the two
+    paths."""
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # integer division — `/` would go through double and lose
+        # precision above 2^53 ns
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # parquet TIMESTAMP with isAdjustedToUTC=false infers as NTZ in
+        # Spark 4; watermarks and unix_micros need TIMESTAMP (LTZ).
+        # Under the pinned UTC session timezone this cast is a pure
+        # reinterpretation — wall-clock values are unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Pure ``spark.read.parquet`` — no caching, no hints.
 
@@ -42,29 +76,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pruning/pushdown on other columns is unaffected.
     """
     if name == "events":
-        # DELIBERATE session-wide side effect, part of the engine's
-        # contract: every query surface in this package assumes UTC
-        # session semantics (the session factory pins it; the oracle
-        # gate and all to_date/window results depend on it), and a
-        # driver-provided session without our factory config would
-        # otherwise reject the TIMESTAMP(NANOS) parquet column outright
-        # while the ns→µs conversion below is only wall-clock-stable
-        # under UTC (SURVEY §7 risk 7). Callers embedding this engine
-        # in a session that must keep a different timezone should read
-        # events through their own scan instead of table().
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pin_event_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division — `/` would go through double and lose
-        # precision above 2^53 ns
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-        # parquet TIMESTAMP with isAdjustedToUTC=false infers as NTZ in
-        # Spark 4; watermarks and unix_micros need TIMESTAMP (LTZ). Under
-        # the factory's UTC session timezone this cast is a pure
-        # reinterpretation — wall-clock values are unchanged.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -30,7 +30,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from securities_data_pipeline_spark.sources.tables import table
 
@@ -46,27 +45,23 @@ except Exception:  # pragma: no cover
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events landing file(s), with the same ns→µs
-    timestamp normalization as the batch scan (sources/tables.py)."""
-    # runtime-settable; a driver-provided session without our factory
-    # config would otherwise reject the TIMESTAMP(NANOS) column, and
-    # the ns→µs conversion needs UTC for wall-clock stability
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """readStream over the events landing file(s), with the SAME conf
+    pinning and ns→µs/NTZ timestamp normalization as the batch scan —
+    both paths call the shared helpers in sources/tables.py, so a
+    change to the ts semantics cannot desynchronize them."""
+    from securities_data_pipeline_spark.sources.tables import (
+        normalize_event_ts,
+        pin_event_session_confs,
+    )
+
+    pin_event_session_confs(spark)
     batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(batch_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    if isinstance(batch_schema["ts"].dataType, T.TimestampNTZType):
-        # NTZ-inferred parquet timestamps (Spark 4 default for
-        # isAdjustedToUTC=false) can't carry a watermark; under the UTC
-        # session timezone this cast keeps wall-clock values unchanged.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def run_to_memory(
@@ -90,6 +85,15 @@ def run_to_memory(
         state_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # memory sinks hold their full materialized result in the driver
+    # for the session lifetime; without cleanup every harness query
+    # leaks one result copy. Contract: the DataFrame returned by the
+    # PREVIOUS call is consumed before the next call (every caller —
+    # oracle gate, bench, tests — collects immediately), so prior
+    # sinks are dropped here, bounding driver retention to one result.
+    for stale in _LIVE_MEMORY_SINKS:
+        spark.catalog.dropTempView(stale)
+    _LIVE_MEMORY_SINKS.clear()
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = _ram_checkpoint_dir(name)
     try:
@@ -109,7 +113,13 @@ def run_to_memory(
             import shutil
 
             shutil.rmtree(ckpt, ignore_errors=True)
+    _LIVE_MEMORY_SINKS.append(name)
     return spark.table(name)
+
+
+#: memory-sink view names from prior run_to_memory calls, dropped on
+#: the next call (see the cleanup contract in run_to_memory)
+_LIVE_MEMORY_SINKS: list[str] = []
 
 
 def _ram_checkpoint_dir(name: str) -> str | None:
@@ -138,7 +148,15 @@ def _ram_checkpoint_dir(name: str) -> str | None:
 
 def s_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day window rollup of the event stream (the intraday→
-    daily bar aggregation), with a 1-day watermark bounding state."""
+    daily bar aggregation).
+
+    Runs in COMPLETE mode for a deterministic oracle-comparable
+    result — and in complete mode Spark retains every window ever seen
+    (the watermark only filters late input; it cannot evict state,
+    since the full result must re-emit each batch). The bounded-state
+    production form of this exact pipeline is the APPEND-mode path
+    (``s_stream_session_rollup``, ``s_stream_weekly_from_daily``)
+    where the same watermark genuinely expires finalized windows."""
     ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 day")
@@ -241,7 +259,9 @@ def _run_foreach_batch(stream: DataFrame, fn) -> None:
 
 def s_stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 day long, 6 h slide): each event lands in 4
-    overlapping windows — late-bar smoothing for intraday series."""
+    overlapping windows — late-bar smoothing for intraday series.
+    Complete mode (deterministic oracle result) retains all windows;
+    see ``s_stream_daily_rollup`` for the bounded-state caveat."""
     ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 day")
@@ -769,7 +789,9 @@ def s_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     The static side is explicitly broadcast, so the stream never
     shuffles for the join and the join itself is STATELESS — each
     micro-batch probes the broadcast table and moves on; only the
-    windowed aggregate keeps watermark-bounded state. This is the
+    windowed aggregate holds state (here complete-mode-retained for
+    the deterministic oracle; watermark-bounded in the append-mode
+    production form — see ``s_stream_daily_rollup``). This is the
     streaming analog of every fact⋈dimension query in the batch
     surface, and the pattern a live securities feed uses to tag ticks
     with `dim_symbols` attributes (SURVEY §2.3).
@@ -852,14 +874,25 @@ def rate_stream_rollup(
     else:
         import time
 
+        # share run_to_memory's conf handling: stateful ops allocate
+        # one state store per shuffle partition, and this continuous
+        # path would otherwise run on the batch default (plus local
+        # checkpoint I/O) — the exact fixed costs run_to_memory's
+        # docstring calls dominant at small state
+        state_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         name = f"rate_{uuid.uuid4().hex[:12]}"
-        q = (
+        ckpt = _ram_checkpoint_dir(name)
+        writer = (
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
             .trigger(processingTime="0 seconds")
-            .start()
         )
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         try:
             deadline = time.monotonic() + 120
             while time.monotonic() < deadline:
@@ -873,6 +906,11 @@ def rate_stream_rollup(
                 raise TimeoutError(f"rate stream never reached batch {n_batches - 1}")
         finally:
             q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            if ckpt is not None:
+                import shutil
+
+                shutil.rmtree(ckpt, ignore_errors=True)
         out = spark.table(name)
     horizon = F.lit(n_batches * advance_ms / 1000.0).cast("double")
     return (
