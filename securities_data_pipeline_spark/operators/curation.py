@@ -50,8 +50,10 @@ from securities_data_pipeline_spark.functions.hashing import (
 )
 from securities_data_pipeline_spark.operators.textops import (
     _sql_quality,
+    _sql_round6_ratio,
     _sql_words,
     quality_score,
+    round6_ratio,
     words_col,
 )
 from securities_data_pipeline_spark.sources.tables import table
@@ -73,17 +75,26 @@ def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself.
     """
     docs = table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", words_col().alias("ws"))
+    # two consumers (stats + bigrams) of the tokenized scan — the
+    # dominant cost at corpus scale; materialize once (PLANS.md rule)
+    base = docs.select("doc_id", words_col().alias("ws")).localCheckpoint(eager=False)
     stats = base.select(
         "doc_id",
         F.size("ws").alias("n_tokens"),
         F.size(F.array_distinct("ws")).alias("n_unique"),
     )
+    # NB: F.sequence(1, 0) is DESCENDING [1, 0] — a one-token document
+    # (size-1 = 0) would then index element_at(ws, 0) and crash the
+    # whole query with INVALID_ARRAY_INDEX; guard like _gram_hashes
+    # does (the oracle's range(1, 1) is empty for the same doc)
+    bigram_idx = F.when(
+        F.size("ws") >= 2, F.sequence(F.lit(1), F.size("ws") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bigrams = base.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("ws") - 1),
+                bigram_idx,
                 lambda i: stable_hash64(
                     F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1))
                 ),
@@ -96,11 +107,11 @@ def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_bi"))
     )
-    dup_frac = F.round(
-        F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_tokens"), 6
-    )
-    top_frac = F.round(
-        F.lit(2.0) * F.coalesce(F.col("top_bi"), F.lit(0)) / F.col("n_tokens"), 6
+    # integer half-up rounding (round6_ratio) — round(double, 6) is
+    # engine-divergent on 6-dp half-way boundaries
+    dup_frac = round6_ratio(F.col("n_tokens") - F.col("n_unique"), F.col("n_tokens"))
+    top_frac = round6_ratio(
+        F.lit(2) * F.coalesce(F.col("top_bi"), F.lit(0)), F.col("n_tokens")
     )
     return (
         stats.join(top, "doc_id", "left")
@@ -132,10 +143,10 @@ WITH ws AS MATERIALIZED (
   GROUP BY doc_id
 )
 SELECT s.doc_id,
-       round(1.0 - CAST(n_unique AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
-       round(2.0 * coalesce(top_bi, 0) / n_tokens, 6) AS top_bigram_frac,
-       (round(1.0 - CAST(n_unique AS DOUBLE) / n_tokens, 6) > {DUP_WORD_MAX}
-        OR round(2.0 * coalesce(top_bi, 0) / n_tokens, 6) > {TOP_BIGRAM_MAX})
+       {_sql_round6_ratio('n_tokens - n_unique', 'n_tokens')} AS dup_word_frac,
+       {_sql_round6_ratio('2 * coalesce(top_bi, 0)', 'n_tokens')} AS top_bigram_frac,
+       ({_sql_round6_ratio('n_tokens - n_unique', 'n_tokens')} > {DUP_WORD_MAX}
+        OR {_sql_round6_ratio('2 * coalesce(top_bi, 0)', 'n_tokens')} > {TOP_BIGRAM_MAX})
          AS repetitive
 FROM stats s LEFT JOIN top USING (doc_id)
 """

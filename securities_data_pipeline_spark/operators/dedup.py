@@ -320,7 +320,15 @@ def lsh_candidate_pairs(
 def banded_signatures(sig: DataFrame, bands: int, n_hashes: int = N_MINHASH) -> DataFrame:
     """Signature columns → (doc_id, band, key) rows via ONE exploded
     band-struct array — the signature computation runs once, not once
-    per band (a bands-way union would recompute it)."""
+    per band (a bands-way union would recompute it). The divisibility
+    guard lives HERE (not only in one caller) so every entry point —
+    pairs, capped, estimate, future callers — fails loudly instead of
+    silently dropping trailing hashes."""
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must divide evenly into bands={bands}; "
+            "trailing hashes would be silently dropped"
+        )
     rows = n_hashes // bands
     bands_arr = F.array(
         *[

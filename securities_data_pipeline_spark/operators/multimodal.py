@@ -91,13 +91,19 @@ def extract_features(media: DataFrame, *, strict: bool = False) -> DataFrame:
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            # NULL payloads (a NULL source document) propagate as
+            # 0-byte/NULL-feature rows instead of killing the task
+            # (len(None) raises) — matching how every other operator
+            # in this module treats NULL blobs
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes": pdf["payload"]
+                    .map(lambda p: 0 if p is None else len(p))
+                    .astype("int64"),
                     "feature": [
-                        decode_stub(p, m, strict=strict)
+                        None if p is None else decode_stub(p, m, strict=strict)
                         for p, m in zip(pdf["payload"], pdf["media_type"])
                     ],
                 }

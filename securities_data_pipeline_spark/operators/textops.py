@@ -135,6 +135,28 @@ def fingerprint(text: Column | str = "text") -> Column:
 # query registry entries
 
 
+def round6_ratio(num: Column, den: Column) -> Column:
+    """HALF-UP 6-dp round of ``num/den`` (non-negative integers) in
+    pure int64 arithmetic: floor((num·2e6 + den) / (2·den)) / 1e6.
+    ``round(double, 6)`` diverges across engines whenever the true
+    ratio sits on a 6-dp half-way boundary (Spark rounds the shortest
+    decimal rendering, DuckDB the binary double — the quality_score
+    docstring records 3 such docs in 5000 at sf0.1); integer half-up
+    is deterministic everywhere. The quotient is made EXACTLY
+    divisible before the double division (subtract the pmod) — a bare
+    floor(a/b) over int64s can misround when the true quotient sits
+    just under an integer."""
+    t = num.cast("long") * F.lit(2_000_000) + den.cast("long")
+    d = F.lit(2) * den.cast("long")
+    return ((t - F.pmod(t, d)) / d).cast("double") / F.lit(1_000_000.0)
+
+
+def _sql_round6_ratio(num: str, den: str) -> str:
+    return (
+        f"CAST((({num}) * 2000000 + ({den})) // (2 * ({den})) AS DOUBLE) / 1000000.0"
+    )
+
+
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     n = token_count().alias("n_tokens")
@@ -142,8 +164,8 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n,
         stopword_count().alias("n_stopwords"),
-        F.round(
-            F.length(F.array_join(words_col(), "")).cast("double") / token_count(), 6
+        round6_ratio(
+            F.length(F.array_join(words_col(), "")), token_count()
         ).alias("avg_token_len"),
     )
 
@@ -152,8 +174,7 @@ T_TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        len({_sql_words()}) AS n_tokens,
        len(list_filter({_sql_words()}, w -> w IN {STOPWORDS!r})) AS n_stopwords,
-       round(CAST(len(array_to_string({_sql_words()}, '')) AS DOUBLE)
-             / len({_sql_words()}), 6) AS avg_token_len
+       {_sql_round6_ratio(f"len(array_to_string({_sql_words()}, ''))", f"len({_sql_words()})")} AS avg_token_len
 FROM documents
 """
 
@@ -566,7 +587,9 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenization and the top-N tail are the SAME code as ``t_vocab``
     (``token_stream`` / ``ranked_head``), so the two operators cannot
     drift; only the candidate restriction differs."""
-    toks = token_stream(table(spark, sf_dir, "documents"))
+    # three consumers (MG pass, exact recount, total count) — without
+    # materialization the full corpus scan+tokenize runs three times
+    toks = token_stream(table(spark, sf_dir, "documents")).localCheckpoint(eager=False)
     exact = (
         toks.join(F.broadcast(mg_candidates(toks)), "token")
         .groupBy("token")
@@ -581,10 +604,17 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         #     total, i.e. every token survived MG (vocabulary ≤ C per
         #     partition), exact for any distribution;
         # (b) pigeonhole — rank-N frequency > total/(C+1), the MG
-        #     survival guarantee.
+        #     survival guarantee. This arm additionally requires the
+        #     result to actually CONTAIN N rows: with m < N surviving
+        #     candidates, min(n_occurrences) is the rank-m frequency,
+        #     and a passing threshold on it says nothing about the
+        #     missing true ranks m+1..N.
         covered = exact.agg(F.sum("n_occurrences")).first()[0] or 0
         nth = result.agg(F.min("n_occurrences")).first()[0]
-        if covered != total and (nth is None or nth * (HH_CAPACITY + 1) <= total):
+        full_topn = result.count() == HH_TOPN
+        if covered != total and (
+            nth is None or not full_topn or nth * (HH_CAPACITY + 1) <= total
+        ):
             raise RuntimeError(
                 f"t_heavy_hitters exactness condition violated: rank-"
                 f"{HH_TOPN} frequency {nth} ≤ total/(C+1) = "

@@ -238,3 +238,28 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     assert cont[(1, 2)] == 1.0          # short doc fully contained
     assert (1, 2) not in jac            # union-normalized score misses it
     assert (2, 3) in cont               # filler is most of doc 2 too
+
+
+def test_repetition_filter_survives_one_token_and_empty_docs(spark):
+    """F.sequence(1, 0) is DESCENDING [1, 0]: without the size>=2 guard
+    a one-token (or empty) document crashed the whole query with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
+    from securities_data_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "hello", "en", "s", 5), (2, "a b a b a b", "en", "s", 11),
+         (3, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = curation.table
+    curation.table = lambda s, d, n: docs
+    try:
+        rows = {
+            r.doc_id: (r.dup_word_frac, r.top_bigram_frac, r.repetitive)
+            for r in curation.t_repetition_filter(spark, "x").collect()
+        }
+    finally:
+        curation.table = orig
+    assert rows[1] == (0.0, 0.0, False)   # one token: no bigrams, no dups
+    assert rows[2][2] is True             # genuinely repetitive doc flags
+    assert rows[3] == (0.0, 0.0, False)   # empty text: no crash, no flag
