@@ -182,8 +182,16 @@ def merge_upsert(
                 .mode("overwrite")
                 .parquet(path)
             )
-        finally:
-            _delete_path(spark, _stage_path(path))
+        except Exception as ex:
+            # the stage IS the recovery copy (see _stage_merged): a
+            # mid-overwrite failure may have already cleared target
+            # partitions, so the stage must survive for manual restore
+            raise RuntimeError(
+                f"merge overwrite of {path} failed mid-write; the staged "
+                f"merge result is intact at {_stage_path(path)} — restore "
+                "the table from it"
+            ) from ex
+        _delete_path(spark, _stage_path(path))
     else:
         # unpartitioned merge, or a schema-evolving partitioned one
         # (full rewrite keeps every file on the evolved column set)
@@ -195,8 +203,17 @@ def merge_upsert(
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
-        finally:
-            _delete_path(spark, _stage_path(path))
+        except Exception as ex:
+            # static overwrite clears the target before writing, so a
+            # mid-write failure (OOM, disk full) leaves NO target — the
+            # stage directory is then the only surviving copy of the
+            # table; never delete it on the failure path
+            raise RuntimeError(
+                f"merge overwrite of {path} failed mid-write; the staged "
+                f"merge result is intact at {_stage_path(path)} — restore "
+                "the table from it"
+            ) from ex
+        _delete_path(spark, _stage_path(path))
 
     # clear the shared file-status cache so *new* reads list the
     # rewritten files. NB: DataFrames created BEFORE this merge hold

@@ -12,9 +12,9 @@ explicit tools for the cases AQE can't fix:
   result is bit-identical to the unsalted plan.
 - ``salted_join``: broadcast-free join against a *skewed build side*:
   the small side is replicated once per salt (explode), the big side
-  gets a position-derived salt (content-derived salts collapse for
-  duplicate hot-key rows), and the join key becomes (key, salt) — the
-  hot key's probe rows land on n_salts reducers instead of one.
+  gets a retry-deterministic salt (see ``_retry_safe_salt``), and the
+  join key becomes (key, salt) — the hot key's probe rows land on
+  n_salts reducers instead of one.
 - ``write_bucketed`` / bucketed reads: pre-shuffle a fact table ONCE
   into ``n`` buckets by join key (`df.write.bucketBy`). Every later
   equi-join/agg on that key reads co-located buckets and skips its
@@ -31,6 +31,34 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+def _retry_safe_salt(df: DataFrame, n_salts: int) -> Column:
+    """Shuffle salt that is DETERMINISTIC under task retry.
+
+    ``monotonically_increasing_id()`` depends on intra-partition row
+    ORDER, which is not stable for post-shuffle inputs: a fetch-failure
+    retry can recompute a map task with different ids → different
+    salts, and reducers mixing old- and new-attempt outputs
+    double-count or drop rows (the classic nondeterministic-shuffle-key
+    hazard). Hashing ``spark_partition_id() + row content`` instead is
+    order-independent, so any retry of the same partition reproduces
+    identical salts for identical rows.
+
+    Spread trade-off: duplicate hot-key rows co-resident in ONE
+    partition share a salt, while duplicates in different partitions
+    get independent salts — so the effective spread for the
+    boilerplate-duplicate case is min(n_input_partitions, n_salts).
+    Scans and round-robin layouts spread duplicates across input
+    splits, so this holds in practice; the one degenerate layout (input
+    already hash-partitioned BY the hot key) is exactly the skewed
+    shuffle this operator exists to replace and should not appear
+    upstream of it.
+    """
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in df.columns]),
+        F.lit(n_salts),
+    ).cast("int")
+
+
 def salted_group_sum(
     df: DataFrame,
     keys: list[str],
@@ -44,18 +72,14 @@ def salted_group_sum(
     re-association), but the widest reducer sees ~1/n_salts of the
     hottest key.
 
-    The salt comes from the row's PHYSICAL position
-    (``monotonically_increasing_id``), never from row content: a hot
-    key's rows are often literal duplicates (the boilerplate-document
-    case this operator exists for), and a content hash would give them
-    ALL one salt — silently degenerating to the unsalted single-reducer
-    plan. Position salts spread duplicates evenly; the aggregate's
-    value is salt-independent, so nondeterminism of the id across runs
-    is invisible.
+    The salt is ``_retry_safe_salt`` (partition-id + row-content hash):
+    deterministic under task retry, and still spreads duplicate
+    hot-key rows across reducers because duplicates arriving from
+    different input splits hash to independent salts (see the spread
+    trade-off note on ``_retry_safe_salt``). The aggregate's value is
+    salt-independent either way.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias(
-        "_salt"
-    )
+    salt = _retry_safe_salt(df, n_salts).alias("_salt")
     partial = (
         df.select(*df.columns, salt)
         .groupBy(*keys, "_salt")
@@ -81,9 +105,10 @@ def salted_join(
     ``n_salts`` reducers.
 
     The small side is replicated n_salts times (one row per salt), the
-    big side is salted by physical row position (content-derived salts
-    collapse for duplicate hot-key rows — see ``salted_group_sum``),
-    and the shuffle key becomes (key, salt). Semantically identical to
+    big side is salted with the retry-deterministic partition+content
+    hash (``_retry_safe_salt`` — retried map tasks must reproduce
+    identical salts or reducers mix attempt outputs), and the shuffle
+    key becomes (key, salt). Semantically identical to
     ``big.join(small, key, how)`` for the big-side-preserving joins
     (each big row still matches exactly the same small rows); joins
     that preserve the SMALL side (right/full outer) would emit every
@@ -99,10 +124,7 @@ def salted_join(
         )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
-    big_salted = big.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
-    )
+    big_salted = big.withColumn("_salt", _retry_safe_salt(big, n_salts))
     joined = big_salted.join(small_rep, [key, "_salt"], how)
     return joined.drop("_salt")
 

@@ -166,11 +166,22 @@ def price_history_source(
     dl = downloader or _default_downloader
 
     def fetch_batch(batch: list[str]):
+        import sys
+
         import pandas as pd
 
         try:
             return wide_bars_to_long(dl(batch, start_date, end_date), batch)
-        except Exception:
+        except Exception as ex:
+            # tolerated (the batch surfaces via failed_symbols) but NOT
+            # silent: without the log, a code defect in the normalizer
+            # or schema drift is indistinguishable from a vendor outage
+            print(
+                f"# price_history batch fetch failed "
+                f"({len(batch)} symbols: {batch[:5]}{'...' if len(batch) > 5 else ''}): "
+                f"{type(ex).__name__}: {ex}",
+                file=sys.stderr,
+            )
             return pd.DataFrame(
                 columns=[
                     "date_stamp", "symbol", "open", "high", "low", "close", "volume",

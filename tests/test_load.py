@@ -644,3 +644,43 @@ def test_price_fetch_partial_batch_failure_quarantines_not_aborts(spark):
     assert "BAD" not in got and got
     failed = {r.symbol for r in failed_symbols(spark, symbols, bars).collect()}
     assert "BAD" in failed and failed == set(symbols) - got
+
+
+def test_failed_overwrite_preserves_recovery_stage(spark, tmp_path, monkeypatch):
+    """ADVICE r4 (medium): a mid-overwrite failure must LEAVE the stage
+    directory — static overwrite clears the target before writing, so
+    after a crash the stage is the only surviving copy of the table.
+    The raised error names the stage path so an operator can restore."""
+    from securities_data_pipeline_spark import load as load_mod
+    from securities_data_pipeline_spark.load import _stage_path, merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").write.parquet(path)
+
+    real_stage = load_mod._stage_merged
+
+    class _FailingWrite:
+        """Proxies the staged DataFrame but raises on .write — the
+        stage parquet is already durably on disk at that point, which
+        is exactly the crash window the guarantee covers."""
+
+        def __init__(self, df):
+            self._df = df
+
+        def __getattr__(self, name):
+            if name == "write":
+                raise OSError("disk full (simulated)")
+            return getattr(self._df, name)
+
+    monkeypatch.setattr(
+        load_mod, "_stage_merged",
+        lambda sp, merged, p: _FailingWrite(real_stage(sp, merged, p)),
+    )
+    incoming = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="__merge_stage"):
+        merge_upsert(spark, incoming, path, keys=["k"])
+    # the stage survived and holds the complete merged result
+    staged = {(r.k, r.v) for r in spark.read.parquet(_stage_path(path)).collect()}
+    assert staged == {(1, "a"), (2, "B"), (3, "c")}

@@ -217,3 +217,25 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salt_is_retry_deterministic_and_spreads_duplicates(spark):
+    """ADVICE r4: the shuffle salt must not depend on intra-partition
+    row order (monotonically_increasing_id), or a retried map task can
+    produce different salts than its first attempt. The salt is now a
+    hash of (spark_partition_id, row content): order-independent, and
+    literal duplicate rows still spread across salts when they live in
+    different partitions."""
+    from securities_data_pipeline_spark.operators.skew import _retry_safe_salt
+
+    df = spark.range(64).select(F.lit("hot").alias("k"), F.lit(1).alias("v"))
+    df = df.repartition(8)  # 64 identical rows over 8 partitions
+    plan = df.select(_retry_safe_salt(df, 16).alias("s"))._jdf.queryExecution().toString()
+    assert "monotonically" not in plan
+    salts = {r.s for r in df.select(_retry_safe_salt(df, 16).alias("s")).collect()}
+    # identical rows in DIFFERENT partitions hash to independent salts
+    assert len(salts) > 1
+    # and the same scan evaluated twice assigns identical salts
+    a = sorted(r.s for r in df.select(_retry_safe_salt(df, 16).alias("s")).collect())
+    b = sorted(r.s for r in df.select(_retry_safe_salt(df, 16).alias("s")).collect())
+    assert a == b

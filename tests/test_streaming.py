@@ -355,3 +355,36 @@ def test_stream_full_outer_join_covers_both_sides(spark):
     assert orphan_views and orphan_buys, "both eviction paths must emit"
     assert all(r.value is None for r in orphan_views)
     assert all(r.value is not None for r in orphan_buys)
+
+
+def test_ram_checkpoint_gated_on_local_master(spark, monkeypatch):
+    """ADVICE r4: driver-local /dev/shm is not visible to executors on
+    a real cluster — the tmpfs default must apply only when
+    spark.master is local; an explicit SPARK_GRAFT_STREAM_CKPT always
+    wins."""
+    from securities_data_pipeline_spark.streaming import ingest
+
+    class _FakeSC:
+        def __init__(self, master):
+            self.master = master
+
+    class _FakeSpark:
+        def __init__(self, master):
+            self.sparkContext = _FakeSC(master)
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_CKPT", raising=False)
+    # non-local master: no tmpfs default (Spark default behavior)
+    assert ingest._ram_checkpoint_dir(_FakeSpark("spark://host:7077"), "t1") is None
+    assert ingest._ram_checkpoint_dir(_FakeSpark("yarn"), "t2") is None
+    # local master: tmpfs default when /dev/shm is usable
+    import os as _os
+
+    local = ingest._ram_checkpoint_dir(_FakeSpark("local[4]"), "t3")
+    if _os.path.isdir("/dev/shm") and _os.access("/dev/shm", _os.W_OK):
+        assert local is not None and local.startswith("/dev/shm/")
+    else:
+        assert local is None
+    # explicit env wins regardless of master
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT", str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:"))
+    got = ingest._ram_checkpoint_dir(_FakeSpark("spark://host:7077"), "t4")
+    assert got is not None and "sdp_stream_ckpt" in got
