@@ -23,6 +23,127 @@ import sys
 import time
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+CANARY_REPEATS = max(REPEATS, 5)  # canaries are sub-second → noisier
+
+# ---------------------------------------------------------------------------
+# Drift canary (VERDICT r4 #1): round-over-round bench numbers come from
+# different container conditions (r4 measured a uniform ~1.2× slowdown on
+# UNTOUCHED queries), so raw cross-round ratios can neither prove a
+# regression nor an improvement. The canary measures the container itself:
+# three FROZEN-FOREVER query implementations — inline copies pinned at
+# their round-3 plan shape, deliberately NOT imported from the live
+# registry so later registry changes cannot move them — timed against
+# their round-3 driver measurements. `canary_ratio` (median of the three
+# current/reference ratios) estimates this run's container speed relative
+# to the r3 reference run; `value_canary_normalized` divides it out.
+# DO NOT EDIT the _canary_* functions or _CANARY_REF — any edit destroys
+# comparability of every past bench record.
+
+_CANARY_REF_SF = 0.1  # reference timings were taken at sf0.1
+_CANARY_REF = {  # BENCH_r03.json medians, sf0.1, driver container
+    "canary_q1": 0.268,
+    "canary_w2": 0.118,
+    "canary_a8": 0.238,
+}
+
+
+def _canary_q1(spark, sf_dir):
+    # frozen copy of q1_pricing_summary @ r3 (scan+filter+hash agg)
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc_price = d2("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d4("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(d2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(d2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _canary_w2(spark, sf_dir):
+    # frozen copy of w2_moving_avg @ r3 (one shuffle + window)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-6, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7_totalprice"),
+    )
+
+
+def _canary_a8(spark, sf_dir):
+    # frozen copy of a8_corr_moments @ r3 (wide decimal moment agg)
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    xc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    yc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+        F.sum(xc * yc).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    sx, sy = F.col("sx"), F.col("sy")
+    cov_n = (n * F.col("sxy") - sx * sy).cast("double")
+    var_x_n = (n * F.col("sxx") - sx * sx).cast("double")
+    var_y_n = (n * F.col("syy") - sy * sy).cast("double")
+    slope = cov_n / var_x_n
+    nd = F.col("n").cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(cov_n / F.sqrt(var_x_n) / F.sqrt(var_y_n), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("beta"),
+        F.round((sy.cast("double") - slope * sx.cast("double")) / nd / F.lit(100.0), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+_CANARIES = {"canary_q1": _canary_q1, "canary_w2": _canary_w2, "canary_a8": _canary_a8}
+
+
+def _run_canaries(spark, sf_dir: str, sf: float | str):
+    """Time the frozen canaries; return (timings, ratio_or_None)."""
+    timings: dict[str, float] = {}
+    ratios: list[float] = []
+    for name, fn in _CANARIES.items():
+        samples = []
+        for _ in range(CANARY_REPEATS):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        med = round(statistics.median(samples), 3)
+        timings[name] = med
+        if sf == _CANARY_REF_SF:
+            ratios.append(med / _CANARY_REF[name])
+        print(
+            f"# {name}: median={med}s ref={_CANARY_REF[name]}s "
+            f"ratio={round(med / _CANARY_REF[name], 3)}",
+            file=sys.stderr,
+        )
+    ratio = round(statistics.median(ratios), 3) if ratios else None
+    return timings, ratio
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -102,7 +223,13 @@ def main() -> None:
                 qs[name](spark, warm_dir).count()
             except Exception as ex:  # never let warmup mask the real run
                 print(f"# warmup {name} failed: {ex}", file=sys.stderr)
+        for fn in _CANARIES.values():
+            fn(spark, warm_dir).count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    canary, canary_ratio = _run_canaries(spark, sf_dir, sf_val)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -133,7 +260,6 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
             {
@@ -143,7 +269,16 @@ def main() -> None:
                 "queries": timings,
                 "repeats": REPEATS,
                 "stat": "median",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                # container-drift canary (see module comment): ratio of
+                # this run's frozen-query medians to their r3 reference;
+                # divide any cross-round comparison by it first.
+                "canary": canary,
+                "canary_ref": _CANARY_REF,
+                "canary_ratio": canary_ratio,
+                "value_canary_normalized": (
+                    round(total / canary_ratio, 3) if canary_ratio else None
+                ),
             }
         )
     )

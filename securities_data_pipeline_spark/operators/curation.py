@@ -75,9 +75,15 @@ def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself.
     """
     docs = table(spark, sf_dir, "documents")
-    # two consumers (stats + bigrams) of the tokenized scan — the
-    # dominant cost at corpus scale; materialize once (PLANS.md rule)
-    base = docs.select("doc_id", words_col().alias("ws")).localCheckpoint(eager=False)
+    # two consumers (stats + bigrams) of the tokenized scan — but NOT
+    # materialized: the tokenized arrays are FATTER than the source
+    # text, so a localCheckpoint writes more bytes than the second
+    # scan+split recomputes (A/B at sf0.1: checkpoint 0.56s vs
+    # recompute 0.32s, BASELINE.md r5). The two-consumer
+    # materialization rule (PLANS.md) applies when the shared prefix
+    # SHRINKS the data or burns real compute; a split on an
+    # already-columnar string column does neither.
+    base = docs.select("doc_id", words_col().alias("ws"))
     stats = base.select(
         "doc_id",
         F.size("ws").alias("n_tokens"),

