@@ -19,25 +19,46 @@ from pyspark.sql import DataFrame, SparkSession
 #   round 1: relational/TPC-H/window/agg families (natural order)
 #   round 2: streaming, dedup, similarity, securities, grouped-UDF
 #   round 3: the 33 queries never sampled in rounds 1-2 plus round-3 adds.
-#   round 4 (this file): the 3 round-3 hash-fails (HUGEINT oracle types,
-#     now CAST to BIGINT), the 5 registered-but-never-driver-sampled
-#     queries, the newly gated a6/transform-state entries, and round-4
-#     additions; then the rest of the registry in name order.
-# After round 4 every registered query should have been driver-green
-# at least once; later rounds re-front-load oldest-verified or newest.
-_ROUND4_FRONT = (
-    # round-3 driver hash-fails, oracles fixed this round
-    "t_sample_stratified", "t_pack_sequences", "t_train_split",
-    # registered in round 3 but past the ~50-query sampling window
-    "dedup_pagerank", "g_topn_per_group_scalable",
-    "s_stream_weekly_from_daily", "t_doc_len_hist", "t_tfidf_doc_terms",
-    # newly gated / newly registered in round 4
-    "a6_approx_distinct", "s_stream_topk_transform_state",
-    "sim_ivf_recall", "j_asof_tolerance_purchase", "dedup_containment",
-    "sim_pq_topk", "sim_pq_rerank_topk", "t_char_entropy", "w8_pattern_match",
-    "a9_approx_percentile",
+#   round 4: round-3 hash-fails + never-sampled + round-4 additions.
+#   round 5 (this file — all 161 prior queries have been driver-green at
+#     least once, so the policy becomes: CHANGED/NEW first, then
+#     LEAST-RECENTLY-GREEN): the 5 new + 3 changed queries lead, then the
+#     33 queries last driver-checked in round 1, then the 36 last checked
+#     in round 2 — the ~50-query window covers new/changed + all r1-stale
+#     + the head of r2-stale; round 6 fronts the remainder.
+_ROUND5_FRONT = (
+    # new in round 5
+    "sim_lsh_recall", "sim_pq_recall",
+    "t_source_cap", "t_curation_funnel", "dedup_soft_weights",
+    # changed in round 5 (perf fix / salt change / checkpoint logging —
+    # s_stream_join_attrib is also the r4 perf-weak item to re-measure)
+    "t_repetition_filter", "agg_salted_sum", "s_stream_join_attrib",
+    # last driver-green in round 1 (33)
+    "f_unpivot_measures", "j1_anti_join", "j2_semi_join", "j3_full_outer",
+    "m_incremental_rollup", "m_zorder_cluster", "p5_null_recode",
+    "p8_deterministic_sample", "q10_returned_items", "q12_priority_shipping",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q19_disjunctive_revenue", "q1_pricing_summary",
+    "q21_waiting_suppliers", "q2_min_acctbal_supplier", "q3_top_revenue_orders",
+    "q5_nation_revenue", "q6_banded_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_profit_by_nation", "s5_scan_prune", "u2_union_dim",
+    "u5_intersect", "u6_except", "w1_ffill", "w2_moving_avg",
+    "w3_topn_per_group", "w6_rank_surface", "w7_interval_range",
+    # last driver-green in round 2 (36; join_attrib moved up)
+    "g_cohort_retention", "g_funnel_conversion", "g_user_trend",
+    "g_user_trend_udf", "g_weighted_mean_udaf", "s_stream_daily_rollup",
+    "s_stream_dedup_keys", "s_stream_dedup_within_watermark",
+    "s_stream_enrich_static", "s_stream_session_rollup",
+    "s_stream_sliding_rollup", "s_stream_user_stats_stateful",
+    "sec_calendar_spine", "sec_drawdown", "sec_rolling_beta",
+    "sec_rolling_vol", "sec_rsi", "sec_sma_crossover", "sec_stg_ffill",
+    "sec_weekly_bars", "sim_bruteforce_topk", "sim_cluster_sample",
+    "sim_ivf_topk", "sim_kmeans_assign", "sim_knn_graph", "sim_lsh_topk",
+    "sim_quantize", "t_assemble_manifest", "t_bigram_logprob",
+    "t_chunk_dedup", "t_decontaminate", "t_fingerprint", "t_global_shuffle",
+    "t_heavy_hitters", "t_idf_top_terms", "udtf_token_positions",
 )
-_FRONT_RANK = {name: i for i, name in enumerate(_ROUND4_FRONT)}
+_FRONT_RANK = {name: i for i, name in enumerate(_ROUND5_FRONT)}
 
 
 def _prioritized(entries: dict) -> dict:

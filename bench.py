@@ -200,6 +200,12 @@ HEADLINE = [
     "t_char_entropy",
     "w8_pattern_match",
     "sim_ivf_recall",
+    # round-5 additions
+    "sim_lsh_recall",
+    "sim_pq_recall",
+    "t_source_cap",
+    "t_curation_funnel",
+    "dedup_soft_weights",
 ]
 
 

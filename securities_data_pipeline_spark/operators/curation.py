@@ -549,6 +549,132 @@ SELECT vec_id, cluster, pick_rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# per-source frequency cap (domain capping)
+
+SOURCE_CAP = 15  # max documents kept per source
+
+
+def t_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap — the web-crawl "domain capping" move:
+    no single source may contribute more than ``SOURCE_CAP`` documents
+    to the corpus, with the kept subset chosen by a deterministic hash
+    priority (a seeded shuffle, not "first N by id", which would bias
+    toward old crawl segments).
+
+    Plan: one rank window partitioned by source over (source, doc_id,
+    8-byte hash) — the text never shuffles; survivors join nothing.
+    At 100 TB with million-document hot domains, swap the full
+    per-source sort for a per-partition top-K heap feeding a final K·
+    |sources| merge (the ranked_head shape) — same contract, bounded
+    memory per reducer.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pri = stable_hash64(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("slot", F.row_number().over(w))
+        .where(F.col("slot") <= SOURCE_CAP)
+    )
+
+
+T_SOURCE_CAP_SQL = f"""
+SELECT doc_id, source, slot FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {sql_stable_hash64("CAST(doc_id AS VARCHAR)")} ASC,
+                                     doc_id ASC) AS slot
+  FROM documents
+) ranked WHERE slot <= {SOURCE_CAP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# curation funnel: staged filters with per-stage survivor accounting
+
+FUNNEL_LANGS = ("en", "de", "fr")
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 4096
+FUNNEL_QUALITY_MIN = 0.45
+FUNNEL_DUP_MAX = 0.6
+
+
+def t_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation run's report card: how many documents survive each
+    filter stage (language → length → quality → repetition), applied
+    cumulatively. Every production pipeline ships this accounting —
+    a silent 90% drop at one stage is the #1 curation bug.
+
+    All four predicates are per-document expressions (the lang column,
+    token count, ``quality_score``, distinct-token ratio — no bigram
+    aggregation), so the whole funnel is ONE narrow projection + ONE
+    4-long-column aggregate: a single scan, zero shuffles beyond the
+    final partial-combine. Output: one row per stage with survivors
+    entering and leaving.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ws = words_col()
+    n = F.size(ws)
+    dup = round6_ratio(n - F.size(F.array_distinct(ws)), n)
+    b1 = F.col("lang").isin(*FUNNEL_LANGS)
+    b2 = b1 & n.between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS)
+    b3 = b2 & (quality_score() >= F.lit(FUNNEL_QUALITY_MIN))
+    b4 = b3 & (dup <= F.lit(FUNNEL_DUP_MAX))
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.count_if(b1).alias("s1"),
+        F.count_if(b2).alias("s2"),
+        F.count_if(b3).alias("s3"),
+        F.count_if(b4).alias("s4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'1_language', s0, s1, "
+            "'2_length',   s1, s2, "
+            "'3_quality',  s2, s3, "
+            "'4_repetition', s3, s4) AS (stage, n_in, n_out)"
+        )
+    )
+
+
+_FUNNEL_BOOLS_SQL = f"""
+  SELECT
+    lang IN {FUNNEL_LANGS!r} AS b1,
+    lang IN {FUNNEL_LANGS!r}
+      AND len(w) BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS} AS b2,
+    lang IN {FUNNEL_LANGS!r}
+      AND len(w) BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}
+      AND quality >= {FUNNEL_QUALITY_MIN} AS b3,
+    lang IN {FUNNEL_LANGS!r}
+      AND len(w) BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}
+      AND quality >= {FUNNEL_QUALITY_MIN}
+      AND {_sql_round6_ratio("len(w) - len(list_distinct(w))", "len(w)")}
+          <= {FUNNEL_DUP_MAX} AS b4
+  FROM (SELECT d.doc_id, d.lang, {_sql_words("d.text")} AS w, q.quality
+        FROM documents d JOIN ({_sql_quality()}) q USING (doc_id))
+"""
+
+T_CURATION_FUNNEL_SQL = f"""
+WITH b AS ({_FUNNEL_BOOLS_SQL}),
+c AS (
+  -- count_if returns HUGEINT in DuckDB; the driver hasher is
+  -- type-sensitive, so pin every stage count to BIGINT
+  SELECT COUNT(*) AS s0,
+         CAST(count_if(b1) AS BIGINT) AS s1, CAST(count_if(b2) AS BIGINT) AS s2,
+         CAST(count_if(b3) AS BIGINT) AS s3, CAST(count_if(b4) AS BIGINT) AS s4
+  FROM b
+)
+SELECT '1_language' AS stage, s0 AS n_in, s1 AS n_out FROM c
+UNION ALL SELECT '2_length', s1, s2 FROM c
+UNION ALL SELECT '3_quality', s2, s3 FROM c
+UNION ALL SELECT '4_repetition', s3, s4 FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -557,6 +683,8 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_quality_filter": t_quality_filter,
     "sim_kmeans_assign": sim_kmeans_assign,
     "sim_cluster_sample": sim_cluster_sample,
+    "t_source_cap": t_source_cap,
+    "t_curation_funnel": t_curation_funnel,
 }
 
 CURATION_ORACLES: dict[str, str] = {
@@ -565,4 +693,6 @@ CURATION_ORACLES: dict[str, str] = {
     "t_quality_filter": T_QUALITY_FILTER_SQL,
     "sim_kmeans_assign": _sql_kmeans(),
     "sim_cluster_sample": _sql_cluster_sample(),
+    "t_source_cap": T_SOURCE_CAP_SQL,
+    "t_curation_funnel": T_CURATION_FUNNEL_SQL,
 }

@@ -1122,6 +1122,57 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup: instead of dropping near-duplicates, DOWN-WEIGHT
+    them — each document gets training weight 1/cluster_size from its
+    near-dup component, so a 5-way boilerplate cluster contributes one
+    document's worth of gradient in expectation while keeping its
+    (possibly unique) tails in the data. The reweighting alternative
+    every keep-one pipeline (``dedup_resolve``) should offer.
+
+    Plan: star-contraction labels (diameter-independent), one
+    (component → size) aggregate joined back on the label — shuffles
+    (doc_id, component) pairs only. The weight ratio uses the exact
+    int64 half-up rounding shared with the quality ops.
+    """
+    from securities_data_pipeline_spark.operators.textops import round6_ratio
+
+    labels = dedup_components_star(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        round6_ratio(F.lit(1), F.col("cluster_size")).alias("weight"),
+    )
+
+
+def _sql_soft_weights() -> str:
+    from securities_data_pipeline_spark.operators.textops import _sql_round6_ratio
+
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_lsh_pairs().strip()}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
+),
+labels AS (
+  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM labels GROUP BY component
+)
+SELECT l.doc_id, l.component, s.cluster_size,
+       {_sql_round6_ratio("1", "s.cluster_size")} AS weight
+FROM labels l JOIN sizes s USING (component)
+"""
+
+
 PR_DAMPING = 0.85
 PR_ITERS = 2
 
@@ -1242,6 +1293,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components_star": dedup_components_star,
     "dedup_resolve": dedup_resolve,
     "dedup_cluster_stats": dedup_cluster_stats,
+    "dedup_soft_weights": dedup_soft_weights,
     "dedup_pagerank": dedup_pagerank,
 }
 
@@ -1250,6 +1302,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_components_star": _sql_components(),
     "dedup_resolve": _sql_resolve(),
     "dedup_cluster_stats": _sql_cluster_stats(),
+    "dedup_soft_weights": _sql_soft_weights(),
     "dedup_pagerank": _sql_pagerank(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_source_priority": DEDUP_SOURCE_PRIORITY_SQL,

@@ -263,3 +263,39 @@ def test_repetition_filter_survives_one_token_and_empty_docs(spark):
     assert rows[1] == (0.0, 0.0, False)   # one token: no bigrams, no dups
     assert rows[2][2] is True             # genuinely repetitive doc flags
     assert rows[3] == (0.0, 0.0, False)   # empty text: no crash, no flag
+
+
+def test_source_cap_limits_and_is_deterministic(spark):
+    from securities_data_pipeline_spark.operators.curation import (
+        SOURCE_CAP,
+        t_source_cap,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = t_source_cap(spark, sf).collect()
+    per_source = {}
+    for r in out:
+        per_source.setdefault(r.source, []).append(r.doc_id)
+        assert 1 <= r.slot <= SOURCE_CAP
+    assert all(len(v) <= SOURCE_CAP for v in per_source.values())
+    # hash priority is deterministic: a second run keeps the same docs
+    again = {(r.source, r.doc_id) for r in t_source_cap(spark, sf).collect()}
+    assert again == {(r.source, r.doc_id) for r in out}
+
+
+def test_curation_funnel_counts_are_monotone(spark):
+    from securities_data_pipeline_spark.operators.curation import t_curation_funnel
+
+    rows = sorted(
+        t_curation_funnel(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.stage for r in rows] == [
+        "1_language", "2_length", "3_quality", "4_repetition",
+    ]
+    # survivors only shrink, and each stage's input is the previous output
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_out
+        assert cur.n_out <= cur.n_in
+    assert rows[0].n_in == 500  # full corpus enters
+    assert rows[-1].n_out > 0  # and something survives

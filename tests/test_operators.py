@@ -640,3 +640,21 @@ def test_recall_contracts_hold_at_test_scale(spark):
         assert len(rows) == 5
         assert all(r.recall_ok for r in rows), (fn.__name__, rows)
         assert all(r.k == 10 for r in rows)
+
+
+def test_soft_weights_sum_to_component_count(spark):
+    """SoftDeDup invariant: per-cluster weights sum to ~1 (each cluster
+    contributes one document's worth of training mass), so the total
+    weight equals the number of components."""
+    from securities_data_pipeline_spark.operators.dedup import dedup_soft_weights
+
+    rows = dedup_soft_weights(spark, "/root/testdata/sf0.001").collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        size = members[0].cluster_size
+        assert len(members) == size
+        assert all(abs(m.weight - 1.0 / size) < 2e-6 for m in members)
+    total = sum(r.weight for r in rows)
+    assert abs(total - len(by_comp)) < 1e-3 * len(by_comp)
