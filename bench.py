@@ -203,6 +203,7 @@ HEADLINE = [
     # round-5 additions
     "sim_lsh_recall",
     "sim_pq_recall",
+    "sim_mmr_rerank",
     "t_source_cap",
     "t_curation_funnel",
     "dedup_soft_weights",

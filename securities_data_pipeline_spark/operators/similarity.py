@@ -1225,6 +1225,187 @@ SIM_LSH_RECALL_SQL = SIM_IVF_RECALL_SQL
 SIM_PQ_RECALL_SQL = SIM_IVF_RECALL_SQL
 
 
+# ---------------------------------------------------------------------------
+# MMR diversity rerank
+
+MMR_POOL = 50  # exact top-candidates entering the greedy selection
+MMR_K = 10  # results per query
+# λ = 0.7 expressed as integer weights: score_i = 7·qsim_i − 3·maxsim_i
+# in 1e-7 units — the greedy argmax compares exact int64s, so the
+# selection order is bit-identical across engines by construction.
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank: from the exact top-``MMR_POOL``
+    pool, greedily pick ``MMR_K`` results balancing query relevance
+    against redundancy with what's already picked — score(d) = λ·sim(q,d)
+    − (1−λ)·max_{s∈selected} sim(d,s), λ=0.7, first pick = plain top-1.
+    The diversity-aware retrieval step a training-data pipeline runs so
+    k near-identical documents don't fill all k slots.
+
+    Plan shape for 100 TB: relevance scoring and the candidate×candidate
+    similarity matrix are JVM-side (broadcast query set → O(n) scan,
+    then a pool×pool self-join — 2 500 rows/query, never the corpus);
+    the greedy selection is inherently sequential in k, so it runs
+    per-query in ``applyInPandas`` over the tiny pair matrix. All
+    float-sensitive math happens BEFORE Python: cosines are quantized
+    to int64 micro-units JVM-side, the Python loop only compares exact
+    integers (ties → lowest vec_id), so results are deterministic and
+    oracle-exact — the DuckDB twin unrolls the k greedy steps as chained
+    CTEs (the ``_sql_kmeans`` pattern).
+    """
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= MMR_POOL)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim") * 1e6).cast("long").alias("qsim_i"),
+            "embedding",
+        )
+    )
+    cb = cand.select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        cand.join(cb, (F.col("qb") == F.col("query_id")) & (F.col("vb") != F.col("vec_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("va"),
+            "qsim_i",
+            "vb",
+            F.round(cosine(F.col("embedding"), F.col("eb")) * 1e6)
+            .cast("long")
+            .alias("psim_i"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        qs: dict[int, int] = {}
+        psim: dict[tuple[int, int], int] = {}
+        for va, qsim_i, vb, psim_i in zip(
+            pdf["va"], pdf["qsim_i"], pdf["vb"], pdf["psim_i"]
+        ):
+            qs[int(va)] = int(qsim_i)
+            psim[(int(va), int(vb))] = int(psim_i)
+        remaining = sorted(qs)  # ascending vec_id → lowest id wins ties
+        selected: list[int] = []
+        out = []
+        for r in range(1, MMR_K + 1):
+            if not remaining:
+                break
+            best, best_sc = None, None
+            for d in remaining:
+                mx = max((psim[(d, s)] for s in selected), default=0)
+                sc = 7 * qs[d] - 3 * mx
+                if best_sc is None or sc > best_sc:  # strict > keeps first
+                    best, best_sc = d, sc
+            selected.append(best)
+            remaining.remove(best)
+            out.append((qid, r, best, best_sc / 1e7))
+        return pd.DataFrame(out, columns=["query_id", "mmr_rank", "vec_id", "score"])
+
+    return pairs.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, mmr_rank int, vec_id long, score double"
+    )
+
+
+def _sql_mmr(pool: int = MMR_POOL, k: int = MMR_K) -> str:
+    """Unrolled greedy MMR (the ``_sql_kmeans`` pattern): sel{i} carries
+    the i picks so far; p{i+1} re-scores the unpicked candidates against
+    sel{i} and takes rank 1. All scores are exact int64 micro-units.
+
+    Every sel{i} is MATERIALIZED: each step references sel{i-1} three
+    times (max-sim join, NOT-EXISTS filter, UNION carry-forward), so
+    default CTE inlining would expand the plan 3^k-fold — observed as
+    DuckDB exhausting file handles re-scanning the parquet ~59k times
+    at k=10."""
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.embedding,
+         {_sql_cosine('q.qvec', 'e.embedding')} AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+), cand AS MATERIALIZED (
+  SELECT query_id, vec_id,
+         CAST(round(sim * 1000000) AS BIGINT) AS qsim_i, embedding
+  FROM ranked WHERE rank <= {pool}
+), pair AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+         CAST(round({_sql_cosine('a.embedding', 'b.embedding')} * 1000000) AS BIGINT) AS psim_i
+  FROM cand a JOIN cand b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+), p1 AS (
+  SELECT query_id, vec_id, score_i FROM (
+    SELECT query_id, vec_id, 7 * qsim_i AS score_i,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY 7 * qsim_i DESC, vec_id ASC) AS rn
+    FROM cand
+  ) t WHERE rn = 1
+), sel1 AS MATERIALIZED (
+  SELECT query_id, vec_id, 1 AS mmr_rank, score_i FROM p1
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", p{i} AS (
+  SELECT query_id, vec_id, score_i FROM (
+    SELECT c.query_id, c.vec_id,
+           7 * c.qsim_i - 3 * COALESCE(m.mx, 0) AS score_i,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY 7 * c.qsim_i - 3 * COALESCE(m.mx, 0) DESC,
+                                       c.vec_id ASC) AS rn
+    FROM cand c
+    LEFT JOIN (
+      SELECT p.query_id, p.va, MAX(p.psim_i) AS mx
+      FROM pair p JOIN sel{i - 1} s ON s.query_id = p.query_id AND s.vec_id = p.vb
+      GROUP BY p.query_id, p.va
+    ) m ON m.query_id = c.query_id AND m.va = c.vec_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sel{i - 1} s2
+      WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id
+    )
+  ) t WHERE rn = 1
+), sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1}
+  UNION ALL SELECT query_id, vec_id, {i} AS mmr_rank, score_i FROM p{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, mmr_rank, vec_id,
+       CAST(score_i AS DOUBLE) / 10000000.0 AS score
+FROM sel{k}"""
+    )
+    return "".join(parts)
+
+
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_range_search": sim_range_search,
@@ -1238,6 +1419,7 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_recall": sim_ivf_recall,
     "sim_lsh_recall": sim_lsh_recall,
     "sim_pq_recall": sim_pq_recall,
+    "sim_mmr_rerank": sim_mmr_rerank,
     "sim_pq_topk": sim_pq_topk,
     "sim_pq_rerank_topk": sim_pq_rerank_topk,
 }
@@ -1255,6 +1437,7 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "sim_ivf_recall": SIM_IVF_RECALL_SQL,
     "sim_lsh_recall": SIM_LSH_RECALL_SQL,
     "sim_pq_recall": SIM_PQ_RECALL_SQL,
+    "sim_mmr_rerank": _sql_mmr(),
     "sim_pq_topk": SIM_PQ_SQL,
     "sim_pq_rerank_topk": SIM_PQ_RERANK_SQL,
 }

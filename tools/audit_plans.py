@@ -47,6 +47,10 @@ PY_OK = {
     # bounded per-partition top-N pre-aggregate (grouped.py) — the
     # mapInPandas stage IS the operator's point
     "g_topn_per_group_scalable",
+    # greedy MMR selection is sequential in k by definition — it runs
+    # per-query in applyInPandas over the pool×pool pair matrix (2500
+    # rows/query), integers only; all float math stays JVM-side
+    "sim_mmr_rerank",
 }
 
 # queries where a broadcast nested-loop join is the intended plan:
@@ -66,6 +70,9 @@ BNLJ_OK = {
     "sim_range_search",  # broadcast queries × corpus scan, τ filter
     "sim_ivf_topk",
     "sim_ivf_recall",  # composes the two allowlisted plans above
+    "sim_lsh_recall",  # exact side is sim_bruteforce_topk (allowlisted)
+    "sim_pq_recall",  # exact side is sim_bruteforce_topk (allowlisted)
+    "sim_mmr_rerank",  # pool selection is the brute-force broadcast scan
     "t_idf_top_terms",
     "t_tfidf_doc_terms",  # same 1-row n_docs crossJoin as t_idf_top_terms
     "t_unigram_logprob",
