@@ -81,6 +81,7 @@ def main() -> int:
         dedup_minhash_pairs_capped,
         dedup_minhash_pairs_wide,
         dedup_ngram_jaccard_capped,
+        dedup_resolve,
     )
 
     n_docs = spark.read.parquet(amp_path).count()
@@ -91,6 +92,10 @@ def main() -> int:
         ("dedup_minhash_pairs_wide", dedup_minhash_pairs_wide),
         ("dedup_minhash_pairs_capped", dedup_minhash_pairs_capped),
         ("dedup_ngram_jaccard_capped", dedup_ngram_jaccard_capped),
+        # the ITERATIVE path: LSH pairs → star contraction → survivors.
+        # Round counts must stay O(log² n) as the amplified cliques fatten;
+        # "pairs" here = surviving representatives, not candidate pairs
+        ("dedup_resolve", dedup_resolve),
     ]:
         t = time.time()
         n_pairs = fn(spark, scratch).count()
