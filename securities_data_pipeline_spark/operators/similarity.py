@@ -1310,26 +1310,40 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             qs[int(va)] = int(qsim_i)
             psim[(int(va), int(vb))] = int(psim_i)
-        remaining = sorted(qs)  # ascending vec_id → lowest id wins ties
-        selected: list[int] = []
-        out = []
-        for r in range(1, MMR_K + 1):
-            if not remaining:
-                break
-            best, best_sc = None, None
-            for d in remaining:
-                mx = max((psim[(d, s)] for s in selected), default=0)
-                sc = 7 * qs[d] - 3 * mx
-                if best_sc is None or sc > best_sc:  # strict > keeps first
-                    best, best_sc = d, sc
-            selected.append(best)
-            remaining.remove(best)
-            out.append((qid, r, best, best_sc / 1e7))
+        out = [
+            (qid, r, d, sc / 1e7)
+            for r, d, sc in _mmr_greedy(qs, psim, MMR_K)
+        ]
         return pd.DataFrame(out, columns=["query_id", "mmr_rank", "vec_id", "score"])
 
     return pairs.groupBy("query_id").applyInPandas(
         greedy, "query_id long, mmr_rank int, vec_id long, score double"
     )
+
+
+def _mmr_greedy(
+    qs: dict[int, int], psim: dict[tuple[int, int], int], k: int
+) -> list[tuple[int, int, int]]:
+    """The sequential MMR core over exact integers: pick k items, each
+    maximizing ``7·qsim_i − 3·max_{s∈selected} psim_i`` (λ=0.7 in
+    1e-7 units; empty selection → 0), ties to the lowest id. Pure and
+    deterministic — property-tested independently of Spark."""
+    remaining = sorted(qs)  # ascending id → lowest id wins ties
+    selected: list[int] = []
+    out: list[tuple[int, int, int]] = []
+    for r in range(1, k + 1):
+        if not remaining:
+            break
+        best, best_sc = None, None
+        for d in remaining:
+            mx = max((psim[(d, s)] for s in selected), default=0)
+            sc = 7 * qs[d] - 3 * mx
+            if best_sc is None or sc > best_sc:  # strict > keeps first
+                best, best_sc = d, sc
+        selected.append(best)
+        remaining.remove(best)
+        out.append((r, best, best_sc))
+    return out
 
 
 def _sql_mmr(pool: int = MMR_POOL, k: int = MMR_K) -> str:

@@ -316,3 +316,72 @@ def test_star_contraction_equals_label_propagation(spark, edges):
     prop = {r.doc_id: r.component for r in connected_components(edf, ndf, max_iter=40).collect()}
     assert star == want
     assert prop == want
+
+
+# ---------------------------------------------------------------------------
+# MMR greedy core (operators/similarity._mmr_greedy) — pure-integer
+# selection, so its invariants are checkable without Spark
+
+
+def _random_mmr_input(draw):
+    n = draw(st.integers(2, 12))
+    ids = list(range(n))
+    qs = {i: draw(st.integers(-(10**6), 10**6)) for i in ids}
+    psim = {
+        (a, b): 0 for a in ids for b in ids if a != b
+    }
+    # symmetric pair sims (cosine is symmetric)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                v = draw(st.integers(-(10**6), 10**6))
+                psim[(a, b)] = v
+                psim[(b, a)] = v
+    k = draw(st.integers(1, n))
+    return qs, psim, k
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_mmr_greedy_invariants(data):
+    from securities_data_pipeline_spark.operators.similarity import _mmr_greedy
+
+    qs, psim, k = _random_mmr_input(data.draw)
+    out = _mmr_greedy(qs, psim, k)
+    picks = [d for _, d, _ in out]
+    # exactly k distinct picks, ranks 1..k
+    assert len(picks) == k and len(set(picks)) == k
+    assert [r for r, _, _ in out] == list(range(1, k + 1))
+    # first pick = argmax qsim with lowest-id tie-break
+    top = max(qs.values())
+    assert picks[0] == min(i for i in qs if qs[i] == top)
+    # greedy optimality at every step: the pick's recorded score beats
+    # (or ties, with a lower id) every other candidate's score computed
+    # against the same already-selected prefix
+    for step, (r, d, sc) in enumerate(out):
+        sel = picks[:step]
+        assert sc == 7 * qs[d] - 3 * (max((psim[(d, s)] for s in sel), default=0))
+        for other in qs:
+            if other in picks[: step + 1]:
+                continue
+            mx = max((psim[(other, s)] for s in sel), default=0)
+            osc = 7 * qs[other] - 3 * mx
+            assert osc < sc or (osc == sc and d < other)
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_mmr_equal_pairsims_degenerates_to_topk(data):
+    """With all pairwise sims equal, the diversity penalty is the same
+    constant for every candidate at every step, so MMR must reduce to
+    plain top-k by relevance (lowest id on ties)."""
+    from securities_data_pipeline_spark.operators.similarity import _mmr_greedy
+
+    n = data.draw(st.integers(2, 10))
+    const = data.draw(st.integers(-(10**5), 10**5))
+    qs = {i: data.draw(st.integers(-(10**6), 10**6)) for i in range(n)}
+    psim = {(a, b): const for a in range(n) for b in range(n) if a != b}
+    k = data.draw(st.integers(1, n))
+    picks = [d for _, d, _ in _mmr_greedy(qs, psim, k)]
+    expect = sorted(qs, key=lambda i: (-qs[i], i))[:k]
+    assert picks == expect
