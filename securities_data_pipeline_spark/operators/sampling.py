@@ -184,7 +184,11 @@ def pack_sequences(
         .select(
             key_col,
             "shard",
-            F.floor(F.col("_before") / seq_len).alias("pack_id"),
+            # integer division, not floor(double /): a double quotient
+            # loses exactness once the per-shard cumulative token count
+            # passes 2^53 — the same int64-exactness rule as
+            # round6_ratio; `div` stays in long arithmetic
+            F.expr(f"_before DIV {int(seq_len)}").alias("pack_id"),
             F.pmod(F.col("_before"), F.lit(seq_len)).alias("offset"),
             F.col(tokens_col).alias("n_tokens"),
         )
@@ -218,7 +222,7 @@ WITH toks AS (
   FROM toks
 )
 SELECT doc_id, shard,
-       CAST(floor(before_sum / {SEQ_LEN}) AS BIGINT) AS pack_id,
+       CAST(before_sum // {SEQ_LEN} AS BIGINT) AS pack_id,
        CAST(before_sum % {SEQ_LEN} AS BIGINT) AS offset,
        n_tokens
 FROM ordered

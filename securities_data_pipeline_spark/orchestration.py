@@ -42,7 +42,8 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
     out: set[int] = set()
     for part in spec.split(","):
         step = 1
-        if "/" in part:
+        has_step = "/" in part
+        if has_step:
             part, step_s = part.split("/", 1)
             step = int(step_s)
             if step < 1:
@@ -52,6 +53,11 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
         elif "-" in part:
             a, b = part.split("-", 1)
             lo_p, hi_p = int(a), int(b)
+        elif has_step:
+            # vixie parity: 'N/step' means 'N-max/step' (e.g. '5/15' in
+            # the minute field fires at 5,20,35,50) — silently treating
+            # it as the single value N would drop the step entirely
+            lo_p, hi_p = int(part), hi
         else:
             lo_p = hi_p = int(part)
         if not (lo <= lo_p <= hi_p <= hi):

@@ -43,6 +43,11 @@ def read_wide_price_csv(
             names.append(date_col)  # index column: header cell is 'Price'/'Ticker'
         else:
             names.append(f"{field}_{ticker}")
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        # a repeated (field, ticker) header pair would create ambiguous
+        # columns every downstream select trips over — fail at the scan
+        raise ValueError(f"duplicate flattened columns in {path}: {sorted(dupes)}")
 
     # Volume parses as DOUBLE, not LONG: pandas serializes a volume
     # column as floats ('53228400.0') whenever the ticker has any
@@ -57,7 +62,10 @@ def read_wide_price_csv(
     raw = spark.read.csv(path, schema=schema, header=False, mode="PERMISSIVE")
     for n in names[1:]:
         if n.startswith("Volume_"):
-            raw = raw.withColumn(n, F.col(n).cast(T.LongType()))
+            # backtick-quote: real tickers contain dots (BRK.B, BF.B),
+            # and a bare F.col("Volume_BRK.B") parses the dot as struct
+            # access and fails resolution
+            raw = raw.withColumn(n, F.col(f"`{n}`").cast(T.LongType()))
     # try_to_timestamp: header rows yield NULL instead of an ANSI cast
     # error, and get filtered out
     ts = F.try_to_timestamp(F.col(date_col))

@@ -94,3 +94,19 @@ def test_scheduler_tick_runs_flows_then_transform():
     )
     assert out == ([], False)
     assert ran == ["fx", "sp_stocks"]  # unchanged
+
+
+def test_cron_single_value_with_step_is_vixie_range():
+    """vixie cron: 'N/step' = 'N-max/step' — '5/15' in minutes fires at
+    5,20,35,50; silently parsing it as the bare value 5 would drop
+    three of the four fire times per hour."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.orchestration import cron_next_fire
+
+    t = dt.datetime(2025, 1, 1, 0, 0)
+    fires = []
+    for _ in range(4):
+        t = cron_next_fire("5/15 * * * *", t)
+        fires.append(t.minute)
+    assert fires == [5, 20, 35, 50]

@@ -53,3 +53,31 @@ def test_read_wide_price_csv(spark, tmp_path):
 
     long_df = transform_prices(df, "sp_stocks")
     assert {r.symbol for r in long_df.collect()} == {"AAA", "BBB"}
+
+
+def test_read_wide_price_csv_dotted_ticker_and_dupes(spark, tmp_path):
+    """Real S&P tickers contain dots (BRK.B): the flattened column
+    'Volume_BRK.B' must resolve literally, not as struct access; and a
+    duplicated header pair must fail loudly at the scan."""
+    p = tmp_path / "dotted.csv"
+    p.write_text(
+        "Price,Close,Volume\n"
+        "Ticker,BRK.B,BRK.B\n"
+        "2025-01-02,100.5,53228400.0\n"
+    )
+    df = read_wide_price_csv(spark, str(p))
+    assert "Close_BRK.B" in df.columns and "Volume_BRK.B" in df.columns
+    row = df.collect()[0]
+    assert row["Volume_BRK.B"] == 53228400  # cast to long, dot intact
+    assert abs(row["Close_BRK.B"] - 100.5) < 1e-9
+
+    import pytest as _pytest
+
+    bad = tmp_path / "dupe.csv"
+    bad.write_text(
+        "Price,Close,Close\n"
+        "Ticker,AAA,AAA\n"
+        "2025-01-02,1.0,2.0\n"
+    )
+    with _pytest.raises(ValueError, match="duplicate flattened"):
+        read_wide_price_csv(spark, str(bad))
