@@ -30,6 +30,7 @@ _ROUND5_FRONT = (
     # new in round 5
     "sim_lsh_recall", "sim_pq_recall", "sim_mmr_rerank",
     "t_source_cap", "t_curation_funnel", "dedup_soft_weights",
+    "sec_vwap", "sec_ewma",
     # changed in round 5 (perf fix / salt change / checkpoint logging —
     # s_stream_join_attrib is also the r4 perf-weak item to re-measure)
     "t_repetition_filter", "agg_salted_sum", "s_stream_join_attrib",

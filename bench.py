@@ -207,6 +207,8 @@ HEADLINE = [
     "t_source_cap",
     "t_curation_funnel",
     "dedup_soft_weights",
+    "sec_vwap",
+    "sec_ewma",
 ]
 
 

@@ -686,3 +686,138 @@ WHERE n_days >= 2
 
 SECURITIES_QUERIES["sec_sharpe"] = sec_sharpe
 SECURITIES_ORACLES["sec_sharpe"] = SEC_SHARPE_SQL
+
+
+def sec_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly VWAP per symbol — the execution-quality benchmark every
+    trading stack computes: Σ(price·volume)/Σ(volume) over the week.
+
+    Cross-engine exactness: prices quantize once to int64 cents (the
+    sec_rolling_beta recipe), price·volume and both sums stay in exact
+    integer space, and the ONLY float op is one double division at the
+    end — the same IEEE op in both engines, so the result is
+    bit-identical with no rounding step. One partial-combining
+    aggregate after the symbol-day rollup; nothing wide shuffles.
+    """
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(
+        (F.max("value").cast("decimal(12,2)") * 100).cast("long").alias("pc"),
+        F.count(F.lit(1)).cast("long").alias("vol"),
+    )
+    return bars.groupBy(
+        "symbol", F.to_date(F.date_trunc("week", "date_stamp")).alias("week")
+    ).agg(
+        (
+            F.sum(F.col("pc") * F.col("vol")).cast("double")
+            / (F.lit(100.0) * F.sum("vol").cast("double"))
+        ).alias("vwap"),
+        F.sum("vol").cast("long").alias("volume"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+
+
+SEC_VWAP_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         CAST(CAST(MAX(value) AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc,
+         COUNT(*) AS vol
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(DATE_TRUNC('week', date_stamp) AS DATE) AS week,
+       CAST(SUM(pc * vol) AS DOUBLE) / (100.0 * CAST(SUM(vol) AS DOUBLE)) AS vwap,
+       CAST(SUM(vol) AS BIGINT) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM bars
+GROUP BY 1, 2
+"""
+
+SECURITIES_QUERIES["sec_vwap"] = sec_vwap
+SECURITIES_ORACLES["sec_vwap"] = SEC_VWAP_SQL
+
+
+# truncated EWMA: span 20 → α = 2/21. The 20 weights (1−α)^j are
+# quantized ONCE in Python to integer parts-per-billion, so the whole
+# weighted sum is exact int64 arithmetic (cents × ppb-weights ≤ 2e16 ≪
+# 2^63) and the ONLY float op is one final double division — the same
+# IEEE op in both engines, bit-identical with zero rounding calls.
+# (A first attempt kept float weights with per-term round(x, 9): with
+# ~15k roundings per run one landed on a 9-dp half boundary and the
+# engines split — the exact failure class the int-quantization recipe
+# exists for. Weight quantization error is ≤1e-9 relative, far below
+# the 2-dp price quantum.)
+EWMA_SPAN = 20
+_EWMA_WQ = [
+    round((1 - 2 / (EWMA_SPAN + 1)) ** j * 1_000_000_000)
+    for j in range(EWMA_SPAN)
+]
+_EWMA_WQSUM = sum(_EWMA_WQ)
+
+
+def sec_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bar truncated exponential moving average of the close per
+    symbol (pandas ``ewm(span=20).mean()`` over a full window): the
+    trend line under every crossover/momentum signal, emitted only
+    once the window is full (j = 0..19 lags all present).
+
+    Plan: ONE window shuffle on symbol feeds all 20 ``lag`` terms —
+    the same single-sort shape as the SMA/RSI/beta siblings. The
+    weighted sum is 20 fixed integer terms (cents × ppb weights); see
+    the quantization note above for why no float enters before the
+    final division.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg((F.max("value").cast("decimal(12,2)") * 100).cast("long").alias("pc"))
+    w = Window.partitionBy("symbol").orderBy("date_stamp")
+    total = F.lag("pc", 0).over(w) * F.lit(_EWMA_WQ[0])
+    for j, wq in enumerate(_EWMA_WQ[1:], start=1):
+        total = total + F.lag("pc", j).over(w) * F.lit(wq)
+    return bars.select(
+        "symbol",
+        "date_stamp",
+        (F.col("pc").cast("double") / F.lit(100.0)).alias("px"),
+        (
+            total.cast("double")
+            / (F.lit(100.0) * F.lit(float(_EWMA_WQSUM)))
+        ).alias("ewma20"),
+    ).where(F.col("ewma20").isNotNull())
+
+
+def _sql_ewma() -> str:
+    terms = " + ".join(
+        f"lag(pc, {j}) OVER w * {wq}" for j, wq in enumerate(_EWMA_WQ)
+    )
+    return f"""
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         CAST(CAST(MAX(value) AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+  FROM events
+  GROUP BY 1, 2
+), terms AS (
+  SELECT symbol, date_stamp, pc,
+         {terms} AS tsum
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp)
+)
+SELECT symbol, date_stamp,
+       CAST(pc AS DOUBLE) / CAST(100.0 AS DOUBLE) AS px,
+       CAST(tsum AS DOUBLE)
+         / (CAST(100.0 AS DOUBLE) * CAST({float(_EWMA_WQSUM)!r} AS DOUBLE)) AS ewma20
+FROM terms
+WHERE tsum IS NOT NULL
+"""
+
+
+SECURITIES_QUERIES["sec_ewma"] = sec_ewma
+SECURITIES_ORACLES["sec_ewma"] = _sql_ewma()

