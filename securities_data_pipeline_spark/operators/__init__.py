@@ -24,6 +24,10 @@ from securities_data_pipeline_spark.operators.similarity import (
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
 )
+from securities_data_pipeline_spark.operators.similarity_ivfpq import (
+    IVFPQ_ORACLES,
+    IVFPQ_QUERIES,
+)
 from securities_data_pipeline_spark.operators.sampling import (
     SAMPLING_ORACLES,
     SAMPLING_QUERIES,
@@ -38,6 +42,7 @@ EXTENSION_QUERIES = {
     **CURATION_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
+    **IVFPQ_QUERIES,
     **MULTIMODAL_QUERIES,
     **ASOF_QUERIES,
     **GROUPED_QUERIES,
@@ -52,6 +57,7 @@ EXTENSION_ORACLES = {
     **CURATION_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
+    **IVFPQ_ORACLES,
     **MULTIMODAL_ORACLES,
     **ASOF_ORACLES,
     **GROUPED_ORACLES,
