@@ -209,6 +209,7 @@ HEADLINE = [
     "dedup_soft_weights",
     "sec_vwap",
     "sec_ewma",
+    "sim_ivfpq_rerank_topk",
 ]
 
 

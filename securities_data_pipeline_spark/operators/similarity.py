@@ -1074,7 +1074,7 @@ def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    cands = short.join(
+    cands = F.broadcast(short).join(
         emb.select("vec_id", "embedding", "label"), "vec_id"
     ).join(F.broadcast(queries), F.col("query_id") == F.col("qid"))
     scored = cands.select(

@@ -262,7 +262,10 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("_qid"), F.col("embedding").alias("_qvec")
     )
     rescored = (
-        shortlist.join(emb.select("vec_id", "embedding", "label"), "vec_id")
+        # broadcast the ≤ |queries|·shortlist id list — the corpus-side
+        # vector fetch must never shuffle the corpus
+        F.broadcast(shortlist)
+        .join(emb.select("vec_id", "embedding", "label"), "vec_id")
         .join(F.broadcast(queries), F.col("query_id") == F.col("_qid"))
         .select(
             "query_id",

@@ -84,6 +84,9 @@ def main() -> int:
         sim_lsh_topk,
         sim_pq_rerank_topk,
     )
+    from securities_data_pipeline_spark.operators.similarity_ivfpq import (
+        sim_ivfpq_rerank_topk,
+    )
 
     n_vecs = spark.read.parquet(amp_path).count()
     results = {"sf_dir": sf_dir, "factor": factor, "n_vecs": n_vecs,
@@ -92,6 +95,7 @@ def main() -> int:
         ("sim_ivf_topk", sim_ivf_topk),
         ("sim_lsh_topk", sim_lsh_topk),
         ("sim_pq_rerank_topk", sim_pq_rerank_topk),
+        ("sim_ivfpq_rerank_topk", sim_ivfpq_rerank_topk),
         ("dedup_embedding_cosine", dedup_embedding_cosine),
     ]:
         t = time.time()
