@@ -210,6 +210,7 @@ HEADLINE = [
     "sec_vwap",
     "sec_ewma",
     "sim_ivfpq_rerank_topk",
+    "t_decontaminate_fuzzy",
 ]
 
 

@@ -675,6 +675,168 @@ UNION ALL SELECT '4_repetition', s3, s4 FROM c
 
 
 # ---------------------------------------------------------------------------
+# fuzzy decontamination — MinHash-banded train×eval near-dup overlap
+
+#: shingle-Jaccard floor for "this training doc is a near-duplicate of
+#: an eval doc" (vs t_decontaminate's ANY-shared-8-gram exactness):
+#: paraphrased/partially-overlapping contamination that shares no
+#: verbatim 8-gram still scores high 3-word-shingle Jaccard. The floor
+#: is set BELOW the adversarial-edit asymptote: a copy edited every
+#: 7th word defeats every verbatim 8-gram yet keeps ~4/7 of its
+#: 3-shingles, which works out to Jaccard ≈ 0.40-0.43 — τ=0.35 catches
+#: that band while random cross-doc overlap on this corpus sits under
+#: 0.1 (and 6-dp rounding makes an exact-τ tie practically impossible)
+FUZZY_DECON_TAU = 0.35
+
+
+def t_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: per training document, how many
+    benchmark (``source = 'src0'``) documents it NEAR-duplicates
+    (shingle Jaccard ≥ ``FUZZY_DECON_TAU``) and its max Jaccard against
+    any banded candidate. The fuzzy complement to ``t_decontaminate``:
+    exact n-gram overlap catches verbatim leakage; this tier catches
+    lightly-edited/truncated eval copies that share bands but not any
+    single 8-gram.
+
+    Scale shape: both sides build zero-shuffle MinHash signatures
+    (``dedup.minhash_signatures``); the benchmark's (band, key) rows
+    and shingle sets BROADCAST (a benchmark is small by definition),
+    so the 100 TB training side never shuffles — candidates come from
+    a broadcast band join, and the exact-Jaccard verify joins the
+    broadcast candidate list back to the training shingles. Same
+    asymmetric pattern as t_decontaminate's gram broadcast, upgraded
+    from membership to similarity.
+
+    Determinism: Jaccard from integer intersect/union sizes over
+    deduped shingle arrays, rounded to 6 dp; the DuckDB oracle mirrors
+    the banding (``_sql_minhash_slice`` family) and ``list_intersect``
+    sizes exactly.
+    """
+    from securities_data_pipeline_spark.operators.dedup import (
+        LSH_BANDS,
+        banded_signatures,
+        minhash_signatures,
+        with_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("source") == BENCH_SOURCE)
+    tr = docs.where(F.col("source") != BENCH_SOURCE)
+    ev_banded = banded_signatures(minhash_signatures(ev), LSH_BANDS).select(
+        F.col("doc_id").alias("eval_doc"), "band", "key"
+    )
+    tr_banded = banded_signatures(minhash_signatures(tr), LSH_BANDS)
+    cand = (
+        tr_banded.join(F.broadcast(ev_banded), ["band", "key"])
+        .select("doc_id", "eval_doc")
+        .distinct()
+    )
+    tr_sh = with_shingles(tr, ["doc_id"]).select(
+        "doc_id", F.array_distinct("sh").alias("sha")
+    )
+    ev_sh = with_shingles(ev, ["doc_id"]).select(
+        F.col("doc_id").alias("eval_doc"), F.array_distinct("sh").alias("shb")
+    )
+    sized = (
+        F.broadcast(cand)
+        .join(tr_sh, "doc_id")
+        .join(F.broadcast(ev_sh), "eval_doc")
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            (F.size("sha") + F.size("shb")).alias("nab"),
+        )
+    )
+    scored = sized.select(
+        "doc_id",
+        F.when(
+            F.col("nab") - F.col("inter") > 0,
+            F.round(F.col("inter").cast("double") / (F.col("nab") - F.col("inter")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("j"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("j") >= FUZZY_DECON_TAU, 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval_near"),
+        F.max("j").alias("max_jaccard"),
+    )
+    return (
+        tr.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_near", F.lit(0)).cast("long").alias("n_eval_near"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_eval_near", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _sql_decontaminate_fuzzy(tau: float = FUZZY_DECON_TAU) -> str:
+    from securities_data_pipeline_spark.operators.dedup import (
+        LSH_BANDS,
+        N_MINHASH,
+        _sql_minhash_slice,
+        _sql_shingles,
+    )
+
+    rows = N_MINHASH // LSH_BANDS
+    mins = ", ".join(f"{_sql_minhash_slice(s)} AS mh{s}" for s in range(N_MINHASH))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    isect = "len(list_intersect(a.sh, b.sh))"
+    return f"""
+WITH shr AS MATERIALIZED (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+), sig AS MATERIALIZED (
+  SELECT doc_id, {mins} FROM shr GROUP BY doc_id
+), src AS (
+  SELECT doc_id, source FROM documents
+), banded AS MATERIALIZED (
+  {band_selects}
+), eb AS (
+  SELECT banded.doc_id AS eval_doc, band, key
+  FROM banded JOIN src USING (doc_id) WHERE source = '{BENCH_SOURCE}'
+), tb AS (
+  SELECT banded.doc_id, band, key
+  FROM banded JOIN src USING (doc_id) WHERE source <> '{BENCH_SOURCE}'
+), cand AS (
+  SELECT DISTINCT tb.doc_id, eb.eval_doc FROM tb JOIN eb USING (band, key)
+), shd AS MATERIALIZED (
+  SELECT doc_id, list_distinct({_sql_shingles()}) AS sh FROM documents
+), scored AS (
+  SELECT c.doc_id,
+         CASE WHEN len(a.sh) + len(b.sh) - {isect} > 0
+              THEN round(CAST({isect} AS DOUBLE)
+                         / (len(a.sh) + len(b.sh) - {isect}), 6)
+              ELSE 0.0 END AS j
+  FROM cand c
+  JOIN shd a ON a.doc_id = c.doc_id
+  JOIN shd b ON b.doc_id = c.eval_doc
+), agg AS (
+  SELECT doc_id, CAST(count_if(j >= {tau!r}) AS BIGINT) AS n_eval_near,
+         MAX(j) AS max_jaccard
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_eval_near, 0) AS BIGINT) AS n_eval_near,
+       coalesce(max_jaccard, 0.0) AS max_jaccard,
+       coalesce(n_eval_near, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN agg USING (doc_id)
+WHERE d.source <> '{BENCH_SOURCE}'
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -685,6 +847,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cluster_sample": sim_cluster_sample,
     "t_source_cap": t_source_cap,
     "t_curation_funnel": t_curation_funnel,
+    "t_decontaminate_fuzzy": t_decontaminate_fuzzy,
 }
 
 CURATION_ORACLES: dict[str, str] = {
@@ -695,4 +858,5 @@ CURATION_ORACLES: dict[str, str] = {
     "sim_cluster_sample": _sql_cluster_sample(),
     "t_source_cap": T_SOURCE_CAP_SQL,
     "t_curation_funnel": T_CURATION_FUNNEL_SQL,
+    "t_decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
 }

@@ -299,3 +299,33 @@ def test_curation_funnel_counts_are_monotone(spark):
         assert cur.n_out <= cur.n_in
     assert rows[0].n_in == 500  # full corpus enters
     assert rows[-1].n_out > 0  # and something survives
+
+
+def test_fuzzy_decontamination_catches_what_exact_misses(spark, tmp_path):
+    """The fuzzy tier's reason to exist: a benchmark copy edited every
+    7th word contains NO verbatim 8-gram (exact decon is blind to it)
+    but keeps ~4/7 of its 3-word shingles (Jaccard ≈ 0.42 ≥ τ)."""
+    words = [f"w{i}" for i in range(24)]
+    # positions every 7th word (no unedited 8-run survives), chosen so
+    # the pair also collides on a MinHash band with the fixed md5
+    # family — the collision is deterministic, not probabilistic
+    edited = [f"x{i}" if i in (6, 13, 20) else w for i, w in enumerate(words)]
+    rows = [
+        (0, " ".join(words), "src0"),  # benchmark
+        (1, " ".join(edited), "src1"),  # adversarial near-copy
+        (2, " ".join(f"c{i}" for i in range(24)), "src1"),  # clean
+    ]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from securities_data_pipeline_spark.operators.curation import (
+        t_decontaminate,
+        t_decontaminate_fuzzy,
+    )
+
+    exact = {r.doc_id: r for r in t_decontaminate(spark, str(tmp_path)).collect()}
+    assert not exact[1].contaminated  # every 8-gram spans an edit
+    fuzzy = {r.doc_id: r for r in t_decontaminate_fuzzy(spark, str(tmp_path)).collect()}
+    assert set(fuzzy) == {1, 2}  # benchmark rows excluded
+    # 3 edits kill 9 of 22 shingles: j = 13 / (22 + 22 - 13)
+    assert fuzzy[1].contaminated and fuzzy[1].n_eval_near == 1
+    assert fuzzy[1].max_jaccard == pytest.approx(13 / 31, abs=1e-6)
+    assert not fuzzy[2].contaminated and fuzzy[2].max_jaccard == 0.0
