@@ -845,6 +845,15 @@ PQ_DSUB = EMB_DIM // PQ_M
 PQ_K = 16  # codebook entries per subspace
 PQ_STRIDE = 25  # donor vectors: vec_id % 25 == 0, vec_id < 400 → K=16
 
+#: in-plan L2 normalize — the ONE definition both PQ tiers (flat and
+#: IVF-PQ) build `_nv` from, so their doubles are bit-identical to
+#: each other, to `_l2_normalize`, and to the oracle's `_PQ_NORM_SQL`
+NV_EXPR = (
+    "transform(embedding, x -> CAST(x AS DOUBLE) / "
+    "sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) "
+    "* CAST(y AS DOUBLE)), 0.0D, (a, v) -> a + v)))"
+)
+
 
 def _l2_normalize(vec: list[float]) -> list[float]:
     """Left-fold sum of squares then divide — the exact fold order the
@@ -937,14 +946,7 @@ def sim_pq_topk(
             "(x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v))"
         )
 
-    normalized = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> CAST(x AS DOUBLE) / "
-            "sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) "
-            "* CAST(y AS DOUBLE)), 0.0D, (a, v) -> a + v)))"
-        ).alias("_nv"),
-    )
+    normalized = emb.select("vec_id", F.expr(NV_EXPR).alias("_nv"))
     encoded = normalized.select(
         "vec_id",
         "_nv",

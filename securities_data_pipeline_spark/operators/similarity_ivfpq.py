@@ -56,6 +56,7 @@ from securities_data_pipeline_spark.operators.similarity import (
     PQ_K,
     PQ_M,
     PQ_STRIDE,
+    NV_EXPR,
     TOP_K,
     _l2_normalize,
     _PQ_NORM_SQL,
@@ -78,14 +79,6 @@ from securities_data_pipeline_spark.sources.tables import table
 IVFPQ_PROBES = 8
 IVFPQ_SHORTLIST = 100
 
-#: in-plan L2 normalize — textually identical to the sim_pq_topk
-#: expression so the `_nv` doubles are bit-identical across both tiers
-#: (and to `_l2_normalize` / the oracle's `_PQ_NORM_SQL`)
-_NV_EXPR = (
-    "transform(embedding, x -> CAST(x AS DOUBLE) / "
-    "sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) "
-    "* CAST(y AS DOUBLE)), 0.0D, (a, v) -> a + v)))"
-)
 
 
 def _dotp(a: list[float], b: list[float]) -> float:
@@ -157,6 +150,13 @@ def _ivfpq_state(
     donor_ids = sorted(
         v for v in vecs if v % PQ_STRIDE == 0 and v < PQ_K * PQ_STRIDE
     )
+    if not roster or len(donor_ids) < PQ_K:
+        raise ValueError(
+            f"ivfpq needs the full deterministic roster/codebook: corpus "
+            f"must contain vec_ids 0..{PQ_K * PQ_STRIDE - 1} at stride "
+            f"{PQ_STRIDE} (got {len(donor_ids)}/{PQ_K} donors, "
+            f"{len(roster)} centroids)"
+        )
     rcb = []
     for did in donor_ids:  # code index = did // PQ_STRIDE, ascending
         dv = vecs[did]
@@ -208,7 +208,7 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   expressions (CollapseProject re-derived the whole assignment
     #   chain per band: measured ~8× wall on this corpus).
     assign_expr = (
-        f"element_at(transform(array({_NV_EXPR}), nv -> "
+        f"element_at(transform(array({NV_EXPR}), nv -> "
         f"element_at(transform(array(transform({roster_lit}, cv -> "
         "aggregate(zip_with(nv, cv, (x, y) -> x * y), 0.0D, (a, v) -> a + v))), "
         "dots -> element_at(transform(array("

@@ -12,10 +12,13 @@ the incremental one that only touches what needs touching):
    Hadoop FS API (driver-side: one listing, O(#files) names — the
    same bounded-metadata budget Delta/Iceberg planners spend), keep
    only files below the target size, and first-fit-decreasing
-   bin-pack them into bins of ≤ ``target_bytes``. Deterministic:
-   files sort by (size desc, name) so the same table always yields
-   the same plan. Bins with a single small file are dropped —
-   rewriting one file buys nothing.
+   bin-pack them into bins of ≤ ``target_bytes`` — PER DIRECTORY, so
+   in a partitioned layout a bin never crosses partitions and its
+   merged file can return to the directory whose path encodes the
+   partition values. Deterministic: directories sort by name, files
+   by (size desc, name), so the same table always yields the same
+   plan. Bins with a single small file are dropped — rewriting one
+   file buys nothing.
 2. **Execute** (`compact_small_files`) — per bin, read EXACTLY that
    bin's files and rewrite them as one file into a stage directory;
    then swap: move compacted files in, delete originals. Unplanned
@@ -50,9 +53,13 @@ _STAGE_DIRNAME = "__compact_stage"
 
 @dataclass(frozen=True)
 class CompactionBin:
-    """One rewrite unit: small files that merge into ~one target file."""
+    """One rewrite unit: small files (all from ONE directory — for a
+    partitioned table that means one partition, since the partition
+    values live in the directory path) that merge into ~one target
+    file written back into that same directory."""
 
     bin_id: int
+    directory: str
     files: tuple[str, ...]
     total_bytes: int
 
@@ -89,35 +96,41 @@ def plan_compaction(
     spark: SparkSession, path: str, target_bytes: int
 ) -> list[CompactionBin]:
     """First-fit-decreasing bin-packing of the table's sub-target
-    files. Only multi-file bins are returned (a lone small file can't
-    be improved by rewriting it)."""
-    if leftover_stage(spark, path):
+    files, per directory — files never bin across partition
+    directories (a bin's rows must be writable back into ONE
+    directory, or a partitioned table would lose its partition values
+    to the merged file's location). Only multi-file bins are returned
+    (a lone small file can't be improved by rewriting it)."""
+    stage = leftover_stage(spark, path)
+    if stage:
         raise RuntimeError(
-            f"unreconciled compaction stage at {leftover_stage(spark, path)} "
+            f"unreconciled compaction stage at {stage} "
             "— a prior run crashed mid-swap; reconcile it before planning"
         )
-    small = [
-        (p, sz)
-        for p, sz in _list_data_files(spark, path)
-        if sz < target_bytes
-    ]
-    small.sort(key=lambda t: (-t[1], t[0]))
-    bins: list[list[tuple[str, int]]] = []
-    totals: list[int] = []
-    for p, sz in small:
-        for i, tot in enumerate(totals):
-            if tot + sz <= target_bytes:
-                bins[i].append((p, sz))
-                totals[i] += sz
-                break
-        else:
-            bins.append([(p, sz)])
-            totals.append(sz)
-    return [
-        CompactionBin(i, tuple(p for p, _ in b), tot)
-        for i, (b, tot) in enumerate(zip(bins, totals))
-        if len(b) > 1
-    ]
+    by_dir: dict[str, list[tuple[str, int]]] = {}
+    for p, sz in _list_data_files(spark, path):
+        if sz < target_bytes:
+            by_dir.setdefault(p.rsplit("/", 1)[0], []).append((p, sz))
+    out: list[CompactionBin] = []
+    for d in sorted(by_dir):
+        small = sorted(by_dir[d], key=lambda t: (-t[1], t[0]))
+        bins: list[list[tuple[str, int]]] = []
+        totals: list[int] = []
+        for p, sz in small:
+            for i, tot in enumerate(totals):
+                if tot + sz <= target_bytes:
+                    bins[i].append((p, sz))
+                    totals[i] += sz
+                    break
+            else:
+                bins.append([(p, sz)])
+                totals.append(sz)
+        for b, tot in zip(bins, totals):
+            if len(b) > 1:
+                out.append(
+                    CompactionBin(len(out), d, tuple(p for p, _ in b), tot)
+                )
+    return out
 
 
 def compact_small_files(
@@ -149,15 +162,19 @@ def compact_small_files(
         ) from ex
     # swap: move-in first (duplication on crash, never loss), then
     # delete originals; the stage dir vanishes last so leftover_stage
-    # flags any half-applied swap
+    # flags any half-applied swap. Compacted files land in the SAME
+    # directory their bin came from — in a partitioned layout that is
+    # the partition directory, so partition values (derived from the
+    # path) are preserved.
     try:
         for b in plan:
             bin_out = jvm.org.apache.hadoop.fs.Path(stage, f"bin_{b.bin_id}")
+            dest_dir = jvm.org.apache.hadoop.fs.Path(b.directory)
             for st in fs.listStatus(bin_out):
                 name = st.getPath().getName()
                 if name.endswith(".parquet"):
                     dest = jvm.org.apache.hadoop.fs.Path(
-                        hpath, f"compacted-{b.bin_id}-{name}"
+                        dest_dir, f"compacted-{b.bin_id}-{name}"
                     )
                     if not fs.rename(st.getPath(), dest):
                         raise RuntimeError(f"rename {st.getPath()} -> {dest} failed")

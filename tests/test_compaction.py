@@ -77,3 +77,23 @@ def test_leftover_stage_blocks_planning(spark, fragmented):
         plan_compaction(spark, fragmented, TARGET)
     os.rmdir(stage)
     assert plan_compaction(spark, fragmented, TARGET)
+
+
+def test_partitioned_table_compacts_within_partitions(spark, tmp_path):
+    """The partition-layout contract: bins never cross partition
+    directories, compacted files land back inside their partition, and
+    the partition column survives a post-compaction read."""
+    path = str(tmp_path / "part")
+    spark.range(0, 40_000).withColumn("ds", F.col("id") % 3).withColumn(
+        "v", F.col("id") * 2
+    ).repartition(6).write.partitionBy("ds").parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    plan = compact_small_files(spark, path, TARGET)
+    assert plan
+    # every bin's files share that bin's directory, which names a ds=
+    for b in plan:
+        assert "/ds=" in b.directory
+        assert all(f.rsplit("/", 1)[0] == b.directory for f in b.files)
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before  # ds values intact, no row lost/duplicated
+    assert compact_small_files(spark, path, TARGET) == []
