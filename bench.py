@@ -211,6 +211,7 @@ HEADLINE = [
     "sec_ewma",
     "sim_ivfpq_rerank_topk",
     "t_decontaminate_fuzzy",
+    "dedup_semdedup",
 ]
 
 

@@ -417,19 +417,11 @@ def _assign(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     return emb.select("vec_id", "v", nearest("v").alias("cid"))
 
 
-def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embedding table: K=8, seeded with the
-    first 8 vectors, 2 centroid updates, final assignment returned as
-    (vec_id, cluster).
-
-    Per iteration: ONE linear scan computes assignments, then a
-    K-group element-wise mean (64 ``avg`` columns) collects k×d
-    doubles to the driver — the classic Spark k-means loop (MLlib's
-    shape). Centroids re-enter the plan as broadcast literals, so no
-    join and no shuffle beyond the k-group aggregate's partial
-    combine. Centroid means round to 6 dp each update to keep both
-    engines' float paths aligned.
-    """
+def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's loop → final assignment WITH the vectors:
+    (vec_id, v, cid). Shared by the plain assignment query and
+    SemDeDup (which needs the vectors for within-cluster cosine
+    without re-joining the corpus to itself on vec_id)."""
     emb = (
         table(spark, sf_dir, "embeddings")
         .select(
@@ -458,7 +450,25 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = sorted(
             (int(r["cid"]), [r[f"m{i}"] for i in range(KMEANS_DIM)]) for r in rows
         )
-    return _assign(emb, cents).select("vec_id", F.col("cid").alias("cluster"))
+    return _assign(emb, cents)
+
+
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding table: K=8, seeded with the
+    first 8 vectors, 2 centroid updates, final assignment returned as
+    (vec_id, cluster).
+
+    Per iteration: ONE linear scan computes assignments, then a
+    K-group element-wise mean (64 ``avg`` columns) collects k×d
+    doubles to the driver — the classic Spark k-means loop (MLlib's
+    shape). Centroids re-enter the plan as broadcast literals, so no
+    join and no shuffle beyond the k-group aggregate's partial
+    combine. Centroid means round to 6 dp each update to keep both
+    engines' float paths aligned.
+    """
+    return _kmeans_assigned(spark, sf_dir).select(
+        "vec_id", F.col("cid").alias("cluster")
+    )
 
 
 def _sql_kmeans(k: int = KMEANS_K, d: int = KMEANS_DIM, iters: int = KMEANS_ITERS) -> str:
@@ -675,6 +685,83 @@ UNION ALL SELECT '4_repetition', s3, s4 FROM c
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup — cluster-blocked semantic deduplication
+
+#: cosine floor for "semantically duplicate" within a cluster — the
+#: same dial as the hyperplane-LSH embedding dedup tier
+#: (COSINE_DUP_THRESHOLD), so the two blocking strategies are
+#: comparable on identical pair semantics
+SEMDEDUP_TAU = 0.35
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embeddings, then find semantic duplicates ONLY within each
+    cluster — pairwise cosine ≥ ``SEMDEDUP_TAU`` — and prune every
+    vector that has a kept (lower-id) duplicate in its cluster.
+    Output: (vec_id, cluster, pruned) for the whole corpus.
+
+    The third embedding-dedup blocking strategy next to brute force
+    (`dedup_embedding_cosine`'s exact verify) and hyperplane LSH:
+    clustering makes the quadratic within-block, trading recall
+    (cross-cluster dups are invisible — the paper's bet is that
+    ε-duplicates co-cluster) for a pair budget of Σ|cluster|²/2
+    that the operator controls via K. Here K=8 is the oracle-checkable
+    demo geometry; at 100 TB K scales ~n/target_cluster_size (the
+    paper uses 50k clusters on LAION), keeping per-cluster work
+    constant — the docstring dial, same contract as N_CENTROIDS_CAP.
+
+    Plan shape: the Lloyd loop is shared with `sim_kmeans_assign`
+    (assignments keep their vectors, so no corpus self-join on
+    vec_id); the within-cluster pair stream is ONE shuffle on the
+    cluster id; keep-lowest-id resolution is the repo-wide dedup
+    convention (`dedup_resolve`).
+    """
+    from securities_data_pipeline_spark.operators.similarity import cosine
+
+    assigned = _kmeans_assigned(spark, sf_dir).localCheckpoint(eager=False)
+    a = assigned.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("xa"), F.col("cid").alias("ca")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("xb"), F.col("cid").alias("cb")
+    )
+    pruned = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
+        .where(cosine(F.col("xa"), F.col("xb")) >= SEMDEDUP_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("_p", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", F.col("cid").alias("cluster"))
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id", "cluster", F.coalesce("_p", F.lit(False)).alias("pruned")
+        )
+    )
+
+
+def _sql_semdedup(tau: float = SEMDEDUP_TAU) -> str:
+    from securities_data_pipeline_spark.operators.similarity import _sql_cosine
+
+    return f"""
+WITH assign AS MATERIALIZED (
+{_sql_kmeans()}
+), av AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id)
+), pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {tau!r}
+)
+SELECT av.vec_id, av.cluster, (p.vec_id IS NOT NULL) AS pruned
+FROM av LEFT JOIN pruned p ON p.vec_id = av.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # fuzzy decontamination — MinHash-banded train×eval near-dup overlap
 
 #: shingle-Jaccard floor for "this training doc is a near-duplicate of
@@ -848,6 +935,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_source_cap": t_source_cap,
     "t_curation_funnel": t_curation_funnel,
     "t_decontaminate_fuzzy": t_decontaminate_fuzzy,
+    "dedup_semdedup": dedup_semdedup,
 }
 
 CURATION_ORACLES: dict[str, str] = {
@@ -859,4 +947,5 @@ CURATION_ORACLES: dict[str, str] = {
     "t_source_cap": T_SOURCE_CAP_SQL,
     "t_curation_funnel": T_CURATION_FUNNEL_SQL,
     "t_decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
+    "dedup_semdedup": _sql_semdedup(),
 }

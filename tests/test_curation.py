@@ -329,3 +329,30 @@ def test_fuzzy_decontamination_catches_what_exact_misses(spark, tmp_path):
     assert fuzzy[1].contaminated and fuzzy[1].n_eval_near == 1
     assert fuzzy[1].max_jaccard == pytest.approx(13 / 31, abs=1e-6)
     assert not fuzzy[2].contaminated and fuzzy[2].max_jaccard == 0.0
+
+
+def test_semdedup_keep_first_invariant(spark):
+    """SemDeDup contract on the real test corpus: every cluster's
+    lowest vec_id is kept (it can have no lower-id duplicate), pruned
+    rows always have a kept lower-id member in their cluster, and the
+    clustering agrees with sim_kmeans_assign."""
+    from securities_data_pipeline_spark.operators.curation import (
+        dedup_semdedup,
+        sim_kmeans_assign,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_semdedup(spark, sf).collect()
+    assert len(out) == 500
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for rows in by_cluster.values():
+        lowest = min(rows, key=lambda r: r.vec_id)
+        assert not lowest.pruned
+        kept = {r.vec_id for r in rows if not r.pruned}
+        for r in rows:
+            if r.pruned:
+                assert any(k < r.vec_id for k in kept)
+    assign = {r.vec_id: r.cluster for r in sim_kmeans_assign(spark, sf).collect()}
+    assert all(assign[r.vec_id] == r.cluster for r in out)
