@@ -84,6 +84,7 @@ def main() -> int:
         sim_lsh_topk,
         sim_pq_rerank_topk,
     )
+    from securities_data_pipeline_spark.operators.curation import dedup_semdedup
     from securities_data_pipeline_spark.operators.similarity_ivfpq import (
         sim_ivfpq_rerank_topk,
     )
@@ -97,6 +98,11 @@ def main() -> int:
         ("sim_pq_rerank_topk", sim_pq_rerank_topk),
         ("sim_ivfpq_rerank_topk", sim_ivfpq_rerank_topk),
         ("dedup_embedding_cosine", dedup_embedding_cosine),
+        # fixed K=8 is the oracle demo geometry: cluster sizes grow with
+        # the corpus, so the within-cluster pair volume is quadratic BY
+        # DESIGN here — the stress row documents the decay the K dial
+        # (K ~ n/target_cluster_size in production) exists to prevent
+        ("dedup_semdedup", dedup_semdedup),
     ]:
         t = time.time()
         rows = fn(spark, scratch).count()
