@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from securities_data_pipeline_spark.sources.tables import table
@@ -64,7 +64,10 @@ def _asof_union_fill(
         )
     right_side, left_side = (1, 0) if forward else (0, 1)
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
-    r = right.select(
+    # a NULL right_time satisfies neither `<=` nor `>=` in SQL
+    # three-valued logic — drop those rows or the NULLS FIRST window
+    # sort would hand their payload to every row in the frame
+    r = right.where(F.col(right_time).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(right_side).alias("__side"),
@@ -86,9 +89,12 @@ def _asof_union_fill(
     filled = r.unionByName(l).withColumn(
         "__match", pick("__p", ignorenulls=True).over(w)
     )
+    # a NULL left_time matches nothing either (its frame position under
+    # NULLS FIRST is meaningless) — such rows keep null payloads
+    matched = F.when(F.col("__t").isNotNull(), F.col("__match"))
     return filled.where(F.col("__side") == left_side).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.col("__match")[c].alias(c) for c in payload_cols],
+        *[matched[c].alias(c) for c in payload_cols],
     )
 
 

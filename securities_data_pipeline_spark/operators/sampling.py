@@ -93,6 +93,32 @@ GROUP BY lang
 """
 
 
+def _hash_order_before_sum(
+    key_col: str, part_col: str, tokens_col: str
+) -> Column:
+    """Exclusive prefix sum of ``tokens_col`` in deterministic hash
+    order within ``part_col`` — THE shared ordering/frame of the
+    budget filter and the sequence packer (one definition, so the
+    hash, tie-break, and frame can never drift apart between them;
+    `_sql_before_sum` is its oracle twin)."""
+    h = stable_hash64(F.col(key_col).cast("string"))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("long"))
+
+
+def _sql_before_sum(part: str, key: str = "doc_id", tokens: str = "n_tokens") -> str:
+    h = sql_stable_hash64(f"CAST({key} AS VARCHAR)")
+    return (
+        f"""COALESCE(SUM({tokens}) OVER (
+           PARTITION BY {part} ORDER BY {h} ASC, {key} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"""
+    )
+
+
 def token_budget_filter(
     df: DataFrame,
     key_col: str,
@@ -108,11 +134,7 @@ def token_budget_filter(
     one window per stratum — a single bounded shuffle at scale, and
     the window spec is shared with any other per-stratum ordering.
     """
-    h = stable_hash64(F.col(key_col).cast("string"))
-    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    before = _hash_order_before_sum(key_col, stratum_col, tokens_col)
     return df.withColumn("_before", before).where(F.col("_before") < budget).drop("_before")
 
 
@@ -131,15 +153,12 @@ def t_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_token_budget() -> str:
     from securities_data_pipeline_spark.operators.textops import _sql_words
 
-    h = sql_stable_hash64("CAST(doc_id AS VARCHAR)")
     return f"""
 WITH toks AS (
   SELECT doc_id, lang, len({_sql_words()}) AS n_tokens FROM documents
 ), ordered AS (
   SELECT doc_id, lang, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY lang ORDER BY {h} ASC, doc_id ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_sum
+         {_sql_before_sum('lang')} AS before_sum
   FROM toks
 )
 SELECT doc_id, lang, n_tokens FROM ordered WHERE before_sum < {TOKEN_BUDGET}
@@ -172,12 +191,7 @@ def pack_sequences(
     """
     h = stable_hash64(F.col(key_col).cast("string"))
     shard = F.pmod(h, F.lit(n_shards))
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(h.asc(), F.col(key_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("long"))
+    before = _hash_order_before_sum(key_col, "shard", tokens_col)
     return (
         df.withColumn("shard", shard)
         .withColumn("_before", before)
@@ -216,9 +230,7 @@ WITH toks AS (
   FROM documents
 ), ordered AS (
   SELECT doc_id, shard, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY shard ORDER BY {h} ASC, doc_id ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_sum
+         {_sql_before_sum('shard')} AS before_sum
   FROM toks
 )
 SELECT doc_id, shard,

@@ -59,6 +59,19 @@ def _retry_safe_salt(df: DataFrame, n_salts: int) -> Column:
     ).cast("int")
 
 
+def _require_free(df: DataFrame, names: list[str], op: str) -> None:
+    """Fail loudly when an input already uses one of the operator's
+    scratch column names — `withColumn` would silently OVERWRITE a
+    business column and the final drop would delete it from the
+    output (the payload-clash guard pattern from asof.py)."""
+    clash = set(names) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"{op} reserves scratch columns {sorted(clash)}; "
+            "rename them on the input first"
+        )
+
+
 def salted_group_sum(
     df: DataFrame,
     keys: list[str],
@@ -79,6 +92,9 @@ def salted_group_sum(
     trade-off note on ``_retry_safe_salt``). The aggregate's value is
     salt-independent either way.
     """
+    _require_free(
+        df, ["_salt", "_pcnt", *[f"_psum_{c}" for c in sum_cols]], "salted_group_sum"
+    )
     salt = _retry_safe_salt(df, n_salts).alias("_salt")
     partial = (
         df.select(*df.columns, salt)
@@ -122,6 +138,8 @@ def salted_join(
             "right/full outer would duplicate unmatched small-side replicas "
             "once per salt"
         )
+    _require_free(big, ["_salt"], "salted_join (big side)")
+    _require_free(small, ["_salt"], "salted_join (small side)")
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
     big_salted = big.withColumn("_salt", _retry_safe_salt(big, n_salts))
@@ -137,15 +155,12 @@ def write_bucketed(
 ) -> None:
     """Materialize ``df`` as a bucketed+sorted catalog table: one
     shuffle now, zero shuffles for every later join/agg on
-    ``bucket_keys``. (Spark bucketing metadata lives in the session
-    catalog; on a cluster this is the Delta/warehouse table layout.)"""
-    (
-        df.write.mode("overwrite")
-        .bucketBy(n_buckets, *bucket_keys)
-        .sortBy(*bucket_keys)
-        .format("parquet")
-        .saveAsTable(table_name)
-    )
+    ``bucket_keys``. Thin list-of-keys adapter over the canonical
+    ``plans.bucketing.write_bucketed`` (which also documents the
+    bucket-count sizing and crash contracts)."""
+    from securities_data_pipeline_spark.plans import bucketing
+
+    bucketing.write_bucketed(df, table_name, bucket_keys, n_buckets)
 
 
 def bucketed_join(

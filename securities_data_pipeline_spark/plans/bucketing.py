@@ -46,20 +46,23 @@ from securities_data_pipeline_spark.sources.tables import table
 def write_bucketed(
     df: DataFrame,
     name: str,
-    bucket_col: str,
+    bucket_cols: str | list[str],
     n_buckets: int,
     sort: bool = True,
 ) -> None:
     """Materialize ``df`` as a parquet table bucketed (and by default
-    per-bucket sorted) on ``bucket_col``. ``name`` may be
-    database-qualified; the database controls the storage location."""
+    per-bucket sorted) on ``bucket_cols``. ``name`` may be
+    database-qualified; the database controls the storage location.
+    Also re-exported through ``operators.skew`` (the skew-mitigation
+    module lists bucketing as one of its strategies)."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
-        .bucketBy(n_buckets, bucket_col)
+        .bucketBy(n_buckets, *cols)
     )
     if sort:
-        writer = writer.sortBy(bucket_col)
+        writer = writer.sortBy(*cols)
     writer.saveAsTable(name)
 
 

@@ -150,3 +150,39 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert out[(1, T(10))] == "fresh"   # 12h old: within 1 day
     assert out[(1, T(12))] is None      # same match now 2.5 days old
     assert out[(2, T(10))] is None      # 9 days old: stale → null
+
+
+def test_asof_null_times_match_nothing(spark):
+    """SQL three-valued logic: a NULL right_time satisfies neither <=
+    nor >=, and a NULL left_time matches nothing — both directions
+    must yield null payloads, not the NULLS-FIRST window artifact that
+    handed such rows a spurious neighbor."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    T = lambda d: dt.datetime(2024, 1, d)
+    left = spark.createDataFrame(
+        [(1, T(10), "has_t"), (1, None, "null_t")],
+        "k long, ts timestamp, who string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, T(5), 5)], "k long, rts timestamp, payload long"
+    )
+    back = {r.who: r.payload for r in asof_join(
+        left, right, on="k", left_time="ts", right_time="rts",
+        payload_cols=["payload"],
+    ).collect()}
+    assert back == {"has_t": 5, "null_t": None}
+
+    fwd_right = spark.createDataFrame(
+        [(1, None, 77), (1, T(20), 20)], "k long, rts timestamp, payload long"
+    )
+    fwd = {r.who: r.payload for r in asof_join_forward(
+        left, fwd_right, on="k", left_time="ts", right_time="rts",
+        payload_cols=["payload"],
+    ).collect()}
+    assert fwd == {"has_t": 20, "null_t": None}

@@ -239,3 +239,24 @@ def test_salt_is_retry_deterministic_and_spreads_duplicates(spark):
     a = sorted(r.s for r in df.select(_retry_safe_salt(df, 16).alias("s")).collect())
     b = sorted(r.s for r in df.select(_retry_safe_salt(df, 16).alias("s")).collect())
     assert a == b
+
+
+def test_salted_ops_reject_reserved_scratch_columns(spark):
+    """An input already using _salt (or a partial-agg name) must fail
+    loudly — withColumn would silently overwrite the business column
+    and the final drop would delete it."""
+    import pytest as _pytest
+
+    from securities_data_pipeline_spark.operators.skew import (
+        salted_group_sum,
+        salted_join,
+    )
+
+    df = spark.createDataFrame([("a", 1, 9)], "k string, v long, _salt long")
+    with _pytest.raises(ValueError, match="reserves scratch columns"):
+        salted_group_sum(df, ["k"], ["v"])
+    small = spark.createDataFrame([("a", "L")], "k string, label string")
+    with _pytest.raises(ValueError, match="reserves scratch columns"):
+        salted_join(df, small, "k")
+    with _pytest.raises(ValueError, match="reserves scratch columns"):
+        salted_join(small, df, "k")
