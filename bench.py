@@ -212,6 +212,7 @@ HEADLINE = [
     "sim_ivfpq_rerank_topk",
     "t_decontaminate_fuzzy",
     "dedup_semdedup",
+    "t_cms_heavy_hitters",
 ]
 
 

@@ -24,7 +24,11 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from securities_data_pipeline_spark.functions.hashing import sql_stable_hash64
+from securities_data_pipeline_spark.functions.hashing import (
+    seeded_hash64,
+    sql_seeded_hash64,
+    sql_stable_hash64,
+)
 from securities_data_pipeline_spark.sources.tables import table
 
 # one source of truth for both engines
@@ -998,6 +1002,112 @@ GROUP BY d.doc_id, d.text
 """
 
 
+# ---------------------------------------------------------------------------
+# count-min sketch contract
+
+CMS_DEPTH = 4  # hash rows — error probability decays as (1/2)^depth
+CMS_WIDTH = 64  # counters per row — overestimate ~ total/width; sized
+#  so collisions actually occur on this corpus (width 256 swallowed the
+#  whole vocabulary and made every estimate trivially exact)
+CMS_SEED = 301  # hash-family seed base (one seeded md5 per row)
+
+
+def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch contract (the a6/a9 sketch-verification
+    pattern applied to frequency estimation): build the D×W CMS cell
+    table over the token stream, estimate the exact top-N tokens'
+    counts from it, and emit the one-sided guarantee —
+    ``cms_n >= exact_n`` for every probe (CMS never underestimates;
+    the overestimate is bounded by colliding mass ~ total/width per
+    row, minimized over D rows).
+
+    Spark shape of a CMS: each token contributes D (row, position)
+    increments via seeded stable hashes; ONE groupBy over ≤ D·W cells
+    is the whole sketch — fixed-size state however large the corpus,
+    the same bounded-memory contract as the HLL and KLL tiers. The
+    probe side broadcasts N·D (row, position) lookups against the
+    cell table and takes the per-token min. The oracle recomputes
+    cells, probes, and both counts exactly (the md5 hash family is
+    engine-portable), so the driver verifies the ALGORITHM, not a
+    tolerance."""
+    toks = token_stream(table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )  # two consumers: cells + exact counts
+    positions = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    seeded_hash64(F.col("token"), CMS_SEED + d), F.lit(CMS_WIDTH)
+                )
+                .cast("int")
+                .alias("pos"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    cells = (
+        toks.select(F.explode(positions).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    probes = (
+        ranked_head(exact, HH_TOPN, "rank")
+        .select(
+            "rank",
+            "token",
+            F.col("n_occurrences").alias("exact_n"),
+            F.explode(positions).alias("c"),
+        )
+        .select(
+            "rank", "token", "exact_n",
+            F.col("c.d").alias("d"), F.col("c.pos").alias("pos"),
+        )
+    )
+    return (
+        F.broadcast(probes)
+        .join(cells, ["d", "pos"])
+        .groupBy("rank", "token", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+        .select(
+            "rank", "token", "exact_n", "cms_n",
+            (F.col("cms_n") >= F.col("exact_n")).alias("overestimate_ok"),
+        )
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    pos = lambda d: f"{sql_seeded_hash64('token', CMS_SEED + d)} % {CMS_WIDTH}"
+    pos_rows = " UNION ALL ".join(
+        f"SELECT token, {d} AS d, {pos(d)} AS pos FROM toks2" for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest({_sql_words()}) AS token FROM documents
+), toks2 AS MATERIALIZED (
+  SELECT token FROM toks WHERE token <> ''
+), tokpos AS MATERIALIZED (
+  {pos_rows}
+), cells AS MATERIALIZED (
+  SELECT d, pos, COUNT(*) AS cell_n FROM tokpos GROUP BY d, pos
+), exact AS (
+  SELECT token, COUNT(*) AS n_occurrences FROM toks2 GROUP BY token
+), top AS (
+  SELECT token, n_occurrences AS exact_n,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+  FROM exact QUALIFY rank <= {HH_TOPN}
+), probe AS (
+  SELECT t.rank, t.token, t.exact_n, p.d, p.pos
+  FROM top t JOIN (SELECT DISTINCT token, d, pos FROM tokpos) p USING (token)
+)
+SELECT rank, token, exact_n, CAST(MIN(cell_n) AS BIGINT) AS cms_n,
+       MIN(cell_n) >= exact_n AS overestimate_ok
+FROM probe JOIN cells USING (d, pos)
+GROUP BY rank, token, exact_n
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_token_stats": t_token_stats,
     "t_vocab": t_vocab,
@@ -1014,6 +1124,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_fluency_buckets": t_fluency_buckets,
     "t_doc_len_hist": t_doc_len_hist,
     "t_tfidf_doc_terms": t_tfidf_doc_terms,
+    "t_cms_heavy_hitters": t_cms_heavy_hitters,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -1032,4 +1143,5 @@ TEXT_ORACLES: dict[str, str] = {
     "t_fluency_buckets": T_FLUENCY_BUCKETS_SQL,
     "t_doc_len_hist": T_DOC_LEN_HIST_SQL,
     "t_tfidf_doc_terms": T_TFIDF_DOC_SQL,
+    "t_cms_heavy_hitters": _sql_cms_heavy_hitters(),
 }

@@ -725,3 +725,21 @@ def test_ivfpq_composite_recall_and_determinism(spark):
     roster, rcb, probes = _ivfpq_state(spark, sf)
     assert all(x == 0.0 for x in rcb[0])
     assert len(probes) == 5 * min(8, len(roster))
+
+
+def test_cms_one_sided_guarantee_and_width_collisions(spark):
+    """CMS contract: estimates never undercount (min over D rows of
+    colliding cell mass), the probe set is exactly the top-N, and at
+    the deliberately narrow width the sketch really does collide on
+    this corpus at sf0.01+ (an always-exact sketch would mean the
+    width swallowed the vocabulary and the demo proves nothing)."""
+    from securities_data_pipeline_spark.operators.textops import (
+        HH_TOPN,
+        t_cms_heavy_hitters,
+    )
+
+    rows = t_cms_heavy_hitters(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == HH_TOPN
+    assert all(r.cms_n >= r.exact_n for r in rows)
+    assert all(r.overestimate_ok for r in rows)
+    assert any(r.cms_n > r.exact_n for r in rows)  # collisions observed
