@@ -94,19 +94,36 @@ def cron_next_fire(expr: str, after: dt.datetime) -> dt.datetime:
     dom_star = fields[2].startswith("*")
     dow_star = fields[4].startswith("*")
 
+    # scan DAYS (date fields first), minutes only inside matching days:
+    # the horizon must cover a full Gregorian leap cycle — '0 0 29 2 *'
+    # can be up to 8 years out (2096→2104), which a year-of-minutes
+    # scan would misreport as never firing — and a day scan makes the
+    # 8-year horizon cheap (≤2928 date checks + one day of minutes)
     t = after.replace(second=0, microsecond=0) + dt.timedelta(minutes=1)
-    for _ in range(366 * 24 * 60):  # ≥ one full year of minutes is unreachable
+    minutes_sorted, hours_sorted = sorted(minutes), sorted(hours)
+    day = t.date()
+    first_day = True
+    for _ in range(366 * 8 + 1):  # ≥ one Gregorian leap cycle of days
         # python weekday(): Mon=0; cron: Sun=0
-        cron_dow = (t.weekday() + 1) % 7
-        dom_ok, dow_ok = t.day in doms, cron_dow in dows
+        cron_dow = (day.weekday() + 1) % 7
+        dom_ok, dow_ok = day.day in doms, cron_dow in dows
         day_ok = (
             (dom_ok and dow_ok)
             if dom_star or dow_star
             else (dom_ok or dow_ok)
         )
-        if t.month in months and day_ok and t.hour in hours and t.minute in minutes:
-            return t
-        t += dt.timedelta(minutes=1)
+        if day.month in months and day_ok:
+            for h in hours_sorted:
+                if first_day and h < t.hour:
+                    continue
+                for m in minutes_sorted:
+                    if first_day and h == t.hour and m < t.minute:
+                        continue
+                    return dt.datetime(
+                        day.year, day.month, day.day, h, m, tzinfo=after.tzinfo
+                    )
+        first_day = False
+        day += dt.timedelta(days=1)
     raise ValueError(f"cron expression never fires: {expr!r}")
 
 

@@ -66,10 +66,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    df: DataFrame, output_mode: str, state_partitions: int | None = None
+    df: DataFrame,
+    output_mode: str,
+    state_partitions: int | None = None,
+    stop_after_batches: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with AvailableNow into a memory
-    sink; return the final static result.
+    sink; return the final static result. With ``stop_after_batches``
+    the query instead runs a continuous 0-interval trigger and is
+    stopped once that many micro-batches have committed (the
+    rate-source soak path) — same sink tracking, conf handling, and
+    checkpoint cleanup either way.
 
     Stateful operators allocate one state store per shuffle partition,
     and that per-partition overhead (store init, commit, snapshot)
@@ -97,24 +104,52 @@ def run_to_memory(
     _LIVE_MEMORY_SINKS.clear()
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = _ram_checkpoint_dir(spark, name)
+    q = None
     try:
         writer = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .trigger(availableNow=True)
         )
+        if stop_after_batches is None:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="0 seconds")
         if ckpt is not None:
             writer = writer.option("checkpointLocation", ckpt)
         q = writer.start()
-        q.awaitTermination()
+        # the memory view exists from start() on — track it BEFORE
+        # awaitTermination so a failing query's partial view is still
+        # dropped by the next call instead of leaking for the session
+        _LIVE_MEMORY_SINKS.append(name)
+        if stop_after_batches is None:
+            q.awaitTermination()
+        else:
+            import time
+
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                if q.exception() is not None:  # fail fast, not TimeoutError
+                    raise q.exception()
+                p = q.lastProgress
+                if p and p["batchId"] >= stop_after_batches - 1:
+                    break
+                time.sleep(0.2)
+            else:  # pragma: no cover - only on a hung stream
+                raise TimeoutError(
+                    f"stream never reached batch {stop_after_batches - 1}"
+                )
     finally:
+        if q is not None and stop_after_batches is not None:
+            q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if ckpt is not None:
+        if ckpt is not None and "://" not in ckpt:
+            # local/tmpfs harness checkpoints are ephemeral; a remote
+            # SPARK_GRAFT_STREAM_CKPT root is durable storage whose
+            # retention its operator owns — never rmtree it from here
             import shutil
 
             shutil.rmtree(ckpt, ignore_errors=True)
-    _LIVE_MEMORY_SINKS.append(name)
     return spark.table(name)
 
 
@@ -168,6 +203,11 @@ def _ram_checkpoint_dir(spark: SparkSession, name: str) -> str | None:
         _announce_ckpt_root("<spark-default> (tmpfs unset/unusable or non-local master)")
         return None
     _announce_ckpt_root(root)
+    if "://" in root:
+        # remote URI (s3a://, hdfs://...): Spark's committer creates
+        # it; local os.makedirs would just manufacture a junk relative
+        # dir named after the URI
+        return f"{root.rstrip('/')}/sdp_stream_ckpt/{name}"
     path = os.path.join(root, "sdp_stream_ckpt", name)
     os.makedirs(path, exist_ok=True)
     return path
@@ -731,7 +771,12 @@ WITH v AS (
 ), mx AS (
   -- Spark's GLOBAL watermark is the MIN over per-input watermarks:
   -- each side tracks max event time over ITS filtered rows, so the
-  -- lagging side (purchases) holds the join's watermark back
+  -- lagging side (purchases) holds the join's watermark back.
+  -- DATA ASSUMPTION: both event types present. With ZERO purchase
+  -- rows Spark's purchase-side watermark never initializes (global
+  -- watermark stays 0 → no unmatched views emit), while SQL LEAST
+  -- ignores the NULL arm and would emit them — so an all-view corpus
+  -- would gate-fail here by construction, not by bug.
   SELECT LEAST(
     (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
     (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
@@ -873,10 +918,13 @@ def rate_stream_rollup(
     container — documented gap, SURVEY §2.9).
 
     ``n_batches == 1`` runs Trigger.AvailableNow (processes exactly
-    batch 0 then stops); more batches poll micro-batch progress and
-    stop once batch ``n_batches−1`` commits, then cut the result to
-    the first ``n_batches`` windows so a raced extra batch can't leak
-    into the (deterministic) output.
+    batch 0 then stops); more batches run the shared
+    ``run_to_memory(stop_after_batches=...)`` path. Determinism does
+    NOT depend on the stop racing cleanly: the input is filtered to
+    event times ≤ batch ``n_batches−1``'s timestamp BEFORE the
+    aggregation, so a raced extra batch contributes zero rows whatever
+    the window/advance alignment (a window-start cut could not say the
+    same when ``advance_ms`` isn't a multiple of the window).
 
     Library + pytest surface, like ``a6_approx_distinct``: the source
     synthesizes its own rows, so there is no parquet table for a
@@ -890,8 +938,13 @@ def rate_stream_rollup(
         .option("numPartitions", 2)
         .load()
     )
+    # deterministic content cut at the SOURCE: only batches 0..n-1
+    # (event ts ≤ (n−1)·advance) ever reach the aggregation, so a
+    # raced extra batch is invisible regardless of window alignment
+    cutoff = (n_batches - 1) * advance_ms / 1000.0
     agg = (
-        stream.withColumn("event_type", (F.col("value") % 3).cast("int"))
+        stream.where(F.col("timestamp") <= F.timestamp_seconds(F.lit(cutoff)))
+        .withColumn("event_type", (F.col("value") % 3).cast("int"))
         .withWatermark("timestamp", "30 seconds")
         .groupBy(F.window("timestamp", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
@@ -899,55 +952,12 @@ def rate_stream_rollup(
     if n_batches == 1:
         out = run_to_memory(agg, "complete")
     else:
-        import time
-
-        # share run_to_memory's conf handling: stateful ops allocate
-        # one state store per shuffle partition, and this continuous
-        # path would otherwise run on the batch default (plus local
-        # checkpoint I/O) — the exact fixed costs run_to_memory's
-        # docstring calls dominant at small state
-        state_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        name = f"rate_{uuid.uuid4().hex[:12]}"
-        ckpt = _ram_checkpoint_dir(spark, name)
-        writer = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(processingTime="0 seconds")
-        )
-        if ckpt is not None:
-            writer = writer.option("checkpointLocation", ckpt)
-        q = writer.start()
-        try:
-            deadline = time.monotonic() + 120
-            while time.monotonic() < deadline:
-                if q.exception() is not None:  # fail fast, not TimeoutError
-                    raise q.exception()
-                p = q.lastProgress
-                if p and p["batchId"] >= n_batches - 1:
-                    break
-                time.sleep(0.2)
-            else:  # pragma: no cover - only on a hung stream
-                raise TimeoutError(f"rate stream never reached batch {n_batches - 1}")
-        finally:
-            q.stop()
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-            if ckpt is not None:
-                import shutil
-
-                shutil.rmtree(ckpt, ignore_errors=True)
-        out = spark.table(name)
-    horizon = F.lit(n_batches * advance_ms / 1000.0).cast("double")
-    return (
-        out.where(F.unix_micros(F.col("w.start")) / 1e6 < horizon)
-        .select(
-            F.col("w.start").alias("win_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
+        out = run_to_memory(agg, "complete", stop_after_batches=n_batches)
+    return out.select(
+        F.col("w.start").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )
 
 

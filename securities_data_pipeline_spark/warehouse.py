@@ -215,6 +215,30 @@ class JdbcMergeSink:
     #: auto-evolves the target with ALTER TABLE ADD COLUMN for batch
     #: columns the table lacks — dlt's auto-evolving merge semantics.
     columns_of: Callable[[str], set[str]] | None = None
+    #: cached driver-side connection: the factory is called once and
+    #: the connection reused across write() calls (a foreachBatch
+    #: stream would otherwise open one warehouse connection per
+    #: micro-batch and never close any — max_connections exhaustion).
+    #: Dropped on merge failure so the next batch reconnects; call
+    #: ``close()`` when retiring the sink.
+    _con: DbapiConnection | None = field(default=None, init=False, repr=False)
+
+    def _connection(self) -> DbapiConnection:
+        if self._con is None:
+            self._con = self.connection_factory()
+        return self._con
+
+    def _drop_connection(self) -> None:
+        con, self._con = self._con, None
+        if con is not None and hasattr(con, "close"):
+            try:
+                con.close()
+            except Exception:
+                pass  # already dead — that's why we're dropping it
+
+    def close(self) -> None:
+        """Release the cached warehouse connection (idempotent)."""
+        self._drop_connection()
 
     def write(
         self,
@@ -264,8 +288,9 @@ class JdbcMergeSink:
                 c for c in existing if c.casefold() not in batch_folded
             )
         stage_table = f"{table}__stage_{uuid.uuid4().hex[:8]}"
-        stage = self.stager or _default_stager(self.url, self.jdbc_options)
-        stage(incoming, stage_table)
+        # build the DML and obtain the connection BEFORE the
+        # distributed stage write: a bad mode/dialect or a failing
+        # factory then raises with no stage table to leak
         stmts = ddl + merge_statements(
             table,
             stage_table,
@@ -275,13 +300,17 @@ class JdbcMergeSink:
             dialect=self.dialect,
             null_cols=target_only,
         )
-        con = self.connection_factory()
+        con = self._connection()
+        stage = self.stager or _default_stager(self.url, self.jdbc_options)
+        stage(incoming, stage_table)
+        failed = False
         try:
             _exec(con, "BEGIN TRANSACTION")
             for stmt in stmts:
                 _exec(con, stmt)
             _exec(con, "COMMIT")
         except Exception:
+            failed = True
             try:
                 _exec(con, "ROLLBACK")
             except Exception:
@@ -300,4 +329,9 @@ class JdbcMergeSink:
                     con.commit()
                 except Exception:
                     pass  # engines where COMMIT already closed the txn
+            if failed:
+                # AFTER the stage DROP (which needs the live con):
+                # discard the possibly-wedged connection so the next
+                # micro-batch reconnects fresh
+                self._drop_connection()
         return stmts

@@ -684,3 +684,50 @@ def test_failed_overwrite_preserves_recovery_stage(spark, tmp_path, monkeypatch)
     # the stage survived and holds the complete merged result
     staged = {(r.k, r.v) for r in spark.read.parquet(_stage_path(path)).collect()}
     assert staged == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_jdbc_sink_validates_before_staging_and_reuses_connection(spark):
+    """A bad mode must fail BEFORE the distributed stage write (no
+    stage table to leak), and the sink holds ONE warehouse connection
+    across batches (a foreachBatch stream would otherwise open one per
+    micro-batch and exhaust max_connections)."""
+    con, sink = _duckdb_warehouse(spark)
+    con.execute('CREATE TABLE t (id BIGINT PRIMARY KEY, v BIGINT)')
+    calls = {"n": 0}
+    real_factory = sink.connection_factory
+
+    def counting_factory():
+        calls["n"] += 1
+        return real_factory()
+
+    import pytest as _pytest
+
+    sink.connection_factory = counting_factory
+    df = spark.createDataFrame([(1, 10)], "id long, v long")
+    with _pytest.raises(ValueError):
+        sink.write(df, "t", ["id"], mode="repalce")  # typo'd on purpose
+    stages = con.execute(
+        "SELECT table_name FROM information_schema.tables WHERE table_name LIKE 't__stage%'"
+    ).fetchall()
+    assert stages == []  # validation ran before any staging
+    sink.write(df, "t", ["id"])
+    sink.write(spark.createDataFrame([(2, 20)], "id long, v long"), "t", ["id"])
+    assert calls["n"] == 1  # one connection reused across batches
+    assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 2
+    sink.close()
+    sink.close()  # idempotent
+
+
+def test_cron_next_fire_handles_leap_day(spark):
+    """'0 0 29 2 *' from March 2026 is 2028-02-29 — ~2 years out, far
+    past the old one-year minute scan; impossible dates still raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from securities_data_pipeline_spark.orchestration import cron_next_fire
+
+    nxt = cron_next_fire("0 0 29 2 *", dt.datetime(2026, 3, 1))
+    assert nxt == dt.datetime(2028, 2, 29, 0, 0)
+    with _pytest.raises(ValueError, match="never fires"):
+        cron_next_fire("0 0 31 4 *", dt.datetime(2026, 1, 1))  # Apr 31
