@@ -34,8 +34,14 @@ _ROUND5_FRONT = (
     "t_source_cap", "t_curation_funnel", "dedup_soft_weights",
     "sec_vwap", "sec_ewma",
     # changed in round 5 (perf fix / salt change / checkpoint logging —
-    # s_stream_join_attrib is also the r4 perf-weak item to re-measure)
+    # s_stream_join_attrib is also the r4 perf-weak item to re-measure;
+    # the j_asof_* trio picked up a NULL-time semantics fix late in the
+    # round. Behavior-neutral refactors — sampling's shared prefix-sum,
+    # run_to_memory's sink tracking — keep their stale-rotation slots:
+    # all were re-gated locally and fronting whole families would push
+    # the committed r1-stale block out of the ~50 window.)
     "t_repetition_filter", "agg_salted_sum", "s_stream_join_attrib",
+    "j_asof_latest_order", "j_asof_next_order", "j_asof_tolerance_purchase",
     # last driver-green in round 1 (33)
     "f_unpivot_measures", "j1_anti_join", "j2_semi_join", "j3_full_outer",
     "m_incremental_rollup", "m_zorder_cluster", "p5_null_recode",
