@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 _ROUND5_FRONT = (
     # new in round 5
     "sim_ivfpq_rerank_topk", "t_decontaminate_fuzzy", "dedup_semdedup",
-    "t_cms_heavy_hitters",
+    "t_cms_heavy_hitters", "t_dsir_weights",
     "sim_lsh_recall", "sim_pq_recall", "sim_mmr_rerank",
     "t_source_cap", "t_curation_funnel", "dedup_soft_weights",
     "sec_vwap", "sec_ewma",

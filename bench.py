@@ -213,6 +213,7 @@ HEADLINE = [
     "t_decontaminate_fuzzy",
     "dedup_semdedup",
     "t_cms_heavy_hitters",
+    "t_dsir_weights",
 ]
 
 

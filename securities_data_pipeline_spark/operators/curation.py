@@ -762,6 +762,116 @@ FROM av LEFT JOIN pruned p ON p.vec_id = av.vec_id
 
 
 # ---------------------------------------------------------------------------
+# DSIR — data selection by importance resampling
+
+#: the "target domain" split importance weights are estimated against
+#: (the high-quality corpus a pipeline wants more of); src0 stays the
+#: held-out benchmark (decontamination), so src1 plays the target here
+DSIR_TARGET_SOURCE = "src1"
+
+
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169),
+    reduced from hashed n-gram features to the unigram bag so the
+    statistic is exactly oracle-recomputable: per document,
+    ``log_weight = Σ_tokens [ln P_target(w) − ln P_raw(w)]`` under
+    add-one-smoothed unigram LMs (target = ``source = 'src1'``, raw =
+    the whole corpus, shared vocabulary support), plus
+    ``target_like = log_weight > 0`` — the importance-ratio sign a
+    resampler thresholds/samples on.
+
+    Plan shape (the `t_unigram_logprob` pattern, twice in one pass):
+    ONE exploded token aggregate yields per-token raw AND target
+    counts (`count_if` rides the same groupBy — no second scan); the
+    scalar normalizers (N_raw, N_target, |V|) re-sum the vocab-sized
+    table; scoring joins the token stream to the BROADCAST frequency
+    table and per-doc aggregates ride the doc_id partitioning. At
+    100 TB the vocab table is the only broadcast and the corpus is
+    scanned twice (count + score), same as every LM-scoring pass.
+
+    Float determinism: both per-token ln()s round to 9 dp, their
+    difference is exact in DECIMAL(19,9), per-doc sums are decimal,
+    and the final weight rounds to 6 dp — token-order independent and
+    bit-identical cross-engine (the t_unigram_logprob precedent).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", "source", F.explode(words_col()).alias("token"))
+        .where(F.col("token") != "")
+        .localCheckpoint(eager=False)  # two consumers: freq + scoring
+    )
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+        ).alias("cnt_t"),
+    )
+    norms = freq.agg(
+        F.sum("cnt_r").alias("n_r"),
+        F.sum("cnt_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lp = lambda cnt, n: F.round(
+        F.log(
+            (cnt + F.lit(1)).cast("double") / (n + F.col("v")).cast("double")
+        ),
+        9,
+    ).cast("decimal(19,9)")
+    term = lp(F.col("cnt_t"), F.col("n_t")) - lp(F.col("cnt_r"), F.col("n_r"))
+    scored = (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(norms))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            # round the EXACT decimal sum, then cast: rounding after
+            # the double cast hits engine-divergent half-boundaries
+            # (doc 117 at sf0.01 sits on one: ...5 at the 7th dp)
+            F.round(F.sum(term), 6).cast("double").alias("log_weight"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+        (F.col("log_weight") > 0).alias("target_like"),
+    )
+
+
+def _sql_dsir_weights() -> str:
+    from securities_data_pipeline_spark.operators.textops import _sql_words
+
+    lp = (
+        lambda cnt, n: f"CAST(round(ln(CAST({cnt} + 1 AS DOUBLE) "
+        f"/ CAST({n} + v AS DOUBLE)), 9) AS DECIMAL(19,9))"
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source, t.token
+  FROM documents, unnest({_sql_words()}) AS t(token)
+  WHERE t.token <> ''
+), freq AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_r,
+         CAST(count_if(source = '{DSIR_TARGET_SOURCE}') AS BIGINT) AS cnt_t
+  FROM toks GROUP BY token
+), norms AS (
+  SELECT CAST(SUM(cnt_r) AS BIGINT) AS n_r, CAST(SUM(cnt_t) AS BIGINT) AS n_t,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM freq
+), scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(round(SUM({lp('cnt_t', 'n_t')} - {lp('cnt_r', 'n_r')}), 6) AS DOUBLE)
+           AS log_weight
+  FROM toks JOIN freq USING (token) CROSS JOIN norms
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, log_weight, log_weight > 0 AS target_like
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # fuzzy decontamination — MinHash-banded train×eval near-dup overlap
 
 #: shingle-Jaccard floor for "this training doc is a near-duplicate of
@@ -936,6 +1046,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_curation_funnel": t_curation_funnel,
     "t_decontaminate_fuzzy": t_decontaminate_fuzzy,
     "dedup_semdedup": dedup_semdedup,
+    "t_dsir_weights": t_dsir_weights,
 }
 
 CURATION_ORACLES: dict[str, str] = {
@@ -948,4 +1059,5 @@ CURATION_ORACLES: dict[str, str] = {
     "t_curation_funnel": T_CURATION_FUNNEL_SQL,
     "t_decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
     "dedup_semdedup": _sql_semdedup(),
+    "t_dsir_weights": _sql_dsir_weights(),
 }

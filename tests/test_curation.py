@@ -356,3 +356,23 @@ def test_semdedup_keep_first_invariant(spark):
                 assert any(k < r.vec_id for k in kept)
     assign = {r.vec_id: r.cluster for r in sim_kmeans_assign(spark, sf).collect()}
     assert all(assign[r.vec_id] == r.cluster for r in out)
+
+
+def test_dsir_weights_sign_tracks_target_affinity(spark, tmp_path):
+    """DSIR contract on a crafted corpus: a doc in the target split's
+    vocabulary gets a positive importance weight, one in raw-only
+    vocabulary a negative weight, and counts/rows cover every doc."""
+    rows = [
+        (0, "alpha beta alpha beta gamma", "src1"),   # the target split
+        (1, "alpha beta gamma alpha beta", "src2"),   # target-like raw doc
+        (2, "zeta eta theta zeta eta theta", "src3"), # raw-only vocab
+    ]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from securities_data_pipeline_spark.operators.curation import t_dsir_weights
+
+    out = {r.doc_id: r for r in t_dsir_weights(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1].target_like and out[1].log_weight > 0
+    assert not out[2].target_like and out[2].log_weight < 0
+    assert out[0].log_weight > out[2].log_weight
+    assert out[1].n_tokens == 5 and out[2].n_tokens == 6
