@@ -948,7 +948,9 @@ def t_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(
             F.col("nab") - F.col("inter") > 0,
-            F.round(F.col("inter").cast("double") / (F.col("nab") - F.col("inter")), 6),
+            # integer half-up (round6_ratio), not F.round on a double:
+            # exact 6-dp ties round differently across engines
+            round6_ratio(F.col("inter"), F.col("nab") - F.col("inter")),
         )
         .otherwise(F.lit(0.0))
         .alias("j"),
@@ -979,17 +981,10 @@ def _sql_decontaminate_fuzzy(tau: float = FUZZY_DECON_TAU) -> str:
         _sql_shingles,
     )
 
-    rows = N_MINHASH // LSH_BANDS
+    from securities_data_pipeline_spark.operators.dedup import _sql_banded_union
+
     mins = ", ".join(f"{_sql_minhash_slice(s)} AS mh{s}" for s in range(N_MINHASH))
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
-            b=b,
-            key=" || '_' || ".join(
-                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
-            ),
-        )
-        for b in range(LSH_BANDS)
-    )
+    band_selects = _sql_banded_union(LSH_BANDS, N_MINHASH)
     isect = "len(list_intersect(a.sh, b.sh))"
     return f"""
 WITH shr AS MATERIALIZED (
@@ -1013,8 +1008,7 @@ WITH shr AS MATERIALIZED (
 ), scored AS (
   SELECT c.doc_id,
          CASE WHEN len(a.sh) + len(b.sh) - {isect} > 0
-              THEN round(CAST({isect} AS DOUBLE)
-                         / (len(a.sh) + len(b.sh) - {isect}), 6)
+              THEN {_sql_round6_ratio(isect, f'len(a.sh) + len(b.sh) - {isect}')}
               ELSE 0.0 END AS j
   FROM cand c
   JOIN shd a ON a.doc_id = c.doc_id

@@ -43,7 +43,13 @@ from securities_data_pipeline_spark.functions.hashing import (
     seeded_hash64,
     sql_seeded_hash64,
 )
-from securities_data_pipeline_spark.operators.textops import _sql_words, fingerprint, words_col
+from securities_data_pipeline_spark.operators.textops import (
+    _sql_round6_ratio,
+    _sql_words,
+    fingerprint,
+    round6_ratio,
+    words_col,
+)
 from securities_data_pipeline_spark.sources.tables import table
 
 SHINGLE_K = 3
@@ -308,11 +314,8 @@ def lsh_candidate_pairs(
     filter before pair expansion; the uncapped version here keeps the
     semantics oracle-exact.
     """
-    if n_hashes % bands:
-        raise ValueError(
-            f"n_hashes={n_hashes} must divide evenly into bands={bands}; "
-            "trailing hashes would be silently dropped"
-        )
+    # divisibility guard lives in banded_signatures (raises before any
+    # Spark job — signature construction is lazy)
     sig = minhash_signatures(docs, n_hashes)
     return bucket_pairs(banded_signatures(sig, bands, n_hashes))
 
@@ -350,13 +353,25 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(table(spark, sf_dir, "documents"))
 
 
-def _sql_lsh_pairs(bands: int = LSH_BANDS, n_hashes: int = N_MINHASH) -> str:
+def _sql_banded_union(bands: int, n_hashes: int) -> str:
+    """Band-key SELECT union over the ``sig`` CTE — the ONE definition
+    of the oracle-side band-key format (underscore-joined VARCHAR
+    casts, matching ``banded_signatures``' concat_ws); previously
+    copied verbatim into every LSH oracle builder."""
     rows = n_hashes // bands
-    selects = []
-    for b in range(bands):
-        key = " || '_' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
-        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
-    banded = " UNION ALL ".join(selects)
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
+def _sql_lsh_pairs(bands: int = LSH_BANDS, n_hashes: int = N_MINHASH) -> str:
+    banded = _sql_banded_union(bands, n_hashes)
     return f"""
 WITH sh AS (
   SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
@@ -407,12 +422,7 @@ def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_lsh_pairs_capped(
     bands: int = LSH_BANDS, n_hashes: int = N_MINHASH, cap: int = MAX_BUCKET
 ) -> str:
-    rows = n_hashes // bands
-    selects = []
-    for b in range(bands):
-        key = " || '_' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
-        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
-    banded = " UNION ALL ".join(selects)
+    banded = _sql_banded_union(bands, n_hashes)
     return f"""
 WITH sh AS (
   SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
@@ -452,7 +462,9 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sig.select(
         F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_MINHASH)]
     )
-    shl = with_shingles(docs, ["doc_id"])
+    # both join sides consume the shingle build — materialize it once,
+    # same reason the signature table above is checkpointed
+    shl = with_shingles(docs, ["doc_id"]).localCheckpoint(eager=False)
     x = shl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = shl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     agree = sum(
@@ -469,18 +481,13 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.round(agree / F.lit(float(N_MINHASH)), 6).alias("est_jaccard"),
-            F.round(inter.cast("double") / union, 6).alias("exact_jaccard"),
+            round6_ratio(inter, union).alias("exact_jaccard"),
         )
     )
 
 
 def _sql_minhash_estimate(bands: int = LSH_BANDS, n_hashes: int = N_MINHASH) -> str:
-    rows = n_hashes // bands
-    selects = []
-    for b in range(bands):
-        key = " || '_' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
-        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
-    banded = " UNION ALL ".join(selects)
+    banded = _sql_banded_union(bands, n_hashes)
     agree = " + ".join(
         f"(CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END)" for s in range(n_hashes)
     )
@@ -500,8 +507,8 @@ WITH sh AS (
 )
 SELECT doc_a, doc_b,
        round(({agree}) / {float(n_hashes)}, 6) AS est_jaccard,
-       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-             / len(list_distinct(x.s || y.s)), 6) AS exact_jaccard
+       {_sql_round6_ratio('len(list_intersect(x.s, y.s))',
+                          'len(list_distinct(x.s || y.s))')} AS exact_jaccard
 FROM pairs
 JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
@@ -716,8 +723,10 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6
+            # integer half-up, not F.round on a double: an exact 6-dp
+            # tie (e.g. 41/640) rounds differently in Spark vs DuckDB
+            round6_ratio(
+                F.col("n_shared"), F.col("na") + F.col("nb") - F.col("n_shared")
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
@@ -768,7 +777,7 @@ def containment_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias("containment"),
+            round6_ratio(F.col("n_shared"), F.least("na", "nb")).alias("containment"),
         )
         .where(F.col("containment") >= threshold)
     )
@@ -791,11 +800,11 @@ WITH sh AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(CAST(n_shared AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+       {_sql_round6_ratio('n_shared', 'LEAST(sa.n_sh, sb.n_sh)')} AS containment
 FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(CAST(n_shared AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) >= {threshold}
+WHERE {_sql_round6_ratio('n_shared', 'LEAST(sa.n_sh, sb.n_sh)')} >= {threshold}
 """
 
 
@@ -812,11 +821,11 @@ WITH sh AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+       {_sql_round6_ratio('n_shared', 'sa.n_sh + sb.n_sh - n_shared')} AS jaccard
 FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= {threshold}
+WHERE {_sql_round6_ratio('n_shared', 'sa.n_sh + sb.n_sh - n_shared')} >= {threshold}
 """
 
 
@@ -839,11 +848,11 @@ WITH sh AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+       {_sql_round6_ratio('n_shared', 'sa.n_sh + sb.n_sh - n_shared')} AS jaccard
 FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= {threshold}
+WHERE {_sql_round6_ratio('n_shared', 'sa.n_sh + sb.n_sh - n_shared')} >= {threshold}
 """
 
 
@@ -1013,12 +1022,13 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(edges, docs.select("doc_id"))
 
 
-def _sql_components() -> str:
-    # transitive closure by recursive reachability (aggregate-free
-    # recursion, so any recursive-CTE engine accepts it), then
-    # component = min reachable id (including self)
-    return f"""
-WITH RECURSIVE pairs AS ({_sql_lsh_pairs().strip()}),
+def _sql_reach_prefix() -> str:
+    """The ONE definition of the recursive-reachability CTE chain
+    (pairs → symmetric edges → transitive reach → min-id labels) every
+    graph oracle builds on — four verbatim copies of this block had
+    already accumulated before it was extracted, the exact semantic-
+    drift hazard the 'one source of truth' rule exists to prevent."""
+    return f"""WITH RECURSIVE pairs AS ({_sql_lsh_pairs().strip()}),
 edges AS (
   SELECT doc_a, doc_b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
@@ -1027,8 +1037,19 @@ reach(src, dst) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
-)
-SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+),
+labels AS (
+  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+)"""
+
+
+def _sql_components() -> str:
+    # transitive closure by recursive reachability (aggregate-free
+    # recursion, so any recursive-CTE engine accepts it), then
+    # component = min reachable id (including self)
+    return f"""
+{_sql_reach_prefix()}
+SELECT doc_id, component FROM labels
 """
 
 
@@ -1058,19 +1079,7 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_resolve() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_sql_lsh_pairs().strip()}),
-edges AS (
-  SELECT doc_a, doc_b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
-),
-labels AS (
-  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
-)
+{_sql_reach_prefix()}
 SELECT component AS doc_id,
        COUNT(*) AS cluster_size,
        COUNT(*) - 1 AS n_removed
@@ -1099,19 +1108,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_cluster_stats() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_sql_lsh_pairs().strip()}),
-edges AS (
-  SELECT doc_a, doc_b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
-),
-labels AS (
-  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
-),
+{_sql_reach_prefix()},
 sizes AS (
   SELECT component, COUNT(*) AS cluster_size FROM labels GROUP BY component
 )
@@ -1151,19 +1148,7 @@ def _sql_soft_weights() -> str:
     from securities_data_pipeline_spark.operators.textops import _sql_round6_ratio
 
     return f"""
-WITH RECURSIVE pairs AS ({_sql_lsh_pairs().strip()}),
-edges AS (
-  SELECT doc_a, doc_b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
-),
-labels AS (
-  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
-),
+{_sql_reach_prefix()},
 sizes AS (
   SELECT component, COUNT(*) AS cluster_size FROM labels GROUP BY component
 )
@@ -1186,12 +1171,18 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of ranks onto edges + one aggregate, both shuffling on doc
     ids only.
 
-    Cross-engine determinism: per-edge contributions round to 12 dp
-    and sum as exact decimals, each iteration's rank rounds to 9 dp —
-    the oracle UNROLLS the same two iterations in SQL, so every
-    intermediate agrees bit-for-bit. Dangling mass is dropped (the
-    standard simplified variant) identically in both engines. N comes
-    from a broadcast one-row count, never a driver collect.
+    Cross-engine determinism: the whole iteration runs in exact
+    int64 units — ranks in nano (1e-9), per-edge contributions in pico
+    (1e-12), every division a half-up integer division (the
+    round6_ratio trick; F.round on the double quotients hit
+    engine-divergent half-way ties, e.g. a 9-dp rank over outdeg 16).
+    The damping update rounds its two terms separately ((1−d)/n and
+    d·inflow), identically in both engines. The oracle UNROLLS the
+    same two iterations in SQL with `//` integer division, so every
+    intermediate agrees bit-for-bit; the final nano count casts to
+    double exactly. Dangling mass is dropped (the standard simplified
+    variant) identically in both engines. N comes from a broadcast
+    one-row count, never a driver collect.
     """
     docs = table(spark, sf_dir, "documents")
     edges = lsh_candidate_pairs(docs)
@@ -1202,18 +1193,24 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select("doc_id")
     n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
 
+    def halfup(num, den):
+        # exact half-up integer division of positive longs (all
+        # intermediates < 2^53, so the double quotient of the exact
+        # multiple is itself exact — the round6_ratio construction)
+        t = num.cast("long") * F.lit(2) + den.cast("long")
+        d2 = den.cast("long") * F.lit(2)
+        return ((t - F.pmod(t, d2)) / d2).cast("long")
+
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-        "doc_id", F.round(F.lit(1.0) / F.col("n"), 9).alias("r")
+        "doc_id", halfup(F.lit(1_000_000_000), F.col("n")).alias("rn")
     )
     for _ in range(PR_ITERS):
         contrib = (
-            sym.join(ranks.select(F.col("doc_id").alias("doc_a"), "r"), "doc_a")
+            sym.join(ranks.select(F.col("doc_id").alias("doc_a"), "rn"), "doc_a")
             .join(deg, "doc_a")
             .select(
                 F.col("doc_b").alias("doc_id"),
-                F.round(F.col("r") / F.col("outdeg"), 12)
-                .cast("decimal(28,12)")
-                .alias("c"),
+                halfup(F.col("rn") * F.lit(1000), F.col("outdeg")).alias("c"),
             )
         )
         inflow = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
@@ -1222,18 +1219,23 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(n_row))
             .select(
                 "doc_id",
-                F.round(
-                    (1.0 - PR_DAMPING) / F.col("n")
-                    + PR_DAMPING * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
-                    9,
-                ).alias("r"),
+                (
+                    halfup(F.lit(150_000_000), F.col("n"))
+                    + halfup(
+                        F.lit(85) * F.coalesce(F.col("s"), F.lit(0)), F.lit(100_000)
+                    )
+                ).alias("rn"),
             )
         )
-    return ranks.select("doc_id", F.col("r").alias("pagerank"))
+    return ranks.select(
+        "doc_id", (F.col("rn").cast("double") / F.lit(1e9)).alias("pagerank")
+    )
 
 
 def _sql_pagerank() -> str:
-    d = PR_DAMPING
+    # integer half-up division mirror of the Spark plan: `//` on
+    # positive BIGINTs is floor = the halfup construction's last step
+    hu = lambda num, den: f"((2*({num}) + ({den})) // (2*({den})))"
     return f"""
 WITH pairs AS ({_sql_lsh_pairs().strip()}),
 sym AS (
@@ -1245,33 +1247,29 @@ deg AS (
 ),
 n AS (SELECT COUNT(*) AS n FROM documents),
 r0 AS (
-  -- CAST AS DOUBLE: DuckDB types bare 1.0 as DECIMAL, whose division
-  -- rounds differently from Spark's double path
-  SELECT doc_id, round(CAST(1.0 AS DOUBLE) / n, 9) AS r
+  SELECT doc_id, {hu('1000000000', 'n')} AS rn
   FROM documents CROSS JOIN n
 ),
 in1 AS (
   SELECT s.doc_b AS doc_id,
-         SUM(CAST(round(r0.r / deg.outdeg, 12) AS DECIMAL(28,12))) AS s
+         CAST(SUM({hu('r0.rn * 1000', 'deg.outdeg')}) AS BIGINT) AS s
   FROM sym s JOIN r0 ON r0.doc_id = s.doc_a JOIN deg ON deg.doc_a = s.doc_a
   GROUP BY s.doc_b
 ),
 r1 AS (
   SELECT d.doc_id,
-         round(CAST({1.0 - d} AS DOUBLE) / n
-               + CAST({d} AS DOUBLE) * COALESCE(CAST(in1.s AS DOUBLE), 0.0), 9) AS r
+         {hu('150000000', 'n')} + {hu('85 * COALESCE(in1.s, 0)', '100000')} AS rn
   FROM documents d LEFT JOIN in1 ON in1.doc_id = d.doc_id CROSS JOIN n
 ),
 in2 AS (
   SELECT s.doc_b AS doc_id,
-         SUM(CAST(round(r1.r / deg.outdeg, 12) AS DECIMAL(28,12))) AS s
+         CAST(SUM({hu('r1.rn * 1000', 'deg.outdeg')}) AS BIGINT) AS s
   FROM sym s JOIN r1 ON r1.doc_id = s.doc_a JOIN deg ON deg.doc_a = s.doc_a
   GROUP BY s.doc_b
 )
 SELECT d.doc_id,
-       round(CAST({1.0 - d} AS DOUBLE) / n
-             + CAST({d} AS DOUBLE) * COALESCE(CAST(in2.s AS DOUBLE), 0.0), 9)
-         AS pagerank
+       CAST({hu('150000000', 'n')} + {hu('85 * COALESCE(in2.s, 0)', '100000')}
+            AS DOUBLE) / 1000000000.0 AS pagerank
 FROM documents d LEFT JOIN in2 ON in2.doc_id = d.doc_id CROSS JOIN n
 """
 

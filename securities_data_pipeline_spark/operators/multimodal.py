@@ -173,12 +173,17 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MM_FEATURE_EXTRACT_SQL = """
+-- text IS NOT NULL mirrors the Spark side exactly: a NULL payload's
+-- feature array is NULL, and posexplode of NULL emits no rows —
+-- DuckDB's concat would instead treat the NULL as '' and fabricate
+-- 8 rows the Spark plan never produces
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        CAST(i AS INT) AS feat_idx,
        CAST(CAST(concat('0x', substring(md5(concat(CAST(i AS VARCHAR), ':', text)), 1, 15))
                  AS BIGINT) % 100000 AS DOUBLE) AS feat_val
 FROM documents, unnest(range(0, 8)) AS t(i)
+WHERE text IS NOT NULL
 """
 
 
@@ -269,6 +274,11 @@ def frame_sample(media: DataFrame, *, frame_bytes: int = FRAME_BYTES, stride: in
         for pdf in batches:
             ids, idxs, digests = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL blobs propagate as zero frames — the
+                    # module-wide NULL policy (see extract_features);
+                    # len(None) would kill the whole task instead
+                    continue
                 n_frames = -(-len(payload) // frame_bytes)
                 for j in range(0, n_frames, stride):
                     ids.append(doc_id)
