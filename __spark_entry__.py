@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 #     + the head of r2-stale; round 6 fronts the remainder.
 _ROUND5_FRONT = (
     # new in round 5
+    "dedup_substring_spans", "t_sample_weighted", "t_quality_linear",
     "sim_ivfpq_rerank_topk", "t_decontaminate_fuzzy", "dedup_semdedup",
     "t_cms_heavy_hitters", "t_dsir_weights",
     "sim_lsh_recall", "sim_pq_recall", "sim_mmr_rerank",

@@ -33,6 +33,10 @@ from securities_data_pipeline_spark.operators.sampling import (
     SAMPLING_QUERIES,
 )
 from securities_data_pipeline_spark.operators.skew import SKEW_ORACLES, SKEW_QUERIES
+from securities_data_pipeline_spark.operators.substring import (
+    SUBSTRING_ORACLES,
+    SUBSTRING_QUERIES,
+)
 from securities_data_pipeline_spark.operators.textops import TEXT_ORACLES, TEXT_QUERIES
 
 EXTENSION_QUERIES = {
@@ -48,6 +52,7 @@ EXTENSION_QUERIES = {
     **GROUPED_QUERIES,
     **SKEW_QUERIES,
     **SAMPLING_QUERIES,
+    **SUBSTRING_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -63,6 +68,7 @@ EXTENSION_ORACLES = {
     **GROUPED_ORACLES,
     **SKEW_ORACLES,
     **SAMPLING_ORACLES,
+    **SUBSTRING_ORACLES,
 }
 
 __all__ = ["EXTENSION_QUERIES", "EXTENSION_ORACLES"]

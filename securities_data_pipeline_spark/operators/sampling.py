@@ -427,6 +427,71 @@ FROM documents
 """
 
 
+ES_SEED = 7101
+ES_K = 50
+_ES_U_BITS = 40  # u granularity: (hash mod 2^40 + 1) / 2^40 is an EXACT double
+
+
+def weighted_sample_key(key: Column, weight: Column, seed: int = ES_SEED) -> Column:
+    """Efraimidis–Spirakis (2006) weighted-reservoir key: the k rows
+    with the largest ``u^(1/w)`` are a weighted sample WITHOUT
+    replacement. We order by the monotone-equivalent ``ln(u)/w``
+    (larger = better, since ln u <= 0 and w > 0) — same selection, one
+    ``pow`` cheaper, and numerically tamer for tiny u.
+
+    Determinism: u is derived from the md5 hash family, and
+    ``(m+1)/2^40`` is a division by a power of two of a 41-bit integer
+    — an EXACT double, bit-identical in any engine. The only inexact
+    step is ``ln``; both engines compute it to <=1 ulp from identical
+    inputs, so orderings can differ only between keys within ~1 ulp of
+    each other (tested: the selection-boundary gap at sf0.01 is >1e9
+    ulps — see tests/test_transforms.py)."""
+    m = F.pmod(seeded_hash64(key.cast("string"), seed), F.lit(1 << _ES_U_BITS))
+    u = (m + F.lit(1)).cast("double") / F.lit(float(1 << _ES_U_BITS))
+    return F.log(u) / weight.cast("double")
+
+
+def weighted_sample_topk(
+    df: DataFrame, key_col: str, weight_col: str, k: int = ES_K
+) -> DataFrame:
+    """Top-k by the E-S key: a distributed TakeOrdered (per-partition
+    heaps, no global sort, no full shuffle), then ranks assigned on the
+    k surviving rows — the single-partition window is bounded by k, not
+    the corpus. This is THE quality-weighted subsampling shape for
+    100 TB curation: weight = quality score or token count, one narrow
+    scan, driver traffic = k rows."""
+    keyed = df.withColumn("_es", weighted_sample_key(F.col(key_col), F.col(weight_col)))
+    top = keyed.orderBy(F.col("_es").desc(), F.col(key_col).asc()).limit(k)
+    w = Window.orderBy(F.col("_es").desc(), F.col(key_col).asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        *[F.col(c) for c in df.columns],
+    )
+
+
+def t_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked weighted sample: 50 documents drawn without
+    replacement with probability proportional to length (n_chars)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_topk(docs, "doc_id", "n_chars")
+
+
+def _sql_sample_weighted() -> str:
+    h = sql_seeded_hash64("CAST(doc_id AS VARCHAR)", ES_SEED)
+    u = f"CAST(({h}) % {1 << _ES_U_BITS} + 1 AS DOUBLE) / {float(1 << _ES_U_BITS)}"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars, ln({u}) / n_chars AS es
+  FROM documents
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY es DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, lang, n_chars
+FROM keyed
+ORDER BY es DESC, doc_id ASC
+LIMIT {ES_K}
+"""
+
+
 SAMPLING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_sample_stratified": t_sample_stratified,
     "t_token_budget": t_token_budget,
@@ -434,6 +499,7 @@ SAMPLING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_train_split": t_train_split,
     "t_global_shuffle": t_global_shuffle,
     "t_temperature_mix": t_temperature_mix,
+    "t_sample_weighted": t_sample_weighted,
 }
 
 SAMPLING_ORACLES: dict[str, str] = {
@@ -443,4 +509,5 @@ SAMPLING_ORACLES: dict[str, str] = {
     "t_train_split": _sql_train_split(),
     "t_global_shuffle": _sql_global_shuffle(),
     "t_temperature_mix": _sql_temperature_mix(),
+    "t_sample_weighted": _sql_sample_weighted(),
 }

@@ -1108,6 +1108,99 @@ GROUP BY rank, token, exact_n
 """
 
 
+# ---------------------------------------------------------------------------
+# hashed n-gram linear classifier (fastText-style quality filter)
+
+FT_BUCKETS = 1024  # feature-hashing dimension (Weinberger et al. 2009)
+FT_SEED = 4801  # gram -> bucket hash seed
+FT_W_SEED = 4802  # bucket -> weight hash seed
+
+
+def _unigram_bigram_grams(w: Column) -> Column:
+    """Unigrams + '_'-joined bigrams — the fastText feature set with
+    n=2. Guarded sequence: Spark's ``sequence(1, 0)`` DESCENDS
+    ([1, 0]) instead of yielding empty, so single-token docs must
+    short-circuit to no bigrams."""
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws("_", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(w, bigrams)
+
+
+def hashed_linear_score(text: Column | str = "text") -> tuple[Column, Column]:
+    """(n_grams, score) of a hashed-n-gram linear text classifier in
+    the fastText style (Joulin et al. 2016): features are uni+bigrams
+    hashed into FT_BUCKETS buckets (the hashing trick — no vocabulary
+    to broadcast), the score is the mean bucket weight. Real
+    deployments load trained weights as a broadcast FT_BUCKETS-row
+    table; here the weights are derived deterministically from the
+    bucket id (millis in [-1000, 1000]) so the whole pipeline —
+    feature hashing, bucket lookup, mean, thresholding — is
+    oracle-checkable without a model artifact.
+
+    Everything stays in int64 until one exact half-up 6-dp division
+    (round6_ratio, sign-extended): zero floats mid-plan, zero shuffles,
+    zero Python — a 100 TB quality filter at scan speed."""
+    grams = _unigram_bigram_grams(words_col(text))
+    wm = F.transform(
+        grams,
+        lambda g: F.pmod(
+            seeded_hash64(
+                F.pmod(seeded_hash64(g, FT_SEED), F.lit(FT_BUCKETS)).cast("string"),
+                FT_W_SEED,
+            ),
+            F.lit(2001),
+        )
+        - F.lit(1000),
+    )
+    s = F.aggregate(wm, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n = F.size(grams).cast("long")
+    den = F.lit(1000) * n
+    score = F.when(s >= 0, round6_ratio(s, den)).otherwise(-round6_ratio(-s, den))
+    return n, score
+
+
+def t_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n, score = hashed_linear_score()
+    return docs.select(
+        "doc_id",
+        n.alias("n_grams"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+def _sql_quality_linear() -> str:
+    bucket = f"({sql_seeded_hash64('g', FT_SEED)}) % {FT_BUCKETS}"
+    wm = f"({sql_seeded_hash64(f'CAST({bucket} AS VARCHAR)', FT_W_SEED)}) % 2001 - 1000"
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         list_concat(
+           w,
+           list_transform(range(1, len(w)), i -> w[i] || '_' || w[i + 1])
+         ) AS grams
+  FROM (SELECT doc_id, {_sql_words()} AS w FROM documents)
+), s AS (
+  SELECT doc_id,
+         CAST(len(grams) AS BIGINT) AS n_grams,
+         CAST(list_aggregate(list_transform(grams, g -> {wm}), 'sum') AS BIGINT) AS sm
+  FROM g
+)
+SELECT doc_id, n_grams,
+       CASE WHEN sm >= 0 THEN {_sql_round6_ratio('sm', '1000 * n_grams')}
+            ELSE -{_sql_round6_ratio('-sm', '1000 * n_grams')} END AS score,
+       CASE WHEN sm >= 0 THEN {_sql_round6_ratio('sm', '1000 * n_grams')}
+            ELSE -{_sql_round6_ratio('-sm', '1000 * n_grams')} END > 0 AS keep
+FROM s
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_token_stats": t_token_stats,
     "t_vocab": t_vocab,
@@ -1125,6 +1218,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_doc_len_hist": t_doc_len_hist,
     "t_tfidf_doc_terms": t_tfidf_doc_terms,
     "t_cms_heavy_hitters": t_cms_heavy_hitters,
+    "t_quality_linear": t_quality_linear,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -1144,4 +1238,5 @@ TEXT_ORACLES: dict[str, str] = {
     "t_doc_len_hist": T_DOC_LEN_HIST_SQL,
     "t_tfidf_doc_terms": T_TFIDF_DOC_SQL,
     "t_cms_heavy_hitters": _sql_cms_heavy_hitters(),
+    "t_quality_linear": _sql_quality_linear(),
 }

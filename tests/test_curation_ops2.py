@@ -1,0 +1,120 @@
+"""Tests for the round-5 curation additions: duplicated-substring
+spans (Lee et al. 2022 style), Efraimidis–Spirakis weighted sampling,
+and the hashed-n-gram linear quality classifier."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.operators.sampling import (
+    ES_SEED,
+    _ES_U_BITS,
+    weighted_sample_topk,
+)
+from securities_data_pipeline_spark.operators.substring import SUB_K, duplicated_spans
+from securities_data_pipeline_spark.operators.textops import hashed_linear_score
+
+from tests.conftest import rows
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_duplicated_spans_finds_planted_span_and_merges_runs(spark):
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 2 dup 5-grams
+    docs = _docs(
+        spark,
+        [
+            f"unique one two three {shared} tail0",
+            f"other prefix words here {shared} tail1",
+            "совершенно unrelated text with no overlap at all",
+        ],
+    )
+    got = rows(duplicated_spans(docs), "doc_id", "span_start")
+    # doc 0: tokens 1-4 unique, shared at 5-10 -> one span [5, 10], 2 grams
+    # doc 1: shared at 5-10 as well; doc 2: nothing
+    assert got == [(0, 5, 10, 6, 2), (1, 5, 10, 6, 2)]
+
+
+def test_duplicated_spans_requires_k_tokens(spark):
+    # 4 shared tokens < SUB_K=5: below the detection threshold
+    docs = _docs(spark, ["a b c d x1 y1 z1 w1 v1", "a b c d x2 y2 z2 w2 v2"])
+    assert duplicated_spans(docs).count() == 0
+    # exactly K shared tokens: one span of exactly K
+    docs5 = _docs(spark, ["a b c d e x1 y1 z1 w1", "a b c d e x2 y2 z2 w2"])
+    got = rows(duplicated_spans(docs5), "doc_id")
+    assert got == [(0, 1, 5, 5, 1), (1, 1, 5, 5, 1)]
+
+
+def test_duplicated_spans_two_separate_islands(spark):
+    s1, s2 = "p q r s t", "k l m n o"
+    docs = _docs(
+        spark,
+        [f"{s1} mid1a mid1b {s2}", f"{s1} two words here also {s2} trail"],
+    )
+    got = rows(duplicated_spans(docs), "doc_id", "span_start")
+    assert [(r[0], r[3]) for r in got] == [(0, 5), (0, 5), (1, 5), (1, 5)]
+    assert SUB_K == 5
+
+
+def _es_key(doc_id: int, weight: int) -> float:
+    h = int(hashlib.md5(f"{ES_SEED}:{doc_id}".encode()).hexdigest()[:15], 16)
+    u = (h % (1 << _ES_U_BITS) + 1) / float(1 << _ES_U_BITS)
+    return math.log(u) / weight
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 90) for i in range(200)], "doc_id long, w long"
+    )
+    got = rows(weighted_sample_topk(df, "doc_id", "w", k=10), "rank")
+    expect = sorted(
+        ((i, 10 + (i * 7) % 90) for i in range(200)),
+        key=lambda t: (-_es_key(t[0], t[1]), t[0]),
+    )[:10]
+    assert [(r[1], r[2]) for r in got] == expect
+    assert [r[0] for r in got] == list(range(1, 11))
+
+
+def test_weighted_sample_boundary_margin_at_sf001(spark):
+    """The one float in the E-S path is ln(u); engines may differ by
+    1 ulp. The selection only flips if the k-th and (k+1)-th keys sit
+    within that — assert the sf0.01 boundary gap is astronomically
+    wider, so the oracle comparison is load-bearing, not lucky."""
+    import duckdb
+
+    tbl = duckdb.sql(
+        "SELECT doc_id, n_chars FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall()
+    keys = sorted((_es_key(d, w) for d, w in tbl), reverse=True)
+    gap = keys[49] - keys[50]
+    assert gap > abs(keys[49]) * 1e-9, f"boundary gap {gap} too tight for 1-ulp noise"
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    # one doc carries ~all the mass: it must be sampled (rank exists),
+    # and P(top-1) ~ w/(w+eps) -> with w=10^9 vs 199 others at w=1 the
+    # heavy doc winning top-1 is a 1-in-10^9-miss determinism check
+    df = spark.createDataFrame(
+        [(i, 1_000_000_000 if i == 7 else 1) for i in range(200)],
+        "doc_id long, w long",
+    )
+    got = rows(weighted_sample_topk(df, "doc_id", "w", k=5), "rank")
+    assert got[0][1] == 7
+
+
+def test_hashed_linear_score_deterministic_and_bounded(spark):
+    df = _docs(spark, ["the quick brown fox", "the quick brown fox", "single"])
+    n, score = hashed_linear_score()
+    got = rows(df.select("doc_id", n.alias("n"), score.alias("s")), "doc_id")
+    # 4 tokens -> 4 unigrams + 3 bigrams
+    assert got[0][1] == 7 and got[1][1] == 7
+    assert got[0][2] == got[1][2]  # identical text, identical score
+    assert got[2][1] == 1  # single token: no bigrams (sequence guard)
+    for r in got:
+        assert -1.0 <= r[2] <= 1.0
+        assert round(r[2], 6) == r[2]  # exactly 6 dp
