@@ -358,6 +358,14 @@ def _sql_banded_union(bands: int, n_hashes: int) -> str:
     of the oracle-side band-key format (underscore-joined VARCHAR
     casts, matching ``banded_signatures``' concat_ws); previously
     copied verbatim into every LSH oracle builder."""
+    if n_hashes % bands:
+        # mirror banded_signatures: a non-dividing geometry must fail
+        # loudly on BOTH sides, not silently drop trailing hashes in
+        # the oracle while the Spark side raises
+        raise ValueError(
+            f"n_hashes={n_hashes} must divide evenly into bands={bands}; "
+            "trailing hashes would be silently dropped"
+        )
     rows = n_hashes // bands
     return " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
@@ -977,12 +985,14 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        # fixpoint: both distinct sets, so empty symmetric difference
-        # ⟺ equal; limit(1) short-circuits the scan
-        changed = (
-            new_e.exceptAll(e).limit(1).count()
-            + e.exceptAll(new_e).limit(1).count()
-        )
+        # fixpoint: both sides are distinct sets, so equality ⟺ equal
+        # cardinality AND new_e ⊆ e. Counts over the two localCheckpointed
+        # sets are near-free jobs; the subset probe is ONE anti-join with
+        # limit(1) — half the shuffle work of the previous symmetric
+        # exceptAll pair, run 3-4× per call
+        changed = 1
+        if new_e.count() == e.count():
+            changed = new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
         e = new_e
         if changed == 0:
             break
@@ -1134,7 +1144,11 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from securities_data_pipeline_spark.operators.textops import round6_ratio
 
-    labels = dedup_components_star(spark, sf_dir)
+    # labels feeds BOTH the size aggregate and the join-back; without a
+    # checkpoint its lineage (documents scan + roots join) executes
+    # twice — at 100 TB that is two full doc-table scans for a
+    # 16-byte/row label set
+    labels = dedup_components_star(spark, sf_dir).localCheckpoint()
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "component").select(
         "doc_id",

@@ -460,7 +460,13 @@ def weighted_sample_topk(
     the corpus. This is THE quality-weighted subsampling shape for
     100 TB curation: weight = quality score or token count, one narrow
     scan, driver traffic = k rows."""
-    keyed = df.withColumn("_es", weighted_sample_key(F.col(key_col), F.col(weight_col)))
+    # w > 0 guard (the key's docstring assumes it): a zero weight makes
+    # ln(u)/w hit -inf/NaN, whose NULL-vs-IEEE handling and sort order
+    # differ between engines. Semantically, weight 0 = probability 0 =
+    # never sampled, so dropping the row first is exact, not a fudge.
+    keyed = df.where(F.col(weight_col) > 0).withColumn(
+        "_es", weighted_sample_key(F.col(key_col), F.col(weight_col))
+    )
     top = keyed.orderBy(F.col("_es").desc(), F.col(key_col).asc()).limit(k)
     w = Window.orderBy(F.col("_es").desc(), F.col(key_col).asc())
     return top.select(
@@ -483,6 +489,7 @@ def _sql_sample_weighted() -> str:
 WITH keyed AS (
   SELECT doc_id, lang, n_chars, ln({u}) / n_chars AS es
   FROM documents
+  WHERE n_chars > 0
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY es DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, lang, n_chars

@@ -1281,7 +1281,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(F.col("sim") * 1e6).cast("long").alias("qsim_i"),
+            # floor(x*1e6 + 0.5), not round(x*1e6): engine round() of a
+            # double diverges on .5 micro-unit boundaries (Spark rounds
+            # the shortest decimal rendering, DuckDB the binary double);
+            # floor(+0.5) is one IEEE expression both engines evaluate
+            # bit-identically. Half-toward-+inf on negative cosines —
+            # consistent across engines, which is all quantization needs.
+            F.floor(F.col("sim") * 1e6 + F.lit(0.5)).cast("long").alias("qsim_i"),
             "embedding",
         )
     )
@@ -1297,7 +1303,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("va"),
             "qsim_i",
             "vb",
-            F.round(cosine(F.col("embedding"), F.col("eb")) * 1e6)
+            F.floor(cosine(F.col("embedding"), F.col("eb")) * 1e6 + F.lit(0.5))
             .cast("long")
             .alias("psim_i"),
         )
@@ -1371,11 +1377,11 @@ WITH q AS (
   FROM scored
 ), cand AS MATERIALIZED (
   SELECT query_id, vec_id,
-         CAST(round(sim * 1000000) AS BIGINT) AS qsim_i, embedding
+         CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS qsim_i, embedding
   FROM ranked WHERE rank <= {pool}
 ), pair AS MATERIALIZED (
   SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
-         CAST(round({_sql_cosine('a.embedding', 'b.embedding')} * 1000000) AS BIGINT) AS psim_i
+         CAST(floor({_sql_cosine('a.embedding', 'b.embedding')} * 1000000 + 0.5) AS BIGINT) AS psim_i
   FROM cand a JOIN cand b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
 ), p1 AS (
   SELECT query_id, vec_id, score_i FROM (

@@ -746,6 +746,15 @@ SECURITIES_ORACLES["sec_vwap"] = SEC_VWAP_SQL
 # weighted sum is exact int64 arithmetic (cents × ppb-weights ≤ 2e16 ≪
 # 2^63) and the ONLY float op is one final double division — the same
 # IEEE op in both engines, bit-identical with zero rounding calls.
+#
+# Overflow bound (pinned by test_analytics.py::test_int64_overflow_is_loud):
+# the 20-term sum is < 20 · pc · 1e9, so it fits int64 iff the price is
+# below ~$4.6e6 (pc < 2^63 / 2e10). Prices above that do NOT wrap
+# silently: this engine runs Spark 4's ANSI default, where long
+# arithmetic overflow raises ArithmeticException — the same loud
+# failure DuckDB gives — so an out-of-bound price kills the query on
+# both sides rather than diverging. sec_vwap's pc·vol product has the
+# analogous bound (pc · weekly volume < 2^63, loud on breach).
 # (A first attempt kept float weights with per-term round(x, 9): with
 # ~15k roundings per run one landed on a 9-dp half boundary and the
 # engines split — the exact failure class the int-quantization recipe

@@ -477,3 +477,20 @@ def test_sec_vwap_between_min_and_max_price(spark):
     for r in sec_vwap(spark, sf).collect():
         lo, hi = rng[(r.symbol, str(r.week))]
         assert lo - 0.011 <= r.vwap <= hi + 0.011, (r.symbol, r.week, r.vwap, lo, hi)
+
+
+def test_int64_overflow_is_loud(spark):
+    """Pin the overflow contract the sec_vwap/sec_ewma docstrings rely
+    on: this engine runs Spark 4's ANSI default, so int64 arithmetic
+    overflow raises ArithmeticException (matching DuckDB's loud error)
+    rather than wrapping silently. If a config change ever turns ANSI
+    off, the cents×ppb-weight products in securities_demo.py would
+    start wrapping — this test is the tripwire."""
+    import pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.range(1).select(
+        (F.col("id") + F.lit(2**62)) * F.lit(4)
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.collect()
