@@ -26,35 +26,27 @@ from pyspark.sql import DataFrame, SparkSession
 #     33 queries last driver-checked in round 1, then the 36 last checked
 #     in round 2 — the ~50-query window covers new/changed + all r1-stale
 #     + the head of r2-stale; round 6 fronts the remainder.
-_ROUND5_FRONT = (
-    # new in round 5
-    "dedup_substring_spans", "t_sample_weighted", "t_quality_linear",
-    "sim_ivfpq_rerank_topk", "t_decontaminate_fuzzy", "dedup_semdedup",
-    "t_cms_heavy_hitters", "t_dsir_weights",
-    "sim_lsh_recall", "sim_pq_recall", "sim_mmr_rerank",
-    "t_source_cap", "t_curation_funnel", "dedup_soft_weights",
-    "sec_vwap", "sec_ewma",
-    # changed in round 5 (perf fix / salt change / checkpoint logging —
-    # s_stream_join_attrib is also the r4 perf-weak item to re-measure;
-    # the j_asof_* trio picked up a NULL-time semantics fix late in the
-    # round. Behavior-neutral refactors — sampling's shared prefix-sum,
-    # run_to_memory's sink tracking — keep their stale-rotation slots:
-    # all were re-gated locally and fronting whole families would push
-    # the committed r1-stale block out of the ~50 window.)
-    "t_repetition_filter", "agg_salted_sum", "s_stream_join_attrib",
-    "j_asof_latest_order", "j_asof_next_order", "j_asof_tolerance_purchase",
-    # last driver-green in round 1 (33)
-    "f_unpivot_measures", "j1_anti_join", "j2_semi_join", "j3_full_outer",
-    "m_incremental_rollup", "m_zorder_cluster", "p5_null_recode",
-    "p8_deterministic_sample", "q10_returned_items", "q12_priority_shipping",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_count", "q19_disjunctive_revenue", "q1_pricing_summary",
-    "q21_waiting_suppliers", "q2_min_acctbal_supplier", "q3_top_revenue_orders",
-    "q5_nation_revenue", "q6_banded_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_profit_by_nation", "s5_scan_prune", "u2_union_dim",
-    "u5_intersect", "u6_except", "w1_ffill", "w2_moving_avg",
-    "w3_topn_per_group", "w6_rank_surface", "w7_interval_range",
-    # last driver-green in round 2 (36; join_attrib moved up)
+#   round 6: same policy (changed/new first, then least-recently-green).
+#     After r5, last-driver-green rounds are: r5=50, r4=48, r3=38, r2=36,
+#     r1=5. The front is: 3 new TPC-H queries + the 8 queries touched by
+#     this round's advisory fixes (MMR quantization, E-S weight guard,
+#     star-contraction convergence probe) + the 5 r1-stale + the 36
+#     r2-stale — 52 entries, so the driver's ~50-query window clears all
+#     r1 staleness and nearly all r2; the r3 block (38) fronts round 7.
+_ROUND6_FRONT = (
+    # new in round 6
+    "q17_small_qty_revenue", "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    # changed in round 6 (tie-free MMR quantization; zero-weight guard;
+    # star-contraction convergence probe + soft-weights checkpoint —
+    # every star-contraction consumer re-verifies)
+    "sim_mmr_rerank", "t_sample_weighted", "dedup_soft_weights",
+    "dedup_components_star", "dedup_components", "dedup_cluster_stats",
+    "dedup_resolve", "dedup_pagerank",
+    # last driver-green in round 1 (5)
+    "w1_ffill", "w2_moving_avg", "w3_topn_per_group", "w6_rank_surface",
+    "w7_interval_range",
+    # last driver-green in round 2 (36)
     "g_cohort_retention", "g_funnel_conversion", "g_user_trend",
     "g_user_trend_udf", "g_weighted_mean_udaf", "s_stream_daily_rollup",
     "s_stream_dedup_keys", "s_stream_dedup_within_watermark",
@@ -68,7 +60,8 @@ _ROUND5_FRONT = (
     "t_chunk_dedup", "t_decontaminate", "t_fingerprint", "t_global_shuffle",
     "t_heavy_hitters", "t_idf_top_terms", "udtf_token_positions",
 )
-_FRONT_RANK = {name: i for i, name in enumerate(_ROUND5_FRONT)}
+
+_FRONT_RANK = {name: i for i, name in enumerate(_ROUND6_FRONT)}
 
 
 def _prioritized(entries: dict) -> dict:

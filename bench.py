@@ -214,6 +214,10 @@ HEADLINE = [
     "dedup_semdedup",
     "t_cms_heavy_hitters",
     "t_dsir_weights",
+    # round-6 additions
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
 ]
 
 

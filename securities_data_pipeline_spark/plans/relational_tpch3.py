@@ -373,3 +373,196 @@ WHERE val * CAST(1000 AS DECIMAL(4,0)) > (SELECT SUM(val) FROM pv)
 
 TPCH3_QUERIES["q11_important_parts"] = q11_important_parts
 TPCH3_ORACLES["q11_important_parts"] = Q11_SQL
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: average yearly revenue lost if small-quantity
+    orders for one brand's parts were not taken — lines with
+    ``l_quantity < 0.2 * avg(l_quantity over the part)`` (no
+    p_container column; the brand filter alone scopes the part set).
+
+    Physical-strategy counterpart to ``sq_small_qty_revenue``
+    (plans/subqueries.py), which decorrelates the per-part AVG into a
+    grouped aggregate JOINED back on partkey (two scans of the fact or
+    one + a shuffle-heavy self-join). Here the per-part count/sum ride
+    a WINDOW over the partkey partition the part join just produced —
+    one scan, one exchange; the right choice when the per-part group is
+    small (sort within partition beats a second exchange + join probe).
+    Keeping both pins each strategy's plan shape in the audit. The
+    0.2·avg boundary is exact int64 arithmetic (``5·qty·n < Σqty`` ⟺
+    ``qty < 0.2·avg``): quantities are integral, so no cross-engine
+    double-average tie can flip a row. Revenue sums as exact decimal,
+    one cast to double, one IEEE division by 7.
+    """
+    part = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    q = F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_s", F.sum(q).over(w))
+        .where(F.lit(5) * q * F.col("_n") < F.col("_s"))
+        .agg(
+            (_as_double(F.sum(_dec2("l_extendedprice"))) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM (
+  SELECT l_extendedprice, CAST(l_quantity AS BIGINT) AS q,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS s
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+) t
+WHERE 5 * q * n < s
+"""
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 at full textbook parameters (threshold 300, the
+    orders columns o_totalprice/o_orderdate in the output, top-100) —
+    ``sq_large_orders`` (plans/subqueries.py) pins the same
+    HAVING-on-a-join-key shape at threshold 150 with a decimal sum;
+    this one keeps the quantity sum in exact int64 and the full Q18
+    output row.
+
+    Scale order matters: lineitem pre-aggregates to (orderkey, Σqty)
+    and filters > 300 FIRST (partial map-side combine, then one
+    exchange on orderkey), so the orders join probes with the few
+    surviving keys instead of grouping the full 3-way join. Customer
+    broadcasts. Quantities are integral → the 300 threshold compares
+    exact int64s; top-100 tie-broken on the unique orderkey.
+    """
+    big = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: well-funded but inactive customers by country
+    code — the double-subquery shape (scalar AVG threshold + NOT EXISTS
+    anti-join). No c_phone column: the "country code" is
+    ``c_nationkey % 5``, keeping the selective-IN-list semantics; "no
+    orders" becomes "no orders since 1998" (every customer has some
+    order in this data).
+
+    ``sq_rich_inactive_customers`` (plans/subqueries.py) pins the bare
+    scalar-subquery + anti-join core (status-F inactivity, ungrouped
+    output); this is the full Q22: country-code bucketing, the average
+    scoped to the SAME bucketed subset, grouped (numcust, totacctbal)
+    output — the shape Catalyst must decorrelate twice.
+
+    The positive-balance average is ONE tiny aggregate broadcast as a
+    scalar; the boundary test is exact int64 (``cents·n > Σcents`` ⟺
+    ``acctbal > avg``) so no double-average tie can flip a customer.
+    The anti-join probes recent orders only (date filter pushed to the
+    scan); customer-side stays partitioned on custkey — at fact scale
+    AQE picks the broadcast side from the surviving row counts.
+    """
+    code = F.pmod(F.col("c_nationkey"), F.lit(5))
+    cust = (
+        table(spark, sf_dir, "customer")
+        .where(code.isin(0, 2, 4))
+        .select(
+            code.alias("cntrycode"),
+            "c_custkey",
+            _dec2("c_acctbal").alias("bal"),
+            (_dec2("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    pos = cust.where(F.col("bal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("cents").alias("s_pos")
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .where(F.col("cents") * F.col("n_pos") > F.col("s_pos"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            _as_double(F.sum("bal")).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH cust AS (
+  SELECT c_nationkey % 5 AS cntrycode, c_custkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+  WHERE c_nationkey % 5 IN (0, 2, 4)
+), pos AS (
+  SELECT COUNT(*) AS n_pos, SUM(cents) AS s_pos FROM cust WHERE bal > 0
+)
+SELECT cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+FROM cust, pos
+WHERE cents * n_pos > s_pos
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+  )
+GROUP BY cntrycode
+"""
+
+
+TPCH3_QUERIES["q17_small_qty_revenue"] = q17_small_qty_revenue
+TPCH3_ORACLES["q17_small_qty_revenue"] = Q17_SQL
+TPCH3_QUERIES["q18_large_volume_customer"] = q18_large_volume_customer
+TPCH3_ORACLES["q18_large_volume_customer"] = Q18_SQL
+TPCH3_QUERIES["q22_global_sales_opportunity"] = q22_global_sales_opportunity
+TPCH3_ORACLES["q22_global_sales_opportunity"] = Q22_SQL

@@ -160,7 +160,7 @@ def test_round_front_queries_lead_registry_order():
 
     q = e.queries()
     names = list(q)
-    front = [n for n in e._ROUND5_FRONT if n in q]
-    missing = set(e._ROUND5_FRONT) - set(q)
+    front = [n for n in e._ROUND6_FRONT if n in q]
+    missing = set(e._ROUND6_FRONT) - set(q)
     assert not missing, f"front-load names not in registry: {missing}"
     assert names[: len(front)] == front

@@ -79,6 +79,7 @@ BNLJ_OK = {
     "t_bigram_logprob",  # same 1-row vocab-size crossJoin as the unigram op
     "t_dsir_weights",  # same 1-row normalizer crossJoin as the unigram op
     "sec_rolling_beta",
+    "q22_global_sales_opportunity",  # 1-row positive-balance avg scalar
 }
 
 # queries that must show non-empty PushedFilters on a parquet scan
