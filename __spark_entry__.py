@@ -28,15 +28,17 @@ from pyspark.sql import DataFrame, SparkSession
 #     + the head of r2-stale; round 6 fronts the remainder.
 #   round 6: same policy (changed/new first, then least-recently-green).
 #     After r5, last-driver-green rounds are: r5=50, r4=48, r3=38, r2=36,
-#     r1=5. The front is: 3 new TPC-H queries + the 8 queries touched by
-#     this round's advisory fixes (MMR quantization, E-S weight guard,
+#     r1=5. The front is: 6 new queries (TPC-H Q17/Q18/Q22, triangle
+#     census, column profiler, exact percentiles) + the 8 queries touched
+#     by this round's advisory fixes (MMR quantization, E-S weight guard,
 #     star-contraction convergence probe) + the 5 r1-stale + the 36
-#     r2-stale — 52 entries, so the driver's ~50-query window clears all
-#     r1 staleness and nearly all r2; the r3 block (38) fronts round 7.
+#     r2-stale — 55 entries, so the driver's ~50-query window clears all
+#     r1 staleness and most of r2; the rest + the r3 block front round 7.
 _ROUND6_FRONT = (
     # new in round 6
     "q17_small_qty_revenue", "q18_large_volume_customer",
-    "q22_global_sales_opportunity",
+    "q22_global_sales_opportunity", "dedup_triangle_stats",
+    "t_profile_columns", "t_len_percentiles",
     # changed in round 6 (tie-free MMR quantization; zero-weight guard;
     # star-contraction convergence probe + soft-weights checkpoint —
     # every star-contraction consumer re-verifies)

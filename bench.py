@@ -218,6 +218,9 @@ HEADLINE = [
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "q22_global_sales_opportunity",
+    "dedup_triangle_stats",
+    "t_profile_columns",
+    "t_len_percentiles",
 ]
 
 

@@ -16,6 +16,10 @@ from securities_data_pipeline_spark.operators.curation import (
 )
 from securities_data_pipeline_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
 from securities_data_pipeline_spark.operators.grouped import GROUPED_ORACLES, GROUPED_QUERIES
+from securities_data_pipeline_spark.operators.profiling import (
+    PROFILING_ORACLES,
+    PROFILING_QUERIES,
+)
 from securities_data_pipeline_spark.operators.multimodal import (
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
@@ -53,6 +57,7 @@ EXTENSION_QUERIES = {
     **SKEW_QUERIES,
     **SAMPLING_QUERIES,
     **SUBSTRING_QUERIES,
+    **PROFILING_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -69,6 +74,7 @@ EXTENSION_ORACLES = {
     **SKEW_ORACLES,
     **SAMPLING_ORACLES,
     **SUBSTRING_ORACLES,
+    **PROFILING_ORACLES,
 }
 
 __all__ = ["EXTENSION_QUERIES", "EXTENSION_ORACLES"]

@@ -1331,3 +1331,131 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_containment": _sql_containment(),
     "dedup_ngram_jaccard_capped": _sql_jaccard_capped(),
 }
+
+
+def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph: wedge count, triangle
+    count, and global transitivity (3·T/W) over the LSH candidate
+    edges — the structural health-check that distinguishes clique-like
+    boilerplate clusters (transitivity → 1) from chain-like false-
+    positive bridges (transitivity → 0), which tells a curation
+    pipeline whether "resolve to one doc per component" is safe.
+
+    Scale shape (Suri & Vassilvitskii, WWW'11): every edge is oriented
+    from its lower-(degree, id) endpoint to its higher one, and wedges
+    are enumerated only at each edge pair's common SOURCE — so a
+    degree-d hub generates C(d_out, 2) wedges where d_out is bounded by
+    orientation, giving O(m^{3/2}) total wedge work instead of Σ C(d,2)
+    at the hubs. The closing-edge probe is one equi-join back on the
+    oriented set (orientation is consistent: the closing edge of a
+    (key-ordered) wedge is always oriented dst1→dst2). Three shuffles
+    total on 8-byte keys: degree agg, wedge self-join, closing join.
+    The wedge TOTAL (denominator) comes from the degree table alone —
+    Σ deg·(deg−1)/2 in exact int64 — never from enumerating wedges.
+    """
+    docs = table(spark, sf_dir, "documents")
+    # pairs feeds degree, orientation, wedge and closing joins —
+    # materialize the (tiny vs corpus) edge list once
+    pairs = lsh_candidate_pairs(docs).localCheckpoint()
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = sym.groupBy(F.col("doc_a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("deg * (deg - 1) DIV 2")), F.lit(0).cast("long")
+        ).alias("n_wedges")
+    )
+    e = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("node").alias("_na"), F.col("deg").alias("dega"))),
+            F.col("doc_a") == F.col("_na"),
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("_nb"), F.col("deg").alias("degb"))),
+            F.col("doc_b") == F.col("_nb"),
+        )
+    )
+    fwd = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    o = e.select(
+        F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(fwd, F.col("degb")).otherwise(F.col("dega")).alias("degdst"),
+    ).localCheckpoint()
+    o2 = o.select(
+        F.col("src").alias("src2"), F.col("dst").alias("dst2"), F.col("degdst").alias("degdst2")
+    )
+    wedge_pairs = o.join(o2, (F.col("src") == F.col("src2"))).where(
+        (F.col("degdst") < F.col("degdst2"))
+        | ((F.col("degdst") == F.col("degdst2")) & (F.col("dst") < F.col("dst2")))
+    )
+    closing = o.select(F.col("src").alias("c_src"), F.col("dst").alias("c_dst"))
+    tri = (
+        wedge_pairs.join(
+            closing,
+            (F.col("dst") == F.col("c_src")) & (F.col("dst2") == F.col("c_dst")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return wedges.crossJoin(F.broadcast(tri)).select(
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+        ).alias("transitivity"),
+    )
+
+
+def _sql_triangle_stats() -> str:
+    return f"""
+WITH pairs AS ({_sql_lsh_pairs().strip()}),
+sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (
+  SELECT doc_a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY doc_a
+),
+w AS (
+  SELECT COALESCE(CAST(SUM(deg * (deg - 1) // 2) AS BIGINT), 0) AS n_wedges FROM deg
+),
+e AS (
+  SELECT p.doc_a, p.doc_b, da.deg AS dega, db.deg AS degb
+  FROM pairs p
+  JOIN deg da ON p.doc_a = da.node
+  JOIN deg db ON p.doc_b = db.node
+),
+o AS (
+  SELECT CASE WHEN dega < degb OR (dega = degb AND doc_a < doc_b)
+              THEN doc_a ELSE doc_b END AS src,
+         CASE WHEN dega < degb OR (dega = degb AND doc_a < doc_b)
+              THEN doc_b ELSE doc_a END AS dst,
+         CASE WHEN dega < degb OR (dega = degb AND doc_a < doc_b)
+              THEN degb ELSE dega END AS degdst
+  FROM e
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM o o1
+  JOIN o o2 ON o1.src = o2.src
+           AND (o1.degdst < o2.degdst
+                OR (o1.degdst = o2.degdst AND o1.dst < o2.dst))
+  WHERE EXISTS (
+    SELECT 1 FROM o o3 WHERE o3.src = o1.dst AND o3.dst = o2.dst
+  )
+)
+SELECT w.n_wedges, t.n_triangles,
+       CASE WHEN w.n_wedges > 0
+            THEN 3.0 * t.n_triangles / w.n_wedges END AS transitivity
+FROM w, t
+"""
+
+
+DEDUP_QUERIES["dedup_triangle_stats"] = dedup_triangle_stats
+DEDUP_ORACLES["dedup_triangle_stats"] = _sql_triangle_stats()

@@ -80,7 +80,11 @@ BNLJ_OK = {
     "t_dsir_weights",  # same 1-row normalizer crossJoin as the unigram op
     "sec_rolling_beta",
     "q22_global_sales_opportunity",  # 1-row positive-balance avg scalar
+    "dedup_triangle_stats",  # 1-row wedge-total × 1-row triangle-count
 }
+
+# queries whose POINT is reading every column (data profiling)
+FULL_WIDTH_OK = {"t_profile_columns"}
 
 # queries that must show non-empty PushedFilters on a parquet scan
 PUSHDOWN_REQUIRED = {"s5_scan_prune", "q1_pricing_summary", "q3_top_revenue_orders"}
@@ -135,7 +139,13 @@ def violations(a: dict) -> list[str]:
         out.append("no PushedFilters on a filter query")
     for tbl, ncols in a["scans"]:
         width = TABLE_WIDTHS.get(tbl)
-        if width and ncols >= width and tbl in ("lineitem", "documents") and a["name"] != "s9_wide_csv":
+        if (
+            width
+            and ncols >= width
+            and tbl in ("lineitem", "documents")
+            and a["name"] != "s9_wide_csv"
+            and a["name"] not in FULL_WIDTH_OK
+        ):
             out.append(f"full-width scan of {tbl} ({ncols} cols)")
     return out
 
