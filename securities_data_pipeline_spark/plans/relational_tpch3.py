@@ -406,8 +406,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("l_quantity").cast("long")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .withColumn("_n", F.count(F.lit(1)).over(w))
-        .withColumn("_s", F.sum(q).over(w))
+        # one select → one Window node computing both aggregates over
+        # the same frame (chained withColumn planned two Window nodes)
+        .select(
+            "l_extendedprice",
+            "l_quantity",
+            F.count(F.lit(1)).over(w).alias("_n"),
+            F.sum(q).over(w).alias("_s"),
+        )
         .where(F.lit(5) * q * F.col("_n") < F.col("_s"))
         .agg(
             (_as_double(F.sum(_dec2("l_extendedprice"))) / F.lit(7.0)).alias(

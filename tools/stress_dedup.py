@@ -105,6 +105,24 @@ def main() -> int:
         }
         print(f"{name}: {n_pairs} pairs in {results['queries'][name]['sec']}s",
               file=sys.stderr)
+    # triangle census: the wedge self-join is the quadratic-prone step —
+    # record the counts, not just wall, so superlinear candidate growth
+    # is visible even when wall still looks tame
+    from securities_data_pipeline_spark.operators.dedup import dedup_triangle_stats
+
+    t = time.time()
+    tri = dedup_triangle_stats(spark, scratch).collect()[0]
+    results["queries"]["dedup_triangle_stats"] = {
+        "n_wedges": int(tri.n_wedges),
+        "n_triangles": int(tri.n_triangles),
+        "sec": round(time.time() - t, 2),
+    }
+    print(
+        f"dedup_triangle_stats: {tri.n_wedges} wedges, "
+        f"{tri.n_triangles} triangles in "
+        f"{results['queries']['dedup_triangle_stats']['sec']}s",
+        file=sys.stderr,
+    )
     print(json.dumps(results))
     shutil.rmtree(scratch, ignore_errors=True)
     return 0
