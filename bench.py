@@ -221,6 +221,8 @@ HEADLINE = [
     "dedup_triangle_stats",
     "t_profile_columns",
     "t_len_percentiles",
+    "mm_near_dedup",
+    "dedup_incremental",
 ]
 
 

@@ -584,21 +584,22 @@ SIMHASH_BANDS = 4
 HAMMING_MAX = 1
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at Hamming distance ≤ ``HAMMING_MAX`` over the
-    SimHash sketch, found without an all-pairs comparison: the
-    signature splits into ``SIMHASH_BANDS`` bit-bands, and by
-    pigeonhole any pair within the radius collides on at least one
-    exact band — so candidates come from the shared
-    ``bucket_pairs`` bucket-expansion plan (ONE shuffle of banded
-    8-byte sketches), then ``bit_count(xor)`` verifies the exact
-    distance on the candidate stream only. The verify join moves
-    (doc_id, simhash) rows — 16 bytes each — never text. The 16-bit /
-    4-band demo geometry keeps the oracle SQL tractable; production
-    is 64-bit / 4×16-bit bands (same plan, collision odds 4/2¹⁶
-    per random pair instead of 4/2⁴)."""
+def simhash_hamming_pairs(sig: DataFrame) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ ``HAMMING_MAX`` over ANY
+    (doc_id, simhash) sketch — text unigram sketches
+    (``dedup_simhash_pairs``) and binary byte-gram sketches
+    (``mm_near_dedup``) share this plan. The signature splits into
+    ``SIMHASH_BANDS`` bit-bands, and by pigeonhole any pair within the
+    radius collides on at least one exact band — so candidates come
+    from the shared ``bucket_pairs`` bucket-expansion plan (ONE shuffle
+    of banded 8-byte sketches), then ``bit_count(xor)`` verifies the
+    exact distance on the candidate stream only. The verify join moves
+    (doc_id, simhash) rows — 16 bytes each — never payloads. The
+    16-bit / 4-band demo geometry keeps the oracle SQL tractable;
+    production is 64-bit / 4×16-bit bands (same plan, collision odds
+    4/2¹⁶ per random pair instead of 4/2⁴)."""
     bits_per = SIMHASH_BITS // SIMHASH_BANDS
-    sig = dedup_simhash(spark, sf_dir).localCheckpoint(eager=False)
+    sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -626,7 +627,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_simhash_pairs() -> str:
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the documents unigram sketch — see
+    ``simhash_hamming_pairs`` for the banded plan."""
+    return simhash_hamming_pairs(dedup_simhash(spark, sf_dir))
+
+
+def _sql_simhash_pairs(sig_sql: str | None = None) -> str:
     bits_per = SIMHASH_BITS // SIMHASH_BANDS
     banded = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
@@ -634,7 +641,7 @@ def _sql_simhash_pairs() -> str:
         for b in range(SIMHASH_BANDS)
     )
     return f"""
-WITH sig AS MATERIALIZED ({_sql_simhash().strip()}),
+WITH sig AS MATERIALIZED ({(sig_sql or _sql_simhash()).strip()}),
 banded AS ({banded}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
@@ -1333,13 +1340,15 @@ DEDUP_ORACLES: dict[str, str] = {
 }
 
 
-def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the near-dup graph: wedge count, triangle
-    count, and global transitivity (3·T/W) over the LSH candidate
-    edges — the structural health-check that distinguishes clique-like
-    boilerplate clusters (transitivity → 1) from chain-like false-
-    positive bridges (transitivity → 0), which tells a curation
-    pipeline whether "resolve to one doc per component" is safe.
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Triangle census of an undirected graph: wedge count, triangle
+    count, and global transitivity (3·T/W) — the structural
+    health-check that distinguishes clique-like clusters
+    (transitivity → 1) from chain-like bridges (transitivity → 0).
+
+    ``pairs`` columns: (doc_a, doc_b), distinct, doc_a < doc_b. The
+    input is materialized with ``localCheckpoint`` because it feeds
+    the degree aggregate, the orientation join, and the closing probe.
 
     Scale shape (Suri & Vassilvitskii, WWW'11): every edge is oriented
     from its lower-(degree, id) endpoint to its higher one, and wedges
@@ -1353,10 +1362,7 @@ def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The wedge TOTAL (denominator) comes from the degree table alone —
     Σ deg·(deg−1)/2 in exact int64 — never from enumerating wedges.
     """
-    docs = table(spark, sf_dir, "documents")
-    # pairs feeds degree, orientation, wedge and closing joins —
-    # materialize the (tiny vs corpus) edge list once
-    pairs = lsh_candidate_pairs(docs).localCheckpoint()
+    pairs = pairs.localCheckpoint()
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -1457,5 +1463,78 @@ FROM w, t
 """
 
 
+def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the MinHash-LSH candidate edges of the
+    documents table — ``triangle_stats`` applied to the near-dup graph;
+    tells a curation pipeline whether keep-one resolution is safe."""
+    return triangle_stats(lsh_candidate_pairs(table(spark, sf_dir, "documents")))
+
+
 DEDUP_QUERIES["dedup_triangle_stats"] = dedup_triangle_stats
 DEDUP_ORACLES["dedup_triangle_stats"] = _sql_triangle_stats()
+
+
+INCR_NEW_MOD = 10
+INCR_NEW_REM = 7
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape every INGEST actually runs: not
+    "all pairs in the corpus" but "which of TODAY'S documents collide
+    with the existing corpus, and with whom". The new batch is the
+    deterministic doc_id % 10 == 7 slice (standing in for a crawl
+    delta); output is one row per colliding new doc with its best
+    (min-id) corpus match and the candidate count.
+
+    Plan: ONE signature pass over everything (new + corpus sign
+    together — at 100 TB the corpus side's signatures would come
+    precomputed from the lake, turning this into a banded-key
+    semi-join against a signature TABLE, no corpus re-scan; the
+    banded-key join structure below is identical either way), then an
+    equi-join of the new banded keys against the corpus banded keys —
+    the asymmetric version of ``bucket_pairs``'s within-bucket
+    expansion. The join shuffles (band, key, id) triples only; new
+    batch ≪ corpus, so AQE broadcasts the new side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    banded = banded_signatures(
+        minhash_signatures(docs), LSH_BANDS
+    ).localCheckpoint(eager=False)
+    is_new = F.pmod(F.col("doc_id"), F.lit(INCR_NEW_MOD)) == INCR_NEW_REM
+    newb = banded.where(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    corpb = banded.where(~is_new).select(
+        F.col("doc_id").alias("corpus_id"), "band", "key"
+    )
+    return (
+        newb.join(corpb, ["band", "key"])
+        .groupBy("new_id")
+        .agg(
+            F.min("corpus_id").alias("best_match"),
+            F.countDistinct("corpus_id").cast("long").alias("n_candidates"),
+        )
+    )
+
+
+def _sql_incremental() -> str:
+    banded = _sql_banded_union(LSH_BANDS, N_MINHASH)
+    sig = ", ".join(f"{_sql_minhash_slice(s)} AS mh{s}" for s in range(N_MINHASH))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id, {sig} FROM sh GROUP BY doc_id
+), banded AS ({banded})
+SELECT a.doc_id AS new_id,
+       CAST(MIN(b.doc_id) AS BIGINT) AS best_match,
+       CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_candidates
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id % {INCR_NEW_MOD} = {INCR_NEW_REM}
+  AND b.doc_id % {INCR_NEW_MOD} <> {INCR_NEW_REM}
+GROUP BY a.doc_id
+"""
+
+
+DEDUP_QUERIES["dedup_incremental"] = dedup_incremental
+DEDUP_ORACLES["dedup_incremental"] = _sql_incremental()

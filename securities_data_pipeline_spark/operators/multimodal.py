@@ -328,3 +328,74 @@ MULTIMODAL_ORACLES: dict[str, str] = {
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_resize": MM_RESIZE_SQL,
 }
+
+
+def mm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level NEAR-duplicate pairs over binary payloads — the
+    multimodal counterpart to text SimHash: a 16-bit SimHash over
+    distinct byte-4-grams of the payload (taken from its hex rendering
+    at byte-aligned offsets, so no decode is needed — byte-gram
+    sketching is the real file-level near-dup technique, not a stub),
+    then the shared banded Hamming plan from ``simhash_hamming_pairs``.
+    Catches re-encoded/truncated/metadata-tweaked payload variants that
+    ``mm_payload_dedup``'s exact sha256 match cannot.
+
+    Plan: one narrow projection per payload (hex → gram array → 64-bit
+    gram hashes → sketch; the blob never shuffles), then the banded
+    bucket expansion — identical shuffle structure to the text tier, so
+    the 100 TB argument transfers verbatim.
+    """
+    from securities_data_pipeline_spark.functions.hashing import seeded_hash64
+    from securities_data_pipeline_spark.operators.dedup import (
+        simhash_col,
+        simhash_hamming_pairs,
+    )
+
+    media = documents_as_media(spark, sf_dir)
+    hexed = media.select("doc_id", F.hex(F.col("payload")).alias("_hx"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_hx") - 7, F.lit(1)), F.lit(2)
+            ),
+            lambda i: F.col("_hx").substr(i, F.lit(8)),
+        )
+    )
+    hashed = hexed.select("doc_id", grams.alias("_g"))
+    sig = hashed.select(
+        "doc_id",
+        F.transform(F.col("_g"), lambda g: seeded_hash64(g, 0)).alias("_swh"),
+    ).select("doc_id", simhash_col().alias("simhash"))
+    return simhash_hamming_pairs(sig)
+
+
+def _sql_mm_near_dedup() -> str:
+    from securities_data_pipeline_spark.functions.hashing import sql_seeded_hash64
+    from securities_data_pipeline_spark.operators.dedup import (
+        SIMHASH_BITS,
+        _sql_simhash_pairs,
+    )
+
+    h = sql_seeded_hash64("x", 0)
+    terms = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(hs, "
+        f"h -> ((h >> {b}) & 1) * 2 - 1), 'sum') > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    sig_sql = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             range(1, greatest(len(hx) - 7, 1) + 1, 2),
+             i -> substring(hx, i, 8))),
+           x -> {h}) AS hs
+  FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents) t
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM g
+"""
+    return _sql_simhash_pairs(sig_sql)
+
+
+MULTIMODAL_QUERIES["mm_near_dedup"] = mm_near_dedup
+MULTIMODAL_ORACLES["mm_near_dedup"] = _sql_mm_near_dedup()

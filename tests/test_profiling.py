@@ -99,3 +99,38 @@ def test_triangle_count_matches_bruteforce(spark):
     assert r.n_triangles == brute
     wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
     assert r.n_wedges == wedges
+
+
+def test_incremental_matches_pairwise_restriction(spark):
+    """dedup_incremental must equal the full pair set restricted to
+    (new, corpus) pairs — same LSH geometry, asymmetric output."""
+    from securities_data_pipeline_spark.operators.dedup import (
+        INCR_NEW_MOD,
+        INCR_NEW_REM,
+        dedup_incremental,
+        lsh_candidate_pairs,
+    )
+
+    pairs = lsh_candidate_pairs(table(spark, SF, "documents")).collect()
+    want: dict[int, set[int]] = {}
+    for r in pairs:
+        for new, corp in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if new % INCR_NEW_MOD == INCR_NEW_REM and corp % INCR_NEW_MOD != INCR_NEW_REM:
+                want.setdefault(new, set()).add(corp)
+    got = {r.new_id: r for r in dedup_incremental(spark, SF).collect()}
+    assert set(got) == set(want)
+    for nid, cands in want.items():
+        assert got[nid].best_match == min(cands)
+        assert got[nid].n_candidates == len(cands)
+
+
+def test_mm_near_dedup_pairs_are_within_radius(spark):
+    """Every emitted pair must be within HAMMING_MAX of the byte-gram
+    sketch, and exact payload duplicates (if any) must always collide
+    (distance 0 ≤ radius)."""
+    from securities_data_pipeline_spark.operators.dedup import HAMMING_MAX
+    from securities_data_pipeline_spark.operators.multimodal import mm_near_dedup
+
+    rows = mm_near_dedup(spark, SF).collect()
+    assert all(0 <= r.hamming <= HAMMING_MAX for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)

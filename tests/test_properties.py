@@ -385,3 +385,40 @@ def test_mmr_equal_pairsims_degenerates_to_topk(data):
     picks = [d for _, d, _ in _mmr_greedy(qs, psim, k)]
     expect = sorted(qs, key=lambda i: (-qs[i], i))[:k]
     assert picks == expect
+
+
+EDGE_SET = st.sets(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(raw=EDGE_SET)
+def test_triangle_stats_matches_bruteforce_on_random_graphs(spark, raw):
+    """triangle_stats vs pure-Python brute force on arbitrary small
+    graphs — degree-orientation correctness doesn't depend on the LSH
+    edge distribution, so it must hold on adversarial random inputs
+    (multi-edges collapsed, self-loops excluded by construction)."""
+    from securities_data_pipeline_spark.operators.dedup import triangle_stats
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    want_tris = sum(len(adj[a] & adj[b]) for a, b in edges) // 3
+
+    if edges:
+        df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    else:
+        df = spark.createDataFrame([], "doc_a long, doc_b long")
+    r = triangle_stats(df).collect()[0]
+    assert r.n_wedges == want_wedges
+    assert r.n_triangles == want_tris
+    if want_wedges:
+        assert abs(r.transitivity - 3.0 * want_tris / want_wedges) < 1e-12
+    else:
+        assert r.transitivity is None
