@@ -223,6 +223,7 @@ HEADLINE = [
     "t_len_percentiles",
     "mm_near_dedup",
     "dedup_incremental",
+    "s_stream_dedup_vs_corpus",
 ]
 
 

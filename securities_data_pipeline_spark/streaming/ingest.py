@@ -993,3 +993,81 @@ STREAMING_ORACLES: dict[str, str] = {
     "s_stream_weekly_from_daily": S_WEEKLY_FROM_DAILY_SQL,
     "s_stream_topk_transform_state": S_TOPK_TWS_SQL,
 }
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents landing file(s) — the text-corpus
+    twin of ``events_stream``: schema pinned from the batch scan so the
+    stream and batch paths cannot desynchronize."""
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def s_stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup — ``dedup_incremental``'s ingest
+    face: the new-batch slice (doc_id % 10 == 7) arrives AS A STREAM,
+    each micro-batch computes MinHash signatures + banded keys in-plan
+    (narrow per-row expressions — streams run them unchanged), and the
+    banded keys probe the BROADCAST corpus band table in a stateless
+    stream-static join. Per new doc the aggregate keeps the best
+    (min-id) corpus match and candidate count.
+
+    Two state notes that matter at scale: the corpus side is static
+    and broadcast, so the stream never shuffles for the join (on a
+    real deployment the corpus band table is the precomputed signature
+    lake table, refreshed per micro-batch epoch by Spark's static-side
+    re-resolution); streaming aggregation cannot do COUNT(DISTINCT),
+    so candidate pairs are deduplicated with ``dropDuplicates`` BEFORE
+    the count — unbounded state in the demo (complete mode), watermark-
+    bounded in the production append form exactly like
+    ``s_stream_dedup_within_watermark``.
+    """
+    from securities_data_pipeline_spark.operators.dedup import (
+        INCR_NEW_MOD,
+        INCR_NEW_REM,
+        LSH_BANDS,
+        banded_signatures,
+        minhash_signatures,
+        table,
+    )
+
+    is_new = F.pmod(F.col("doc_id"), F.lit(INCR_NEW_MOD)) == INCR_NEW_REM
+    new_stream = documents_stream(spark, sf_dir).where(is_new)
+    new_banded = banded_signatures(
+        minhash_signatures(new_stream), LSH_BANDS
+    ).select(F.col("doc_id").alias("new_id"), "band", "key")
+
+    corpus = table(spark, sf_dir, "documents").where(~is_new)
+    corp_banded = banded_signatures(
+        minhash_signatures(corpus), LSH_BANDS
+    ).select(F.col("doc_id").alias("corpus_id"), "band", "key")
+
+    matches = (
+        new_banded.join(F.broadcast(corp_banded), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+        .groupBy("new_id")
+        .agg(
+            F.min("corpus_id").alias("best_match"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        )
+    )
+    return run_to_memory(matches, "complete")
+
+
+def _sql_stream_dedup_vs_corpus() -> str:
+    from securities_data_pipeline_spark.operators.dedup import _sql_incremental
+
+    # identical answer to the batch op: the stream is just an arrival
+    # order over the same new-batch slice
+    return _sql_incremental()
+
+
+STREAMING_QUERIES["s_stream_dedup_vs_corpus"] = s_stream_dedup_vs_corpus
+STREAMING_ORACLES["s_stream_dedup_vs_corpus"] = _sql_stream_dedup_vs_corpus()

@@ -388,3 +388,23 @@ def test_ram_checkpoint_gated_on_local_master(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT", str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:"))
     got = ingest._ram_checkpoint_dir(_FakeSpark("spark://host:7077"), "t4")
     assert got is not None and "sdp_stream_ckpt" in got
+
+
+def test_stream_dedup_vs_corpus_matches_batch(spark):
+    """The streaming incremental dedup must agree exactly with its
+    batch twin — arrival order is the only difference."""
+    from securities_data_pipeline_spark.operators.dedup import dedup_incremental
+    from securities_data_pipeline_spark.streaming.ingest import (
+        s_stream_dedup_vs_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.new_id: (r.best_match, r.n_candidates)
+        for r in dedup_incremental(spark, sf).collect()
+    }
+    stream = {
+        r.new_id: (r.best_match, r.n_candidates)
+        for r in s_stream_dedup_vs_corpus(spark, sf).collect()
+    }
+    assert stream == batch

@@ -42,6 +42,10 @@ from tools.check_oracle import canon  # noqa: E402  (same equality standard)
 PERTURB = {
     "spark.sql.shuffle.partitions": "7",
     "spark.sql.files.maxPartitionBytes": str(1 << 20),
+    # AQE off: results must not depend on runtime re-planning (coalesced
+    # partitions, demoted broadcasts, skew splits) any more than on the
+    # static partition count
+    "spark.sql.adaptive.enabled": "false",
 }
 
 
