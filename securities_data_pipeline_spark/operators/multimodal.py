@@ -332,18 +332,28 @@ MULTIMODAL_ORACLES: dict[str, str] = {
 
 def mm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level NEAR-duplicate pairs over binary payloads — the
-    multimodal counterpart to text SimHash: a 16-bit SimHash over
-    distinct byte-4-grams of the payload (taken from its hex rendering
-    at byte-aligned offsets, so no decode is needed — byte-gram
-    sketching is the real file-level near-dup technique, not a stub),
-    then the shared banded Hamming plan from ``simhash_hamming_pairs``.
-    Catches re-encoded/truncated/metadata-tweaked payload variants that
+    multimodal counterpart to text SimHash: a 16-bit SimHash over the
+    payload's distinct NON-OVERLAPPING 8-byte blocks (from its hex
+    rendering, so no decode is needed — block sketching is a real
+    file-level near-dup technique, not a stub), then the shared banded
+    Hamming plan from ``simhash_hamming_pairs``. Catches re-encoded/
+    truncated/metadata-tweaked payload variants that
     ``mm_payload_dedup``'s exact sha256 match cannot.
 
-    Plan: one narrow projection per payload (hex → gram array → 64-bit
-    gram hashes → sketch; the blob never shuffles), then the banded
-    bucket expansion — identical shuffle structure to the text tier, so
-    the 100 TB argument transfers verbatim.
+    Non-overlapping blocks (stride = width) cover every byte at 1/8th
+    the hash count of sliding byte-grams — the first cut of this op
+    slid a 4-byte window at every byte and spent ~2 000 md5s per
+    payload (~8× this op's wall on the same corpus). The tradeoff is
+    alignment sensitivity: a 1-byte insertion shifts every later
+    block, where sliding grams would re-align. For payloads that is
+    the right trade (media edits are overwrites/truncations/metadata
+    patches, not single-byte insertions); for text the shift-robust
+    tiers (shingle MinHash, winnowing) already exist.
+
+    Plan: one narrow projection per payload (hex → block array →
+    64-bit block hashes → sketch; the blob never shuffles), then the
+    banded bucket expansion — identical shuffle structure to the text
+    tier, so the 100 TB argument transfers verbatim.
     """
     from securities_data_pipeline_spark.functions.hashing import seeded_hash64
     from securities_data_pipeline_spark.operators.dedup import (
@@ -356,9 +366,9 @@ def mm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.array_distinct(
         F.transform(
             F.sequence(
-                F.lit(1), F.greatest(F.length("_hx") - 7, F.lit(1)), F.lit(2)
+                F.lit(1), F.greatest(F.length("_hx") - 15, F.lit(1)), F.lit(16)
             ),
-            lambda i: F.col("_hx").substr(i, F.lit(8)),
+            lambda i: F.col("_hx").substr(i, F.lit(16)),
         )
     )
     hashed = hexed.select("doc_id", grams.alias("_g"))
@@ -387,8 +397,8 @@ WITH g AS (
   SELECT doc_id,
          list_transform(
            list_distinct(list_transform(
-             range(1, greatest(len(hx) - 7, 1) + 1, 2),
-             i -> substring(hx, i, 8))),
+             range(1, greatest(len(hx) - 15, 1) + 1, 16),
+             i -> substring(hx, i, 16))),
            x -> {h}) AS hs
   FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents) t
 )
