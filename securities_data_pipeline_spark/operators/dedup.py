@@ -574,13 +574,19 @@ def _sql_simhash(bits: int = SIMHASH_BITS) -> str:
     return f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM documents"
 
 
-SIMHASH_BANDS = 4
+SIMHASH_BANDS = 2
 # Banding is exact for any radius ≤ SIMHASH_BANDS-1 (pigeonhole: that few
-# flipped bits leave ≥1 band intact). The demo radius is 1 because the
-# 16-bit sketch (sized to keep the oracle SQL tractable) is dense on a
-# shared-vocabulary corpus — radius 3 there approaches all-pairs, which
-# is a sketch-width artifact, not a plan property; production geometry
-# is 64-bit / 4×16-bit bands with the same plan and radius 3.
+# flipped bits leave ≥1 band intact). The demo radius is 1, so TWO bands
+# suffice — and band count should be the MINIMUM the radius needs:
+# bands = 2 gives 8-bit keys (256 buckets/band) where the earlier
+# bands = 4 gave 4-bit keys (16 buckets/band), whose dense buckets
+# exploded ~30× more candidate pairs into the exact verify filter for
+# the identical final pair set (measured 5.4 s → see mm_near_dedup).
+# The radius is 1 because the 16-bit sketch (sized to keep the oracle
+# SQL tractable) is dense on a shared-vocabulary corpus — radius 3
+# there approaches all-pairs, which is a sketch-width artifact, not a
+# plan property; production geometry is 64-bit / 4×16-bit bands with
+# the same plan and radius 3.
 HAMMING_MAX = 1
 
 
@@ -965,6 +971,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    n_e = e.count()
     for _ in range(max_iter):
         neigh = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (
@@ -993,13 +1000,15 @@ def connected_components_star(
             .localCheckpoint()
         )
         # fixpoint: both sides are distinct sets, so equality ⟺ equal
-        # cardinality AND new_e ⊆ e. Counts over the two localCheckpointed
-        # sets are near-free jobs; the subset probe is ONE anti-join with
-        # limit(1) — half the shuffle work of the previous symmetric
-        # exceptAll pair, run 3-4× per call
+        # cardinality AND new_e ⊆ e. One count job per round (last
+        # round's count is carried, not recomputed); the subset probe
+        # is ONE anti-join with limit(1) — half the shuffle work of
+        # the previous symmetric exceptAll pair, run 3-4× per call
         changed = 1
-        if new_e.count() == e.count():
+        n_new = new_e.count()
+        if n_new == n_e:
             changed = new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
+        n_e = n_new
         e = new_e
         if changed == 0:
             break
