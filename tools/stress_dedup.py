@@ -55,6 +55,18 @@ def amplify_documents(spark, sf_dir: str, factor: int, out_dir: str) -> str:
     return path
 
 
+def _extra_stress_queries():
+    """Round-6 additions: the ingest-shaped asymmetric join and the
+    binary block-sketch tier (rows counted = matches / pairs)."""
+    from securities_data_pipeline_spark.operators.dedup import dedup_incremental
+    from securities_data_pipeline_spark.operators.multimodal import mm_near_dedup
+
+    return [
+        ("dedup_incremental", dedup_incremental),
+        ("mm_near_dedup", mm_near_dedup),
+    ]
+
+
 def main() -> int:
     from securities_data_pipeline_spark.session import get_spark
 
@@ -96,7 +108,7 @@ def main() -> int:
         # Round counts must stay O(log² n) as the amplified cliques fatten;
         # "pairs" here = surviving representatives, not candidate pairs
         ("dedup_resolve", dedup_resolve),
-    ]:
+    ] + _extra_stress_queries():
         t = time.time()
         n_pairs = fn(spark, scratch).count()
         results["queries"][name] = {
