@@ -224,6 +224,7 @@ HEADLINE = [
     "mm_near_dedup",
     "dedup_incremental",
     "s_stream_dedup_vs_corpus",
+    "dedup_components_rcte",
 ]
 
 

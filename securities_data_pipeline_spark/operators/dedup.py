@@ -1547,3 +1547,53 @@ GROUP BY a.doc_id
 
 DEDUP_QUERIES["dedup_incremental"] = dedup_incremental
 DEDUP_ORACLES["dedup_incremental"] = _sql_incremental()
+
+
+RCTE_MAX_HOPS = 12
+
+
+def dedup_components_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via Spark 4's ``WITH RECURSIVE`` — the
+    third implementation of the same labeling contract, making the
+    strategy menu explicit: the driver-loop propagation
+    (``connected_components``, one full-label shuffle per hop), the
+    O(log² n) star contraction (``dedup_components_star``, the
+    production path), and THIS: the reachability closure pushed
+    entirely inside the engine as a recursive CTE — the formulation
+    the DuckDB oracle has used from the start (``_sql_reach_prefix``),
+    now expressible on the Spark side too.
+
+    Two engine-honest caveats that keep this the DEMO tier: Spark
+    recursion supports only UNION ALL (no fixpoint dedup against
+    prior levels), so the step dedups within-level with DISTINCT and
+    terminates on an explicit hop cap (``RCTE_MAX_HOPS`` ≥ any
+    near-dup component diameter observed; the iterative twins converge
+    in 2-4 hops on this corpus) — a component wider than the cap
+    would mislabel, where the iterative twins detect convergence. And
+    each level re-derives the full reachable-pair set (O(hops·|reach|)
+    rows), where star contraction shrinks the edge set per round. Same
+    oracle as the iterative twins, so all three implementations are
+    pinned to identical output.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs).localCheckpoint()
+    pairs.createOrReplaceTempView("_rcte_pairs")
+    docs.select("doc_id").createOrReplaceTempView("_rcte_docs")
+    return spark.sql(f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM _rcte_pairs
+  UNION ALL SELECT doc_b, doc_a FROM _rcte_pairs
+),
+reach(src, dst, lvl) AS (
+  SELECT doc_id, doc_id, 0 FROM _rcte_docs
+  UNION ALL
+  SELECT DISTINCT r.src, e.b, r.lvl + 1
+  FROM reach r JOIN edges e ON e.a = r.dst
+  WHERE r.lvl < {RCTE_MAX_HOPS}
+)
+SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+""")
+
+
+DEDUP_QUERIES["dedup_components_rcte"] = dedup_components_rcte
+DEDUP_ORACLES["dedup_components_rcte"] = _sql_components()
