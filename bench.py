@@ -225,6 +225,7 @@ HEADLINE = [
     "dedup_incremental",
     "s_stream_dedup_vs_corpus",
     "dedup_components_rcte",
+    "f_variant_parse",
 ]
 
 

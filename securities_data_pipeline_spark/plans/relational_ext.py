@@ -550,3 +550,40 @@ FROM c FULL OUTER JOIN s ON ck = sk
 
 RELATIONAL_EXT_QUERIES["j3_full_outer"] = j3_full_outer
 RELATIONAL_EXT_ORACLES["j3_full_outer"] = J3_FULL_OUTER_SQL
+
+
+def f_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: the
+    events props JSON parses ONCE into a variant (a binary
+    semi-structured encoding Catalyst can push typed extraction into),
+    then ``variant_get`` pulls typed fields without string re-parsing
+    per access. This is the open-format twin of f_json_extract (which
+    re-parses the JSON text per extraction with get_json_object) — at
+    100 TB the parse-once/extract-many difference is the whole cost of
+    a wide semi-structured scan. Per-type min/max/sum over the typed
+    extraction, so the oracle compares plain int64s; the variant
+    itself never leaves the plan (VARIANT has no cross-engine
+    canonical form to hash).
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return ev.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(k).cast("long").alias("n_with_k"),
+    )
+
+
+F_VARIANT_SQL = """
+SELECT event_type,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+RELATIONAL_EXT_QUERIES["f_variant_parse"] = f_variant_parse
+RELATIONAL_EXT_ORACLES["f_variant_parse"] = F_VARIANT_SQL

@@ -81,3 +81,56 @@ def test_read_wide_price_csv_dotted_ticker_and_dupes(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="duplicate flattened"):
         read_wide_price_csv(spark, str(bad))
+
+
+class TestMarketDataSourceV2:
+    def test_read_partitioned_deterministic(self, spark):
+        from securities_data_pipeline_spark.sources.registry import extract
+
+        df = extract(
+            spark, "price_history", "dsv2",
+            symbols=["AAPL", "MSFT", "GOOG"],
+            start_date="2024-01-02", end_date="2024-01-10", batch_size=2,
+        )
+        rows = df.collect()
+        # 7 weekdays in the range x 3 symbols
+        assert len(rows) == 21
+        assert df.rdd.getNumPartitions() == 2  # ceil(3 / batch_size=2)
+        again = extract(
+            spark, "price_history", "dsv2",
+            symbols=["AAPL", "MSFT", "GOOG"],
+            start_date="2024-01-02", end_date="2024-01-10", batch_size=2,
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_bars_are_vendor_shaped(self, spark):
+        from pyspark.sql import functions as F
+
+        from securities_data_pipeline_spark.sources.registry import extract
+
+        df = extract(
+            spark, "price_history", "dsv2",
+            symbols=["X1", "X2"], start_date="2024-03-04", end_date="2024-03-08",
+        )
+        assert df.columns == [
+            "date_stamp", "symbol", "open", "high", "low", "close", "volume",
+        ]
+        bad = df.where(
+            (F.col("high") < F.greatest("open", "close"))
+            | (F.col("low") > F.least("open", "close"))
+            | (F.col("low") <= 0)
+            | (F.col("volume") <= 0)
+        ).count()
+        assert bad == 0
+        # weekdays only, like the vendor
+        assert df.where(F.dayofweek("date_stamp").isin(1, 7)).count() == 0
+
+    def test_empty_symbols_rejected(self, spark):
+        import pytest
+
+        from securities_data_pipeline_spark.sources.registry import extract
+
+        with pytest.raises(Exception, match="symbols"):
+            extract(
+                spark, "price_history", "dsv2", symbols=[],
+            ).collect()
