@@ -37,7 +37,12 @@ import datetime as dt
 import hashlib
 
 try:  # pragma: no cover - import guard mirrors the optional families
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     HAVE_DSV2 = True
 except ImportError:  # Spark < 4
@@ -142,4 +147,68 @@ def register_market_source(spark) -> bool:
     if not HAVE_DSV2:
         return False
     spark.dataSource.register(MarketDataSource)
+    return True
+
+
+class MarketTicksStreamReader(
+    SimpleDataSourceStreamReader if HAVE_DSV2 else object  # type: ignore[misc]
+):
+    """Offset = {"day_index": n} (trading days consumed so far), so a
+    checkpoint restart resumes mid-range exactly-once. ``read(start)``
+    honors the Simple-reader contract — return ALL data available past
+    the start offset — so an AvailableNow run drains the whole range
+    in one batch; ``max_days_per_poll`` caps a poll to simulate a
+    paced live feed (each continuous-trigger micro-batch then advances
+    that many days). A real feed replaces the synthetic generator with
+    the vendor poll and keeps the identical monotone-cursor contract."""
+
+    def __init__(self, options):
+        self.inner = MarketDataReader(options)
+        self.per_poll = int(options.get("max_days_per_poll", "0"))  # 0 = all
+        self.days = []
+        d = self.inner.start
+        while d <= self.inner.end:
+            if d.weekday() < 5:
+                self.days.append(d)
+            d += dt.timedelta(days=1)
+
+    def initialOffset(self) -> dict:
+        return {"day_index": 0}
+
+    def read(self, start: dict):
+        i = int(start["day_index"])
+        if i >= len(self.days):
+            return iter(()), start
+        j = len(self.days) if self.per_poll <= 0 else min(i + self.per_poll, len(self.days))
+        rows = [
+            _synthetic_bar(s, day)
+            for day in self.days[i:j]
+            for s in self.inner.symbols
+        ]
+        return iter(rows), {"day_index": j}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class MarketTicksSource(DataSource):
+    """``spark.readStream.format("market_ticks")`` — the streaming
+    face of ``MarketDataSource``: same schema, same deterministic
+    synthetic bars, delivered one trading day per micro-batch."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "market_ticks"
+
+    def schema(self) -> str:
+        return PRICE_SCHEMA
+
+    def simpleStreamReader(self, schema) -> "MarketTicksStreamReader":
+        return MarketTicksStreamReader(self.options)
+
+
+def register_market_ticks(spark) -> bool:
+    if not HAVE_DSV2:
+        return False
+    spark.dataSource.register(MarketTicksSource)
     return True

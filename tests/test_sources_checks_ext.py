@@ -134,3 +134,53 @@ class TestMarketDataSourceV2:
             extract(
                 spark, "price_history", "dsv2", symbols=[],
             ).collect()
+
+
+class TestMarketTicksStream:
+    OPTS = dict(symbols="AAPL,MSFT", start="2024-01-02", end="2024-01-12")
+
+    def test_stream_drains_range_and_matches_batch(self, spark):
+        from pyspark.sql import functions as F
+
+        from securities_data_pipeline_spark.sources.datasource_v2 import (
+            register_market_source,
+            register_market_ticks,
+        )
+        from securities_data_pipeline_spark.streaming.ingest import run_to_memory
+
+        assert register_market_ticks(spark) and register_market_source(spark)
+
+        def rollup(df):
+            return df.groupBy("symbol").agg(
+                F.count(F.lit(1)).alias("n_bars"),
+                F.min("date_stamp").alias("first_day"),
+                F.max("date_stamp").alias("last_day"),
+            )
+
+        stream = spark.readStream.format("market_ticks").options(**self.OPTS).load()
+        got = sorted(map(tuple, run_to_memory(rollup(stream), "complete").collect()))
+        batch = spark.read.format("market_prices").options(**self.OPTS).load()
+        want = sorted(map(tuple, rollup(batch).collect()))
+        assert got == want
+        # 9 trading days in the range
+        assert all(r[1] == 9 for r in got)
+
+    def test_poll_cap_bounds_each_offset_step(self, spark):
+        from securities_data_pipeline_spark.sources.datasource_v2 import (
+            MarketTicksStreamReader,
+        )
+
+        r = MarketTicksStreamReader({**self.OPTS, "max_days_per_poll": "2"})
+        off = r.initialOffset()
+        steps = 0
+        while True:
+            rows, nxt = r.read(off)
+            rows = list(rows)
+            if nxt == off:
+                assert rows == []
+                break
+            assert len(rows) <= 2 * 2  # 2 days x 2 symbols per poll
+            off = nxt
+            steps += 1
+        assert steps == 5  # ceil(9 days / 2 per poll)
+        assert off == {"day_index": 9}
