@@ -226,6 +226,7 @@ HEADLINE = [
     "s_stream_dedup_vs_corpus",
     "dedup_components_rcte",
     "f_variant_parse",
+    "f_sql_udf_revenue",
 ]
 
 

@@ -587,3 +587,48 @@ GROUP BY event_type
 
 RELATIONAL_EXT_QUERIES["f_variant_parse"] = f_variant_parse
 RELATIONAL_EXT_ORACLES["f_variant_parse"] = F_VARIANT_SQL
+
+
+def f_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF (``CREATE FUNCTION … RETURN <expr>``) — the
+    engine-native equivalent of the reference's dbt MACROS
+    (`dw_transformer/macros/ffill_candles.sql`): a named, reusable
+    expression that INLINES into the calling plan at analysis time —
+    no Python boundary, no codegen break, the plan is byte-identical
+    to writing the expression in place (the plan audit shows zero
+    Python nodes). This is how shared business logic (the discounted-
+    revenue formula every TPC-H query re-derives) gets one definition
+    without leaving whole-stage codegen.
+
+    The body keeps the repo's exact-decimal discipline: DECIMAL(28,6)
+    return type so the 6-dp product never rounds; one cast to double
+    after the SUM.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sdp_disc_revenue(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(28,6) "
+        "RETURN CAST(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,4))) "
+        "AS DECIMAL(28,6))"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sqludf_lineitem")
+    return spark.sql("""
+SELECT l_returnflag,
+       CAST(SUM(sdp_disc_revenue(l_extendedprice, l_discount)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM _sqludf_lineitem
+GROUP BY l_returnflag
+""")
+
+
+F_SQL_UDF_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+RELATIONAL_EXT_QUERIES["f_sql_udf_revenue"] = f_sql_udf_revenue
+RELATIONAL_EXT_ORACLES["f_sql_udf_revenue"] = F_SQL_UDF_SQL
