@@ -256,7 +256,7 @@ def main() -> None:
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    canary, canary_ratio = _run_canaries(spark, sf_dir, sf_val)
+    canary, canary_ratio_pre = _run_canaries(spark, sf_dir, sf_val)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -286,6 +286,18 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # second canary pass AFTER the headline loop: a round-6 comparison
+    # of back-to-back runs showed ~1.1× uniform drift WITHIN a run that
+    # a start-of-run-only canary cannot see (the container slowed after
+    # the snapshot). The reported ratio is the mean of the pre/post
+    # ratios — bracketing the window the headline timings actually ran
+    # in; both ends are emitted so intra-run drift is itself visible.
+    canary_post, canary_ratio_post = _run_canaries(spark, sf_dir, sf_val)
+    if canary_ratio_pre and canary_ratio_post:
+        canary_ratio = round((canary_ratio_pre + canary_ratio_post) / 2, 3)
+    else:
+        canary_ratio = canary_ratio_pre or canary_ratio_post
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -301,7 +313,10 @@ def main() -> None:
                 # this run's frozen-query medians to their r3 reference;
                 # divide any cross-round comparison by it first.
                 "canary": canary,
+                "canary_post": canary_post,
                 "canary_ref": _CANARY_REF,
+                "canary_ratio_pre": canary_ratio_pre,
+                "canary_ratio_post": canary_ratio_post,
                 "canary_ratio": canary_ratio,
                 "value_canary_normalized": (
                     round(total / canary_ratio, 3) if canary_ratio else None
