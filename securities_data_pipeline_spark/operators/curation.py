@@ -422,8 +422,10 @@ def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, v, cid). Shared by the plain assignment query and
     SemDeDup (which needs the vectors for within-cluster cosine
     without re-joining the corpus to itself on vec_id)."""
+    from securities_data_pipeline_spark.operators.similarity import emb_table
+
     emb = (
-        table(spark, sf_dir, "embeddings")
+        emb_table(spark, sf_dir)
         .select(
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
@@ -1043,15 +1045,21 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_dsir_weights": t_dsir_weights,
 }
 
+def _guard_emb(sql: str) -> str:
+    from securities_data_pipeline_spark.operators.similarity import guard_emb_sql
+
+    return guard_emb_sql(sql)
+
+
 CURATION_ORACLES: dict[str, str] = {
     "t_repetition_filter": T_REPETITION_SQL,
     "t_decontaminate": T_DECONTAMINATE_SQL,
     "t_quality_filter": T_QUALITY_FILTER_SQL,
-    "sim_kmeans_assign": _sql_kmeans(),
-    "sim_cluster_sample": _sql_cluster_sample(),
+    "sim_kmeans_assign": _guard_emb(_sql_kmeans()),
+    "sim_cluster_sample": _guard_emb(_sql_cluster_sample()),
     "t_source_cap": T_SOURCE_CAP_SQL,
     "t_curation_funnel": T_CURATION_FUNNEL_SQL,
     "t_decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
-    "dedup_semdedup": _sql_semdedup(),
+    "dedup_semdedup": _guard_emb(_sql_semdedup()),
     "t_dsir_weights": _sql_dsir_weights(),
 }

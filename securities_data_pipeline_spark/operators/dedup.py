@@ -74,11 +74,26 @@ def shingles_col(text="text", k: int = SHINGLE_K):
 
 
 def _shingles_from(words, k: int = SHINGLE_K):
-    """Shingle array from an (ideally pre-materialized) words column."""
+    """Shingle array from an (ideally pre-materialized) words column.
+
+    NULL text yields an EMPTY array, not ``[NULL]`` (fuzz-found,
+    tools/fuzz_oracle.py): Spark's ``greatest`` skips NULL args, so a
+    NULL word array still produced one index and one NULL shingle,
+    which every downstream explode/signature treated as a real (and
+    *shared*) shingle — all NULL-text docs became mutual phantom
+    near-duplicates. DuckDB's ``greatest`` propagates NULL, so its
+    shingle list is NULL and ``unnest`` emits nothing. ``array_compact``
+    aligns Spark to that no-rows semantics in one place for every
+    consumer (signatures, Jaccard, containment, components, triangles).
+    Empty/whitespace text is unaffected: its one ``''`` shingle is
+    non-NULL on both engines.
+    """
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    return F.array_compact(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+        )
     )
 
 
@@ -220,9 +235,21 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     def _slice(o: int):
         return lambda h: F.conv(F.substring(h, 4 * o + 1, 4), 16, 10).cast("long")
 
-    hashed = with_shingles(docs, ["doc_id"]).select(
-        "doc_id",
-        *[F.transform(F.col("sh"), _salted(i)).alias(f"hs{i}") for i in range(n_md5)],
+    # no shingles → no signature (found by tools/fuzz_oracle.py): an
+    # empty/NULL/whitespace-only document would otherwise get all-NULL
+    # slice minima, every such doc would share the identical NULL band
+    # key, and the whole garbage class would bucket together as phantom
+    # "near-duplicates". The SQL oracle's GROUP BY over unnested
+    # shingles never emitted those rows — this filter is the Spark twin
+    # of that semantics. Content-free exact duplicates are still caught
+    # by dedup_exact (full-text hash, no shingles needed).
+    hashed = (
+        with_shingles(docs, ["doc_id"])
+        .where(F.size(F.col("sh")) > 0)
+        .select(
+            "doc_id",
+            *[F.transform(F.col("sh"), _salted(i)).alias(f"hs{i}") for i in range(n_md5)],
+        )
     )
     slices = [
         F.array_min(F.transform(F.col(f"hs{s // 8}"), _slice(s % 8))).alias(f"mh{s}")

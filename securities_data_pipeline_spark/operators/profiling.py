@@ -99,7 +99,15 @@ def t_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank targets use pure int64 ceilings (``(k·n + k) DIV d`` =
     ⌈k·n/d⌉ for d | 10^m), so the picked rank is engine-independent.
     """
-    docs = table(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    # NULL lengths are not order statistics — and unguarded they are
+    # worse than wrong: Spark windows sort NULLS FIRST ascending,
+    # DuckDB NULLS LAST, so every rank target silently shifts
+    # (found by tools/fuzz_oracle.py on NULL-text documents)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("lang", "n_chars", "doc_id")
+        .where(F.col("n_chars").isNotNull())
+    )
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
     wn = Window.partitionBy("lang")
     ranked = docs.select(
@@ -127,6 +135,7 @@ WITH ranked AS (
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn,
          COUNT(*) OVER (PARTITION BY lang) AS n
   FROM documents
+  WHERE n_chars IS NOT NULL
 )
 SELECT lang,
        CAST(MAX(n) AS BIGINT) AS n_docs,

@@ -50,6 +50,74 @@ def _centroid_filter():
     )
 
 
+EMB_DIM = 64
+#: embedding sanity gate bound: real text/image embeddings are
+#: unit-ish; any component beyond ±1e6 is corrupt data (fp16 overflow,
+#: a bug upstream), and magnitudes that large overflow the decimal
+#: quantizations downstream (centroid distance Decimal(27,10)).
+EMB_MAX_ABS = 1.0e6
+
+
+def embedding_ok(col: Column) -> Column:
+    """The similarity family's admission contract, shared by every
+    sim_*/dedup_embedding_*/semdedup query (adversarial-vector fuzz,
+    tools/fuzz_embeddings.py): valid ⇔ non-NULL, exactly ``EMB_DIM``
+    components, every component finite with |x| ≤ ``EMB_MAX_ABS``, and
+    at least one non-zero component. Without the gate a SINGLE bad
+    vector in the corpus kills the whole job or poisons every ranking:
+    a zero vector makes the cosine denominator 0 (ANSI
+    DIVIDE_BY_ZERO abort), a NaN/±inf component turns dot products
+    into NaN whose sort position is engine-dependent, a 1e30
+    magnitude overflows the Decimal(27,10) distance quantization, a
+    NULL/short/long array crashes driver-side codebook training
+    (``ZeroDivisionError``/``TypeError`` — all observed in the first
+    fuzz run). At 100 TB this filter is the quarantine step an
+    embedding store runs at ingest; it is codegen'd array logic with
+    zero shuffle, and the DuckDB oracles apply the byte-identical
+    predicate (``SQL_EMB_OK`` via ``guard_emb_sql``)."""
+    finite = F.forall(
+        col, lambda x: ~F.isnan(x) & (F.abs(x) <= F.lit(float(EMB_MAX_ABS)))
+    )
+    nonzero = F.exists(col, lambda x: x != F.lit(0.0))
+    return col.isNotNull() & (F.size(col) == EMB_DIM) & finite & nonzero
+
+
+SQL_EMB_OK = (
+    f"embedding IS NOT NULL AND len(embedding) = {EMB_DIM}"
+    f" AND list_aggregate(list_transform(embedding,"
+    f" x -> NOT isnan(x) AND abs(x) <= {EMB_MAX_ABS}), 'bool_and')"
+    f" AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+
+
+def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan through the ``embedding_ok`` sanity gate — the
+    ONLY way the similarity family reads the table (f_array_stats
+    deliberately reads raw: profiling garbage is its job)."""
+    return table(spark, sf_dir, "embeddings").where(
+        embedding_ok(F.col("embedding"))
+    )
+
+
+def guard_emb_sql(sql: str) -> str:
+    """Rewrite an oracle so every ``embeddings`` reference goes through
+    the same sanity gate as ``emb_table``: references become a ``__emb``
+    CTE selecting ``WHERE SQL_EMB_OK``. Applied at registration to every
+    similarity-family oracle so the gate can never drift per-query."""
+    import re
+
+    body = re.sub(r"\b(FROM|JOIN)\s+embeddings\b", r"\1 __emb", sql)
+    cte = f"__emb AS (SELECT * FROM embeddings WHERE {SQL_EMB_OK})"
+    stripped = body.lstrip()
+    lead = body[: len(body) - len(stripped)]
+    if stripped.upper().startswith("WITH RECURSIVE"):
+        n = len("WITH RECURSIVE")
+        return f"{lead}WITH RECURSIVE {cte},{stripped[n:]}"
+    if stripped.upper().startswith("WITH"):
+        return f"{lead}WITH {cte},{stripped[4:]}"
+    return f"{lead}WITH {cte}\n{stripped}"
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -70,7 +138,7 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -142,7 +210,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter. At 100 TB the LSH/IVF tiers pre-filter candidates and this
     exact test runs only on bucket survivors (sim_lsh_topk composes
     the same ``cosine``)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -221,7 +289,7 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlier embeddings. Centroids (k×d) broadcast back; the distance
     folds in array order (``F.aggregate``), so it is deterministic
     like every other similarity kernel here."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     cents = label_centroids(emb)
     diff2 = F.zip_with(
         F.col("embedding"),
@@ -265,7 +333,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str, n_probes: int = N_PROBES) -> 
     ~0.5; 4 probes lifts it to ~0.9 while still scanning only
     n_probes/n_centroids of the corpus — the standard IVF
     recall/latency dial)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     bucketed = assign_buckets(emb)
     centroids = emb.where(_centroid_filter()).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
@@ -341,7 +409,6 @@ SELECT query_id, rank, vec_id, label, sim FROM ranked WHERE rank <= {TOP_K}
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (hyperplane LSH blocking + exact verify)
 
-EMB_DIM = 64
 # 6 bands × 8 bits: a random (cos≈0) pair collides on a band with
 # p=0.5^8, so candidate load is ~6/256 of all pairs (4-bit bands were
 # 22% of ALL pairs — a verify-join blowup); a true near-dup at cos 0.9
@@ -415,7 +482,7 @@ def hyperplane_band_keys(
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
 ) -> DataFrame:
-    return embedding_cosine_pairs(table(spark, sf_dir, "embeddings"), threshold)
+    return embedding_cosine_pairs(emb_table(spark, sf_dir), threshold)
 
 
 def embedding_cosine_pairs(
@@ -522,7 +589,7 @@ def dedup_embedding_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_duplicates,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     edges = embedding_cosine_pairs(emb).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
@@ -575,7 +642,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, band, key) rows; full embeddings are fetched for the deduped
     candidate set alone — a semi-join-shaped plan.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     # the sketch feeds both join sides — materialize it once (the
     # at-scale pattern: band keys are written once and reused) instead
     # of analyzing/executing the 48-fold projection twice
@@ -678,7 +745,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotient is bit-identical to inline cosine (same per-vector
     sequential folds).
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     banded = hyperplane_band_keys(emb).localCheckpoint(eager=False)
     other = banded.select(
         F.col("vec_id").alias("nbr_id"), F.col("band").alias("band"), F.col("key").alias("key")
@@ -778,7 +845,7 @@ def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the abs-max and quantized array evaluated once per row."""
     from securities_data_pipeline_spark.functions.expr import let
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     stats = let(
         F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
@@ -871,7 +938,7 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     (the stand-in for an offline k-means training run — same pattern
     as the IVF centroid stride). Driver state is K·dim doubles:
     broadcastable at any corpus size."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     donors = (
         emb.where(
             (F.col("vec_id") % PQ_STRIDE == 0)
@@ -915,7 +982,7 @@ def sim_pq_topk(
     driver Python, and the DuckDB oracle, so ADC values are
     bit-identical cross-engine."""
     cb = _pq_codebook(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     qvecs = {
         int(r.vec_id): _l2_normalize([float(x) for x in r.embedding])
         for r in emb.where(F.col("vec_id") < N_QUERIES)
@@ -1072,7 +1139,7 @@ def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able shortlist joined back to the embeddings table).
     """
     short = sim_pq_topk(spark, sf_dir, shortlist=PQ_SHORTLIST)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -1258,7 +1325,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1447,19 +1514,22 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
-    "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
-    "sim_range_search": SIM_RANGE_SQL,
-    "sim_label_centroid_dist": SIM_LABEL_CENTROID_SQL,
-    "sim_ivf_topk": SIM_IVF_SQL,
-    "sim_lsh_topk": _sql_lsh_topk(),
-    "dedup_embedding_cosine": _sql_embedding_dedup(),
-    "dedup_embedding_resolve": _sql_embedding_resolve(),
-    "sim_knn_graph": _sql_knn_graph(),
-    "sim_quantize": SIM_QUANTIZE_SQL,
-    "sim_ivf_recall": SIM_IVF_RECALL_SQL,
-    "sim_lsh_recall": SIM_LSH_RECALL_SQL,
-    "sim_pq_recall": SIM_PQ_RECALL_SQL,
-    "sim_mmr_rerank": _sql_mmr(),
-    "sim_pq_topk": SIM_PQ_SQL,
-    "sim_pq_rerank_topk": SIM_PQ_RERANK_SQL,
+    name: guard_emb_sql(sql)
+    for name, sql in {
+        "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
+        "sim_range_search": SIM_RANGE_SQL,
+        "sim_label_centroid_dist": SIM_LABEL_CENTROID_SQL,
+        "sim_ivf_topk": SIM_IVF_SQL,
+        "sim_lsh_topk": _sql_lsh_topk(),
+        "dedup_embedding_cosine": _sql_embedding_dedup(),
+        "dedup_embedding_resolve": _sql_embedding_resolve(),
+        "sim_knn_graph": _sql_knn_graph(),
+        "sim_quantize": SIM_QUANTIZE_SQL,
+        "sim_ivf_recall": SIM_IVF_RECALL_SQL,
+        "sim_lsh_recall": SIM_LSH_RECALL_SQL,
+        "sim_pq_recall": SIM_PQ_RECALL_SQL,
+        "sim_mmr_rerank": _sql_mmr(),
+        "sim_pq_topk": SIM_PQ_SQL,
+        "sim_pq_rerank_topk": SIM_PQ_RERANK_SQL,
+    }.items()
 }

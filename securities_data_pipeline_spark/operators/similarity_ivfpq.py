@@ -50,6 +50,8 @@ from pyspark.sql import functions as F
 
 from securities_data_pipeline_spark.operators.similarity import (
     CENTROID_STRIDE,
+    emb_table,
+    guard_emb_sql,
     N_CENTROIDS_CAP,
     N_QUERIES,
     PQ_DSUB,
@@ -65,8 +67,6 @@ from securities_data_pipeline_spark.operators.similarity import (
     _sql_cosine,
     cosine,
 )
-from securities_data_pipeline_spark.sources.tables import table
-
 #: composite-tier dials (vs the standalone tiers' N_PROBES=4 /
 #: PQ_SHORTLIST=50): IVF-PQ stacks two approximations, so it probes
 #: more buckets and shortlists more candidates to compensate. Measured
@@ -120,7 +120,7 @@ def _ivfpq_state(
     centroid vec_id), residual codebook (ordered by code index), and
     per-(query, probed-bucket) ADC distance tables. One bounded
     collect: ≤ cap+K+|queries| rows regardless of corpus size."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     want = (
         ((F.col("vec_id") % CENTROID_STRIDE == 0)
          & (F.col("vec_id") < CENTROID_STRIDE * N_CENTROIDS_CAP))
@@ -195,7 +195,7 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return f"array({rows})"
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     # One corpus scan: normalize → nearest-centroid (literal roster,
     # zero shuffle) → residual → per-subspace code. Two tricks keep
     # the per-row work linear in what's written:
@@ -372,4 +372,4 @@ SELECT query_id, rank, vec_id, label, sim FROM (
 """
 
 IVFPQ_QUERIES = {"sim_ivfpq_rerank_topk": sim_ivfpq_rerank_topk}
-IVFPQ_ORACLES = {"sim_ivfpq_rerank_topk": SIM_IVFPQ_RERANK_SQL}
+IVFPQ_ORACLES = {"sim_ivfpq_rerank_topk": guard_emb_sql(SIM_IVFPQ_RERANK_SQL)}

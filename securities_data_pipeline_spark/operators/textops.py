@@ -302,7 +302,12 @@ def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from securities_data_pipeline_spark.functions.expr import let
     from securities_data_pipeline_spark.functions.hashing import stable_hash64
 
-    docs = table(spark, sf_dir, "documents")
+    # no text → no fingerprint, on BOTH sides (fuzz-found): a NULL text
+    # propagates NULL through the gram hash, where DuckDB's concat
+    # ignores the NULL ('0x' || NULL = '0x') and its BIGINT cast then
+    # errors, while Spark's concat yields NULL — the engines disagree
+    # on the garbage row, so the garbage row must not reach the hash
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fps = let(
         F.array_join(words_col(), " "),
         lambda t: let(
@@ -328,6 +333,7 @@ def _sql_winnow(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     return f"""
 WITH norm AS MATERIALIZED (
   SELECT doc_id, array_to_string({_sql_words()}, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
 ), grams AS MATERIALIZED (
   SELECT doc_id,
          list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),

@@ -237,7 +237,11 @@ def f_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size(v).alias("dim"),
-        F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        # empty array: DuckDB's list_aggregate(sum) of [] is NULL while
+        # the F.aggregate fold returns its 0.0 init — emit NULL on both
+        # (fuzz-found, tools/fuzz_embeddings.py; SQL-standard "no
+        # elements, no sum" semantics)
+        F.when(F.size(v) > 0, F.round(F.sqrt(sumsq), 6)).alias("l2_norm"),
         F.round(F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))), 6).alias(
             "max_abs"
         ),

@@ -346,12 +346,20 @@ def test_vocab_ranks_by_frequency(spark, tmp_path):
 
 
 def test_quantize_bounds_and_saturation(spark):
-    from securities_data_pipeline_spark.operators.similarity import SIMILARITY_QUERIES
+    """sim_quantize reads through the embedding_ok admission gate
+    (EMB_DIM components, finite, non-zero — the fuzz-derived contract),
+    so the fixture uses gate-conformant 64-dim vectors and asserts the
+    zero vector is quarantined rather than quantized."""
+    from securities_data_pipeline_spark.operators.similarity import (
+        EMB_DIM,
+        SIMILARITY_QUERIES,
+    )
     import tempfile, os
 
+    v0 = [1.0, -0.5, 0.25] + [0.0] * (EMB_DIM - 3)
     with tempfile.TemporaryDirectory() as d:
         emb = spark.createDataFrame(
-            [(0, [1.0, -0.5, 0.25, 0.0], "a"), (1, [0.0, 0.0, 0.0, 0.0], "b")],
+            [(0, v0, "a"), (1, [0.0] * EMB_DIM, "b")],
             "vec_id long, embedding array<float>, label string",
         )
         emb.write.parquet(os.path.join(d, "embeddings.parquet"))
@@ -359,8 +367,8 @@ def test_quantize_bounds_and_saturation(spark):
     # vec 0: scale = 1.0, exactly one saturated element (the max), small error
     assert rows[0].scale == 1.0 and rows[0].n_saturated == 1
     assert 0 <= rows[0].recon_err < 1 / 127
-    # all-zero vector quantizes losslessly with scale 0
-    assert rows[1].scale == 0.0 and rows[1].n_saturated == 0 and rows[1].recon_err == 0.0
+    # the all-zero vector fails the admission gate: filtered, not emitted
+    assert set(rows) == {0}
 
 
 def test_simhash_pairs_find_identical_docs(spark, tmp_path):
