@@ -317,8 +317,15 @@ GROUP BY band
 def w4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute inactivity gap) per user over the
     event stream — Spark's ``session_window`` in batch mode. The
-    oracle spells out the same islands logic with lag + running sum."""
-    ev = table(spark, sf_dir, "events")
+    oracle spells out the same islands logic with lag + running sum.
+
+    Reads through the ``event_ok`` gate (functions/gates.py): a NULL
+    event time belongs to no session — ``session_window`` silently
+    drops it while the oracle's lag/sum islands count it, shifting
+    every later session boundary (fuzz-found)."""
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -419,6 +426,12 @@ GROUP BY p.event_id
 """
 
 
+def _guard_events(sql: str) -> str:
+    from securities_data_pipeline_spark.functions.gates import guard_events_sql
+
+    return guard_events_sql(sql)
+
+
 ASOF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_asof_latest_order": j_asof_latest_order,
     "j_asof_next_order": j_asof_next_order,
@@ -434,5 +447,5 @@ ASOF_ORACLES: dict[str, str] = {
     "j_asof_tolerance_purchase": J_ASOF_TOL_SQL,
     "j_range_band": J_RANGE_SQL,
     "j_range_bin": J_RANGE_BIN_SQL,
-    "w4_session_windows": W4_SESSION_SQL,
+    "w4_session_windows": _guard_events(W4_SESSION_SQL),
 }

@@ -35,8 +35,15 @@ def g_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant below (``g_user_trend_udf``) computes the same thing and
     exists to exercise §2.10 — built-ins beat per-group Python by ~10×
     when groups are small (100k events / ~25k users: per-group Arrow
-    batch + Python call overhead dominates)."""
-    ev = table(spark, sf_dir, "events")
+    batch + Python call overhead dominates).
+
+    Reads through the ``event_ok`` gate (functions/gates.py): one ±inf
+    value drives the regression slope itself to ±inf, whose downstream
+    sort position is engine-dependent, and NULL event times have no
+    place on the regression's time axis (fuzz-found)."""
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
     t = F.unix_micros("ts") / F.lit(1e6)
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -46,15 +53,25 @@ def g_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def g_user_trend_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user linear trend of event values over time (slope per
-    day + mean), via grouped-map applyInPandas."""
+    day + mean), via grouped-map applyInPandas.
+
+    Same ``event_ok`` gate as the JVM twin; inside the group the fit
+    drops NULL-value rows from the regression pair set (but not from
+    the row count) to match ``regr_slope``'s pair semantics — a NULL
+    metric arrives in pandas as NaN and would otherwise poison the
+    whole group's sums while the oracle silently skips it
+    (fuzz-found)."""
     import pandas as pd
 
-    ev = table(spark, sf_dir, "events").select(
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir).select(
         "user_id", (F.unix_micros("ts") / F.lit(1e6)).alias("t"), "value"
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        t, y = pdf["t"], pdf["value"]
+        pairs = pdf.dropna(subset=["value"])
+        t, y = pairs["t"], pairs["value"]
         tm, ym = t.mean(), y.mean()
         var = ((t - tm) ** 2).sum()
         slope = ((t - tm) * (y - ym)).sum() / var if var > 0 else None
@@ -102,7 +119,11 @@ def g_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never a tie in either engine. The final quotient divides the
     # identical integers in the identical order in both engines —
     # bit-identical IEEE doubles, no rounding step needed.
-    ev = table(spark, sf_dir, "events").select(
+    # event_ok gate (functions/gates.py): one 1e308/±inf/NaN value
+    # aborts the DECIMAL(18,2) quantization under ANSI (fuzz-found)
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir).select(
         "user_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vm"),
         ((F.col("event_id") % 10) + 1).cast("long").alias("w"),
@@ -285,10 +306,16 @@ GROUPED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_token_positions": udtf_token_positions,
 }
 
+def _guard_events(sql: str) -> str:
+    from securities_data_pipeline_spark.functions.gates import guard_events_sql
+
+    return guard_events_sql(sql)
+
+
 GROUPED_ORACLES: dict[str, str] = {
-    "g_user_trend": G_USER_TREND_SQL,
-    "g_user_trend_udf": G_USER_TREND_SQL,
-    "g_weighted_mean_udaf": G_WMEAN_SQL,
+    "g_user_trend": _guard_events(G_USER_TREND_SQL),
+    "g_user_trend_udf": _guard_events(G_USER_TREND_SQL),
+    "g_weighted_mean_udaf": _guard_events(G_WMEAN_SQL),
     "g_topn_per_group_scalable": G_TOPN_SQL,
     "udtf_token_positions": _sql_token_positions(),
 }

@@ -145,8 +145,15 @@ def w7_interval_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rolling sum accumulates exact decimals inside the frame. One
     shuffle on user_id; at 100 TB the partition key is the natural
     series key the lake is clustered by.
+
+    Reads through the ``event_ok`` gate (functions/gates.py): one
+    1e308/±inf value aborts the whole query at the DECIMAL(18,6) cast
+    under ANSI (fuzz-found), and a NULL event time has no place on the
+    RANGE axis.
     """
-    ev = table(spark, sf_dir, "events")
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts")))
@@ -181,8 +188,15 @@ def w8_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id (the stream's natural clustering key); the
     pattern test is a row-local predicate after the sort — at 100 TB
     this is the same single sorted pass any sessionization makes.
+
+    Reads through the ``event_ok`` gate (functions/gates.py): the lag
+    chain is ts-ordered, and NULL event times sort on opposite ends of
+    the partition per engine — same hazard class as w1/w5, gated for
+    the whole time-ordered family.
     """
-    ev = table(spark, sf_dir, "events")
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return (
         ev.select(
@@ -261,6 +275,12 @@ FROM embeddings
 """
 
 
+def _guard_events(sql: str) -> str:
+    from securities_data_pipeline_spark.functions.gates import guard_events_sql
+
+    return guard_events_sql(sql)
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_corr_moments": a8_corr_moments,
     "w7_interval_range": w7_interval_range,
@@ -270,7 +290,7 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ANALYTICS_ORACLES: dict[str, str] = {
     "a8_corr_moments": A8_SQL,
-    "w7_interval_range": W7_SQL,
+    "w7_interval_range": _guard_events(W7_SQL),
     "f_array_stats": F_ARRAY_STATS_SQL,
-    "w8_pattern_match": W8_PATTERN_SQL,
+    "w8_pattern_match": _guard_events(W8_PATTERN_SQL),
 }

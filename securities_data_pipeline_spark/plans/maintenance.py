@@ -154,8 +154,15 @@ def m_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     once on user_id and the dimension writes partition-aligned with
     every fact join that follows. Ties on (user_id, ts) are broken by
     event_id so re-runs are deterministic.
+
+    Reads through the ``event_ok`` gate (functions/gates.py): a CDC
+    record with no event time cannot open a validity interval, and
+    ungated it sorts on opposite ends of the user partition per engine
+    (fuzz-found).
     """
-    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     nxt = F.lead("ts").over(w)
     return ev.select(
@@ -178,6 +185,12 @@ FROM events
 """
 
 
+def _guard_events(sql: str) -> str:
+    from securities_data_pipeline_spark.functions.gates import guard_events_sql
+
+    return guard_events_sql(sql)
+
+
 MAINTENANCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_zorder_cluster": m_zorder_cluster,
     "m_incremental_rollup": m_incremental_rollup,
@@ -187,5 +200,5 @@ MAINTENANCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 MAINTENANCE_ORACLES: dict[str, str] = {
     "m_zorder_cluster": M_ZORDER_SQL,
     "m_incremental_rollup": M_INCREMENTAL_SQL,
-    "m_scd2_intervals": M_SCD2_SQL,
+    "m_scd2_intervals": _guard_events(M_SCD2_SQL),
 }

@@ -344,8 +344,15 @@ def w1_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNBOUNDED PRECEDING AND 1 PRECEDING)`` with ignorenulls=False — the
     *immediately previous row's raw value*, so the 2nd consecutive null
     stays null. One shuffle on user_id.
+
+    Reads through the ``event_ok`` admission gate (functions/gates.py,
+    fuzz-derived): a NULL event time has no position in the ffill
+    order — Spark sorts it NULLS FIRST, DuckDB NULLS LAST, so every
+    "previous row" after it silently shifts.
     """
-    ev = table(spark, sf_dir, "events")
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
     v = F.when(F.col("event_type") != "error", F.col("value"))
     w = (
         Window.partitionBy("user_id")
@@ -434,9 +441,17 @@ SELECT * FROM (
 
 def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + aggregate over the events props column
-    (extension surface noted in SURVEY §2.8)."""
+    (extension surface noted in SURVEY §2.8).
+
+    Garbage-JSON contract (fuzz-derived, tools/fuzz_events.py):
+    ``get_json_object`` is lenient — malformed/empty/NaN-bearing props
+    extract as NULL, never abort — and the extracted string goes
+    through ``try_cast`` so a non-numeric field is NULL too, not an
+    ANSI error. The oracle mirrors both (``json_valid`` guard +
+    ``TRY_CAST``); the one documented strictness gap is a duplicated
+    key, where both engines happen to agree on first-match."""
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     # Both engines must emit int64 for sum_k: DuckDB widens SUM(BIGINT) to
     # HUGEINT (int128), whose canonical form differs from Spark's LongType in
     # the driver's value hasher even when the numbers are equal.
@@ -447,7 +462,9 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FJSON_SQL = """
 SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                              THEN json_extract_string(props, '$.k') END
+                         AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events
 GROUP BY event_type
@@ -607,6 +624,12 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p9_bernoulli_sample": p9_bernoulli_sample,
 }
 
+def _guard_events(sql: str) -> str:
+    from securities_data_pipeline_spark.functions.gates import guard_events_sql
+
+    return guard_events_sql(sql)
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
@@ -619,7 +642,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "j1_anti_join": J1_SQL,
     "j2_semi_join": J2_SQL,
     "u2_union_dim": U2_SQL,
-    "w1_ffill": W1_SQL,
+    "w1_ffill": _guard_events(W1_SQL),
     "w2_moving_avg": W2_SQL,
     "w3_topn_per_group": W3_SQL,
     "f_json_extract": FJSON_SQL,

@@ -564,9 +564,19 @@ def f_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction, so the oracle compares plain int64s; the variant
     itself never leaves the plan (VARIANT has no cross-engine
     canonical form to hash).
+
+    Garbage-JSON contract (fuzz-derived, tools/fuzz_events.py):
+    ``try_parse_json`` quarantines malformed props to a NULL variant
+    instead of FAILFAST-aborting the whole scan (one '{broken' row
+    killed the query), and ``try_variant_get`` yields NULL for a
+    non-long field instead of an ANSI cast error; the oracle mirrors
+    with a ``json_valid`` guard + ``TRY_CAST``. Documented strictness
+    gap: VARIANT rejects duplicate-key objects (NULL) where the text
+    path keeps the first match — a fuzz dup-key row only agrees
+    because its object lacks the extracted field.
     """
     ev = table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'long')")
     return ev.groupBy("event_type").agg(
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
@@ -576,12 +586,19 @@ def f_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 F_VARIANT_SQL = """
+WITH kx AS (
+  SELECT event_type,
+         TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
+  FROM events
+)
 SELECT event_type,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
-FROM events
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k
+FROM kx
 GROUP BY event_type
 """
 

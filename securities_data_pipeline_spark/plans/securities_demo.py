@@ -19,13 +19,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from securities_data_pipeline_spark.functions.gates import guard_ticks_sql, ticks
 from securities_data_pipeline_spark.plans.models import stg_stock_prices
-from securities_data_pipeline_spark.sources.tables import table
 
 
 def _derived_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → raw daily bars with injected null gaps."""
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = (
         ev.groupBy(
             F.to_date("ts").alias("date_stamp"),
@@ -114,7 +114,7 @@ def sec_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = (
         ev.groupBy(
             F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
@@ -197,7 +197,7 @@ def sec_rolling_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = ev.groupBy(
         F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
         F.to_date("ts").alias("date_stamp"),
@@ -250,7 +250,7 @@ def sec_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = ev.groupBy(
         F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
         F.to_date("ts").alias("date_stamp"),
@@ -302,7 +302,7 @@ def sec_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = ev.groupBy(
         F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
         F.to_date("ts").alias("date_stamp"),
@@ -365,7 +365,7 @@ def sec_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     bar store runs, with no window and no self-join; ``min_by``/
     ``max_by`` are deterministic here because (symbol, date) is unique.
     """
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = ev.groupBy(
         F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
         F.to_date("ts").alias("date_stamp"),
@@ -430,7 +430,7 @@ def sec_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = (
         ev.groupBy(
             F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
@@ -525,7 +525,7 @@ def sec_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = ev.groupBy(
         F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
         F.to_date("ts").alias("date_stamp"),
@@ -610,7 +610,7 @@ def sec_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = ev.groupBy(
         F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
         F.to_date("ts").alias("date_stamp"),
@@ -699,7 +699,7 @@ def sec_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical with no rounding step. One partial-combining
     aggregate after the symbol-day rollup; nothing wide shuffles.
     """
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = ev.groupBy(
         F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
         F.to_date("ts").alias("date_stamp"),
@@ -782,7 +782,7 @@ def sec_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = ticks(spark, sf_dir)
     bars = ev.groupBy(
         F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
         F.to_date("ts").alias("date_stamp"),
@@ -830,3 +830,11 @@ WHERE tsum IS NOT NULL
 
 SECURITIES_QUERIES["sec_ewma"] = sec_ewma
 SECURITIES_ORACLES["sec_ewma"] = _sql_ewma()
+
+
+# every securities query reads events through the ``tick_ok`` admission
+# gate (functions/gates.py, fuzz-derived: one NaN/±inf/1e308 "price"
+# aborted the whole family at the ANSI decimal/cents casts) — wrap every
+# oracle with the identical predicate at registration so the SQL side
+# can never drift per-query
+SECURITIES_ORACLES = {k: guard_ticks_sql(v) for k, v in SECURITIES_ORACLES.items()}

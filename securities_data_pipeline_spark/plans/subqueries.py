@@ -169,8 +169,15 @@ WHERE CAST(c_acctbal AS DECIMAL(18,2)) * s.n > s.tot
 def w5_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag surface: per-user event-over-event value delta and the
     next event's type. Same (partition, order) spec for both functions
-    → one window shuffle serves both."""
-    ev = table(spark, sf_dir, "events")
+    → one window shuffle serves both.
+
+    Reads through the ``event_ok`` gate (functions/gates.py): NULL
+    event times sort NULLS FIRST on Spark / NULLS LAST on DuckDB, so
+    ungated they shift every lead/lag neighbor (fuzz-found); a ±inf
+    value would make delta_prev engine-dependent in ordering too."""
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "user_id",
@@ -191,6 +198,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def _guard_events(sql: str) -> str:
+    from securities_data_pipeline_spark.functions.gates import guard_events_sql
+
+    return guard_events_sql(sql)
+
+
 SUBQUERY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq_exists_discount": sq_exists_discount,
     "sq_small_qty_revenue": sq_small_qty_revenue,
@@ -204,5 +217,5 @@ SUBQUERY_ORACLES: dict[str, str] = {
     "sq_small_qty_revenue": SQ_SMALL_QTY_SQL,
     "sq_large_orders": SQ_LARGE_ORDERS_SQL,
     "sq_rich_inactive_customers": SQ_RICH_INACTIVE_SQL,
-    "w5_lead_lag": W5_SQL,
+    "w5_lead_lag": _guard_events(W5_SQL),
 }

@@ -62,7 +62,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return normalize_event_ts(stream)
+    # event_ok admission gate (functions/gates.py) AT the ingest point —
+    # exactly where a production stream quarantines garbage. The
+    # watermark hazard is streaming-specific (fuzz-found,
+    # tools/fuzz_events.py): ONE far-future event (a year-2200
+    # timestamp) advances the watermark past every honest window and
+    # the entire stream's output is silently dropped as late. NULL
+    # event times and NaN/±inf metrics are filtered for the same
+    # reasons as the batch twin queries; every streaming oracle is
+    # wrapped with the identical predicate at registration.
+    from securities_data_pipeline_spark.functions.gates import event_ok
+
+    return normalize_event_ts(stream).where(event_ok())
 
 
 def run_to_memory(
@@ -1071,3 +1082,18 @@ def _sql_stream_dedup_vs_corpus() -> str:
 
 STREAMING_QUERIES["s_stream_dedup_vs_corpus"] = s_stream_dedup_vs_corpus
 STREAMING_ORACLES["s_stream_dedup_vs_corpus"] = _sql_stream_dedup_vs_corpus()
+
+
+# every event-fed streaming query reads through the ``event_ok`` gate in
+# ``events_stream`` (see its inline note: the far-future-timestamp
+# watermark hazard); wrap every oracle with the identical predicate at
+# registration. The rewrite only touches ``events`` references, so the
+# documents-fed dedup-vs-corpus oracle passes through unchanged.
+def _guard_stream_oracles() -> None:
+    from securities_data_pipeline_spark.functions.gates import guard_events_sql
+
+    for _name, _sql in list(STREAMING_ORACLES.items()):
+        STREAMING_ORACLES[_name] = guard_events_sql(_sql)
+
+
+_guard_stream_oracles()
