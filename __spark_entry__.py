@@ -41,28 +41,42 @@ _ROUND6_FRONT = (
     "t_profile_columns", "t_len_percentiles", "mm_near_dedup",
     "dedup_incremental", "s_stream_dedup_vs_corpus", "dedup_components_rcte",
     "f_variant_parse", "f_sql_udf_revenue",
-    # changed in round 6 (tie-free MMR quantization; zero-weight guard;
-    # star-contraction convergence probe + soft-weights checkpoint —
-    # every star-contraction consumer re-verifies)
+    # changed in round 6, advisory fixes (tie-free MMR quantization;
+    # zero-weight guard; star-contraction convergence probe +
+    # soft-weights checkpoint — every star-contraction consumer
+    # re-verifies)
     "sim_mmr_rerank", "t_sample_weighted", "dedup_soft_weights",
     "dedup_components_star", "dedup_components", "dedup_cluster_stats",
     "dedup_resolve", "dedup_pagerank",
-    # last driver-green in round 1 (5)
-    "w1_ffill", "w2_moving_avg", "w3_topn_per_group", "w6_rank_surface",
-    "w7_interval_range",
-    # last driver-green in round 2 (36)
-    "g_cohort_retention", "g_funnel_conversion", "g_user_trend",
-    "g_user_trend_udf", "g_weighted_mean_udaf", "s_stream_daily_rollup",
-    "s_stream_dedup_keys", "s_stream_dedup_within_watermark",
-    "s_stream_enrich_static", "s_stream_session_rollup",
-    "s_stream_sliding_rollup", "s_stream_user_stats_stateful",
-    "sec_calendar_spine", "sec_drawdown", "sec_rolling_beta",
-    "sec_rolling_vol", "sec_rsi", "sec_sma_crossover", "sec_stg_ffill",
-    "sec_weekly_bars", "sim_bruteforce_topk", "sim_cluster_sample",
-    "sim_ivf_topk", "sim_kmeans_assign", "sim_knn_graph", "sim_lsh_topk",
-    "sim_quantize", "t_assemble_manifest", "t_bigram_logprob",
-    "t_chunk_dedup", "t_decontaminate", "t_fingerprint", "t_global_shuffle",
-    "t_heavy_hitters", "t_idf_top_terms", "udtf_token_positions",
+    # changed in round 6, fuzz program (tools/fuzz_oracle.py /
+    # fuzz_embeddings.py / fuzz_events.py): admission gates + guarded
+    # oracles + NULL-shingle fix — every query whose plan or oracle
+    # text changed re-verifies, highest-risk rewrites first
+    "f_json_extract", "dedup_minhash_pairs", "dedup_minhash_signature",
+    "dedup_minhash_estimate", "dedup_minhash_pairs_wide",
+    "dedup_minhash_pairs_capped", "dedup_ngram_jaccard",
+    "dedup_containment", "w1_ffill", "w4_session_windows", "w5_lead_lag",
+    "w7_interval_range", "w8_pattern_match", "m_scd2_intervals",
+    "g_user_trend", "g_user_trend_udf", "g_weighted_mean_udaf",
+    "sec_vwap", "sec_ewma", "sec_sharpe", "sec_stg_ffill", "sec_drawdown",
+    "sec_rsi", "sec_calendar_spine", "s_stream_daily_rollup",
+    "s_stream_session_rollup", "s_stream_dedup_within_watermark",
+    "s_stream_join_attrib", "sim_lsh_topk", "sim_quantize",
+    "f_array_stats", "t_winnow_fingerprint", "dedup_semdedup",
+    "sim_kmeans_assign",
+    # same fuzz changes, lower rewrite risk (shared gate/oracle wrap
+    # verified by the entries above) — covered when the window is wide
+    "sec_weekly_bars", "sec_rolling_vol", "sec_rolling_beta",
+    "sec_sma_crossover", "s_stream_sliding_rollup", "s_stream_dedup_keys",
+    "s_stream_enrich_static", "s_stream_join_attrib_outer",
+    "s_stream_join_attrib_full", "s_stream_weekly_from_daily",
+    "s_stream_user_stats_stateful", "s_stream_topk_transform_state",
+    "sim_bruteforce_topk", "sim_range_search", "sim_label_centroid_dist",
+    "sim_ivf_topk", "sim_knn_graph", "sim_ivf_recall", "sim_lsh_recall",
+    "sim_pq_recall", "sim_pq_topk", "sim_pq_rerank_topk",
+    "sim_ivfpq_rerank_topk", "dedup_embedding_cosine",
+    "dedup_embedding_resolve", "sim_cluster_sample", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard_capped",
 )
 
 _FRONT_RANK = {name: i for i, name in enumerate(_ROUND6_FRONT)}
