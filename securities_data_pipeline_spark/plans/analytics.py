@@ -90,13 +90,42 @@ def a8_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_y_n = (n * F.col("syy") - sy * sy).cast("double")
     slope = cov_n / var_x_n
     nd = F.col("n").cast("double")
+    # zero variance (a constant column within a group — e.g. a group
+    # with one row) makes corr/beta statistically undefined: emit NULL,
+    # which is also what SQL corr() returns. Ungated, Spark's ANSI
+    # division aborts the whole query on the degenerate group while
+    # DuckDB emits inf/nan (found by tools/fuzz_relational.py).
+    defined_x = F.col("var_x_n") > 0
+    defined_y = F.col("var_y_n") > 0
     return m.select(
         "l_returnflag",
-        F.col("n").cast("long").alias("n"),
-        F.round(cov_n / F.sqrt(var_x_n) / F.sqrt(var_y_n), 6).alias("corr_qty_price"),
-        F.round(slope, 6).alias("beta"),
-        F.round(
-            (sy.cast("double") - slope * sx.cast("double")) / nd / F.lit(100.0), 6
+        F.col("n").cast("long"),
+        cov_n.alias("cov_n"),
+        var_x_n.alias("var_x_n"),
+        var_y_n.alias("var_y_n"),
+        sx.cast("double").alias("sxd"),
+        sy.cast("double").alias("syd"),
+        nd.alias("nd"),
+    ).select(
+        "l_returnflag",
+        F.col("n").alias("n"),
+        F.when(
+            defined_x & defined_y,
+            F.round(
+                F.col("cov_n") / F.sqrt("var_x_n") / F.sqrt("var_y_n"), 6
+            ),
+        ).alias("corr_qty_price"),
+        F.when(defined_x, F.round(F.col("cov_n") / F.col("var_x_n"), 6)).alias(
+            "beta"
+        ),
+        F.when(
+            defined_x,
+            F.round(
+                (F.col("syd") - F.col("cov_n") / F.col("var_x_n") * F.col("sxd"))
+                / F.col("nd")
+                / F.lit(100.0),
+                6,
+            ),
         ).alias("intercept"),
     )
 
@@ -124,9 +153,12 @@ WITH m AS (
 )
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n,
-       round(cov_n / sqrt(var_x_n) / sqrt(var_y_n), 6) AS corr_qty_price,
-       round(cov_n / var_x_n, 6) AS beta,
-       round((syd - cov_n / var_x_n * sxd) / CAST(n AS DOUBLE) / 100.0, 6) AS intercept
+       CASE WHEN var_x_n > 0 AND var_y_n > 0
+            THEN round(cov_n / sqrt(var_x_n) / sqrt(var_y_n), 6) END AS corr_qty_price,
+       CASE WHEN var_x_n > 0 THEN round(cov_n / var_x_n, 6) END AS beta,
+       CASE WHEN var_x_n > 0 THEN
+         round((syd - cov_n / var_x_n * sxd) / CAST(n AS DOUBLE) / 100.0, 6)
+       END AS intercept
 FROM c
 """
 

@@ -275,21 +275,29 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"))
         .agg(
-            (F.lit(100.0) * _as_double(F.sum(promo)) / _as_double(F.sum(disc))).alias(
-                "promo_pct"
-            )
+            # a month whose entire revenue is zero (every line fully
+            # discounted) has an undefined promo share: NULL on both
+            # engines instead of an ANSI divide-by-zero abort
+            # (found by tools/fuzz_relational.py)
+            F.when(
+                F.sum(disc) != 0,
+                F.lit(100.0) * _as_double(F.sum(promo)) / _as_double(F.sum(disc)),
+            ).alias("promo_pct")
         )
     )
 
 
 Q14_SQL = """
 SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS ship_month,
-       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                 ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS promo_pct
+       CASE WHEN SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) <> 0 THEN
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                   ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+       END AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
 """
