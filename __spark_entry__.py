@@ -40,7 +40,8 @@ _ROUND6_FRONT = (
     "q22_global_sales_opportunity", "dedup_triangle_stats",
     "t_profile_columns", "t_len_percentiles", "mm_near_dedup",
     "dedup_incremental", "s_stream_dedup_vs_corpus", "dedup_components_rcte",
-    "f_variant_parse", "f_sql_udf_revenue",
+    "f_variant_parse", "f_sql_udf_revenue", "f_pipe_syntax",
+    "f_param_query",
     # changed in round 6, advisory fixes (tie-free MMR quantization;
     # zero-weight guard; star-contraction convergence probe +
     # soft-weights checkpoint — every star-contraction consumer

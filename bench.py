@@ -227,6 +227,8 @@ HEADLINE = [
     "dedup_components_rcte",
     "f_variant_parse",
     "f_sql_udf_revenue",
+    "f_pipe_syntax",
+    "f_param_query",
 ]
 
 

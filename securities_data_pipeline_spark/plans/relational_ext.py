@@ -657,3 +657,100 @@ GROUP BY l_returnflag
 
 RELATIONAL_EXT_QUERIES["f_sql_udf_revenue"] = f_sql_udf_revenue
 RELATIONAL_EXT_ORACLES["f_sql_udf_revenue"] = F_SQL_UDF_SQL
+
+
+def f_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL **pipe syntax** (`|>`): the linear dataflow spelling
+    of filter → aggregate → having → projection, the engine-native twin
+    of a dbt model's staged CTE chain — each stage reads top-to-bottom
+    in execution order instead of inside-out. Semantically identical to
+    the nested spelling (the oracle is plain ANSI SQL): Catalyst sees
+    the same resolved plan, so pushdown/codegen are unchanged.
+
+    The body keeps the exact-decimal revenue discipline; per-group
+    averages divide the exact sums once at the end.
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_pipe_lineitem")
+    return spark.sql("""
+FROM _pipe_lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+   AND l_discount BETWEEN 0.02 AND 0.09
+|> EXTEND CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(18,4))) AS disc_price
+|> AGGREGATE COUNT(*) AS n_lines,
+             CAST(SUM(disc_price) AS DOUBLE) AS revenue,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n_lines > 50
+|> SELECT l_returnflag, l_linestatus, n_lines, revenue,
+          revenue / n_lines AS avg_line_revenue, sum_qty
+""")
+
+
+F_PIPE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         / COUNT(*) AS avg_line_revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.09
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 50
+"""
+
+RELATIONAL_EXT_QUERIES["f_pipe_syntax"] = f_pipe_syntax
+RELATIONAL_EXT_ORACLES["f_pipe_syntax"] = F_PIPE_SQL
+
+
+#: the parameterized report's binding — one place, shared by the Spark
+#: parameter dict and the oracle literal so they cannot drift
+PARAM_QUERY_ARGS = {"min_ship": "1996-03-15", "flag": "R", "min_qty": 25}
+
+
+def f_param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers, `spark.sql(...,
+    args=...)`) — the engine-native twin of the reference's dbt
+    ``var()`` templating (dbt_project.yml vars rendered into model
+    SQL): values bind as TYPED literals at parse time, never via string
+    interpolation, so a malicious or just weird value (quote, unicode,
+    huge number) cannot change the query shape — the injection-safety
+    dbt gets from Jinja auto-quoting, done by the parser instead.
+
+    Catalyst folds the bound literals into the plan exactly like
+    hand-written constants: same pushdown, same codegen — verified by
+    the plan audit (PushedFilters shows the bound shipdate bound).
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_param_lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM _param_lineitem
+WHERE l_shipdate >= CAST(:min_ship AS TIMESTAMP)
+  AND l_returnflag = :flag
+  AND l_quantity >= :min_qty
+GROUP BY l_returnflag
+""",
+        args=PARAM_QUERY_ARGS,
+    )
+
+
+F_PARAM_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{PARAM_QUERY_ARGS["min_ship"]}'
+  AND l_returnflag = '{PARAM_QUERY_ARGS["flag"]}'
+  AND l_quantity >= {PARAM_QUERY_ARGS["min_qty"]}
+GROUP BY l_returnflag
+"""
+
+RELATIONAL_EXT_QUERIES["f_param_query"] = f_param_query
+RELATIONAL_EXT_ORACLES["f_param_query"] = F_PARAM_SQL
