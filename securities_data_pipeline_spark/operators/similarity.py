@@ -933,25 +933,52 @@ def _l2_normalize(vec: list[float]) -> list[float]:
     return [x / n for x in vec]
 
 
+def pq_donor_pref():
+    """Codebook donor preference: stride ids first (the deterministic
+    k-means stand-in), then any other valid vector by ascending id —
+    so a corrupt/quarantined donor id degrades to the next valid
+    vector instead of crashing training (adversarial-vector fuzz,
+    tools/fuzz_embeddings.py: garbage at a stride id shrank the
+    codebook and every PQ tier died on the short list). On a clean
+    corpus the stride donors all pass the gate, the fallback never
+    fires, and the selection — and every downstream code/ADC value —
+    is bit-identical to the pure-stride rule."""
+    pref = (F.col("vec_id") % PQ_STRIDE == 0) & (
+        F.col("vec_id") < PQ_K * PQ_STRIDE
+    )
+    return F.when(pref, 0).otherwise(1)
+
+
+#: the SQL twin of ``pq_donor_pref`` — injected into every PQ oracle
+SQL_PQ_DONOR_PREF = (
+    f"(CASE WHEN vec_id % {PQ_STRIDE} = 0"
+    f" AND vec_id < {PQ_K * PQ_STRIDE} THEN 0 ELSE 1 END)"
+)
+
+
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """K×64 codebook from deterministic donor vectors, L2-normalized
     (the stand-in for an offline k-means training run — same pattern
     as the IVF centroid stride). Driver state is K·dim doubles:
-    broadcastable at any corpus size."""
+    broadcastable at any corpus size. Donor selection is the
+    gap-tolerant ``pq_donor_pref`` rule; code index = rank of the
+    donor's vec_id within the selected set (== vec_id // stride on a
+    clean corpus)."""
     emb = emb_table(spark, sf_dir)
     donors = (
-        emb.where(
-            (F.col("vec_id") % PQ_STRIDE == 0)
-            & (F.col("vec_id") < PQ_K * PQ_STRIDE)
-        )
-        .select("vec_id", "embedding")
+        emb.select("vec_id", "embedding")
+        .orderBy(pq_donor_pref().asc(), F.col("vec_id").asc())
+        .limit(PQ_K)
         .collect()
     )
-    cents = {
-        int(r.vec_id) // PQ_STRIDE: _l2_normalize([float(x) for x in r.embedding])
-        for r in donors
-    }
-    return [cents[c] for c in sorted(cents)]
+    if len(donors) < PQ_K:
+        raise ValueError(
+            f"PQ codebook needs ≥{PQ_K} valid vectors; corpus has {len(donors)}"
+        )
+    return [
+        _l2_normalize([float(x) for x in r.embedding])
+        for r in sorted(donors, key=lambda r: int(r.vec_id))
+    ]
 
 
 def sim_pq_topk(
@@ -1087,9 +1114,14 @@ _PQ_NORM_SQL = (
 _PQ_CTES_SQL = f"""WITH norme AS (
   SELECT vec_id, {_PQ_NORM_SQL} AS nv FROM embeddings
 ), donors AS (
-  SELECT CAST(vec_id // {PQ_STRIDE} AS INT) AS c, nv AS cv
-  FROM norme
-  WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_K * PQ_STRIDE}
+  -- gap-tolerant donor rule (twin of pq_donor_pref): stride ids
+  -- first, then smallest valid ids; c = rank by vec_id (== vec_id //
+  -- stride when all stride donors are present)
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, cv FROM (
+    SELECT vec_id, nv AS cv FROM norme
+    ORDER BY {SQL_PQ_DONOR_PREF}, vec_id
+    LIMIT {PQ_K}
+  )
 ), subs AS (
   SELECT unnest(range({PQ_M})) AS m
 ), enc AS (

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from securities_data_pipeline_spark.operators.similarity import (
     CENTROID_STRIDE,
+    SQL_PQ_DONOR_PREF,
     emb_table,
     guard_emb_sql,
     N_CENTROIDS_CAP,
@@ -147,19 +148,31 @@ def _ivfpq_state(
                 best, bi = d, i
         return bi
 
-    donor_ids = sorted(
-        v for v in vecs if v % PQ_STRIDE == 0 and v < PQ_K * PQ_STRIDE
+    # gap-tolerant donor selection (twin of similarity.pq_donor_pref,
+    # fuzz-derived): stride ids first, then smallest valid ids — a
+    # corrupt/quarantined donor degrades to the next valid vector
+    # instead of killing codebook training; bit-identical to the pure
+    # stride rule on a clean corpus
+    from securities_data_pipeline_spark.operators.similarity import pq_donor_pref
+
+    donor_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(pq_donor_pref().asc(), F.col("vec_id").asc())
+        .limit(PQ_K)
+        .collect()
     )
-    if not roster or len(donor_ids) < PQ_K:
+    if not roster or len(donor_rows) < PQ_K:
         raise ValueError(
-            f"ivfpq needs the full deterministic roster/codebook: corpus "
-            f"must contain vec_ids 0..{PQ_K * PQ_STRIDE - 1} at stride "
-            f"{PQ_STRIDE} (got {len(donor_ids)}/{PQ_K} donors, "
-            f"{len(roster)} centroids)"
+            f"ivfpq needs ≥{PQ_K} valid donor vectors and ≥1 centroid: "
+            f"got {len(donor_rows)}/{PQ_K} donors, {len(roster)} centroids"
         )
+    donors = {
+        int(r.vec_id): _l2_normalize([float(x) for x in r.embedding])
+        for r in donor_rows
+    }
     rcb = []
-    for did in donor_ids:  # code index = did // PQ_STRIDE, ascending
-        dv = vecs[did]
+    for did in sorted(donors):  # code index = rank of donor vec_id
+        dv = donors[did]
         cv = roster[assign(dv)]
         rcb.append([x - y for x, y in zip(dv, cv)])
 
@@ -308,9 +321,13 @@ WITH norme AS MATERIALIZED (
     FROM norme e CROSS JOIN cents c
   ) WHERE rn = 1
 ), rcb AS MATERIALIZED (
-  SELECT CAST(vec_id // {PQ_STRIDE} AS INT) AS c, rv AS cbv
-  FROM bucketed
-  WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_K * PQ_STRIDE}
+  -- gap-tolerant donor rule (twin of pq_donor_pref); c = rank by
+  -- vec_id (== vec_id // stride when all stride donors are present)
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, cbv FROM (
+    SELECT vec_id, rv AS cbv FROM bucketed
+    ORDER BY {SQL_PQ_DONOR_PREF}, vec_id
+    LIMIT {PQ_K}
+  )
 ), subs AS (
   SELECT unnest(range({PQ_M})) AS m
 ), codes AS MATERIALIZED (
