@@ -35,6 +35,9 @@ from pyspark.sql import DataFrame, SparkSession
 #     r2-stale — 55 entries, so the driver's ~50-query window clears all
 #     r1 staleness and most of r2; the rest + the r3 block front round 7.
 _ROUND6_FRONT = (
+    # new in round 6 (late additions first — never driver-sampled)
+    "t_bm25_topk", "dedup_link_prediction", "j_salted_skew_join",
+    "t_split_leakage_free",
     # new in round 6
     "q17_small_qty_revenue", "q18_large_volume_customer",
     "q22_global_sales_opportunity", "dedup_triangle_stats",

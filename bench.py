@@ -229,6 +229,10 @@ HEADLINE = [
     "f_sql_udf_revenue",
     "f_pipe_syntax",
     "f_param_query",
+    "t_bm25_topk",
+    "dedup_link_prediction",
+    "j_salted_skew_join",
+    "t_split_leakage_free",
 ]
 
 

@@ -1516,6 +1516,116 @@ DEDUP_QUERIES["dedup_triangle_stats"] = dedup_triangle_stats
 DEDUP_ORACLES["dedup_triangle_stats"] = _sql_triangle_stats()
 
 
+CN_TOPK = 20
+
+
+def common_neighbor_links(pairs: DataFrame, topk: int = CN_TOPK) -> DataFrame:
+    """Common-neighbors link prediction over an undirected graph: the
+    top-``topk`` NON-edges ranked by shared-neighbor count, with the
+    neighborhood-Jaccard coefficient cn/(deg_a+deg_b-cn).
+
+    On the near-dup graph this is the cluster-repair probe: a high-cn
+    non-edge is two documents the banding narrowly missed pairing
+    (e.g. each matched a third copy in different bands) — exactly the
+    edges a second, cheaper verification pass should test before
+    keep-one resolution splits their cluster.
+
+    ``pairs``: (doc_a, doc_b) distinct, doc_a < doc_b. Shape: one
+    self-join of the symmetrized edge list on the shared-neighbor key
+    (each neighbor n contributes C(deg(n), 2) wedge rows — the same
+    wedge volume the triangle census bounds; hub nodes dominate, so a
+    production run over a power-law graph would cap or orient first,
+    see ``triangle_stats``), one count aggregate on the wedge ends,
+    one anti-join to drop existing edges, and a broadcast degree
+    lookup. The Jaccard ratio is an int/int double division — exact
+    IEEE parity across engines, no rounding needed — and the (cn desc,
+    doc_a, doc_b) order is total, so the top-k cut is deterministic.
+    """
+    pairs = pairs.localCheckpoint()
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = sym.groupBy(F.col("doc_a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    s1 = sym.select(F.col("doc_a").alias("n"), F.col("doc_b").alias("a"))
+    s2 = sym.select(F.col("doc_a").alias("n"), F.col("doc_b").alias("b"))
+    cn = (
+        s1.join(s2, "n")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    non_edges = cn.join(
+        pairs,
+        (cn.a == pairs.doc_a) & (cn.b == pairs.doc_b),
+        "left_anti",
+    )
+    out = (
+        non_edges.join(
+            F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))),
+            "b",
+        )
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(
+        F.col("cn").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(topk)
+
+
+def dedup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction over the MinHash-LSH candidate
+    edges — the near-miss pairs a second verification pass should
+    check before cluster resolution."""
+    return common_neighbor_links(lsh_candidate_pairs(table(spark, sf_dir, "documents")))
+
+
+def _sql_link_prediction() -> str:
+    return f"""
+WITH pairs AS ({_sql_lsh_pairs().strip()}),
+sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (
+  SELECT doc_a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY doc_a
+),
+cn AS (
+  SELECT s1.doc_b AS a, s2.doc_b AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.doc_a = s2.doc_a AND s1.doc_b < s2.doc_b
+  GROUP BY s1.doc_b, s2.doc_b
+),
+non_edges AS (
+  SELECT c.a, c.b, c.cn FROM cn c
+  LEFT JOIN pairs p ON c.a = p.doc_a AND c.b = p.doc_b
+  WHERE p.doc_a IS NULL
+)
+SELECT n.a AS doc_a, n.b AS doc_b, n.cn,
+       CAST(n.cn AS DOUBLE) / CAST(da.deg + db.deg - n.cn AS DOUBLE) AS jaccard
+FROM non_edges n
+JOIN deg da ON n.a = da.node
+JOIN deg db ON n.b = db.node
+ORDER BY n.cn DESC, doc_a ASC, doc_b ASC
+LIMIT {CN_TOPK}
+"""
+
+
+DEDUP_QUERIES["dedup_link_prediction"] = dedup_link_prediction
+DEDUP_ORACLES["dedup_link_prediction"] = _sql_link_prediction()
+
+
 INCR_NEW_MOD = 10
 INCR_NEW_REM = 7
 

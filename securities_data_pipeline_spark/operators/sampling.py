@@ -499,6 +499,58 @@ LIMIT {ES_K}
 """
 
 
+def t_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split: the split key is
+    the document's CONNECTED-COMPONENT label, not its own id, so two
+    near-duplicate documents can never straddle a split boundary — the
+    eval-leakage failure mode of doc-level splitting (a test doc whose
+    paraphrase sits in train). ``t_train_split`` is the doc-level
+    baseline; this is the one a real eval pipeline must use.
+
+    Plan: LSH candidate pairs → star-contraction components (the
+    diameter-independent 100 TB path) → ``split_col`` on the component
+    label (pure projection) → per-split counts. Output is the split
+    manifest (docs + clusters per split); the zero-cross-split
+    invariant is structural (split = f(component)) and pinned by test.
+    """
+    from securities_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    labels = connected_components_star(
+        lsh_candidate_pairs(docs), docs.select("doc_id")
+    )
+    return (
+        labels.select(
+            "doc_id",
+            split_col(F.col("component").cast("string")).alias("split"),
+            "component",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_clusters"),
+        )
+    )
+
+
+def _sql_split_leakage_free() -> str:
+    from securities_data_pipeline_spark.operators.dedup import _sql_reach_prefix
+
+    h = sql_seeded_hash64("CAST(component AS VARCHAR)", SPLIT_SEED)
+    return f"""
+{_sql_reach_prefix()}
+SELECT CASE WHEN {h} % 1000 < {SPLIT_TRAIN_PM} THEN 'train'
+            WHEN {h} % 1000 < {SPLIT_VAL_PM} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT component) AS n_clusters
+FROM labels GROUP BY 1
+"""
+
+
 SAMPLING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_sample_stratified": t_sample_stratified,
     "t_token_budget": t_token_budget,
@@ -507,6 +559,7 @@ SAMPLING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_global_shuffle": t_global_shuffle,
     "t_temperature_mix": t_temperature_mix,
     "t_sample_weighted": t_sample_weighted,
+    "t_split_leakage_free": t_split_leakage_free,
 }
 
 SAMPLING_ORACLES: dict[str, str] = {
@@ -517,4 +570,5 @@ SAMPLING_ORACLES: dict[str, str] = {
     "t_global_shuffle": _sql_global_shuffle(),
     "t_temperature_mix": _sql_temperature_mix(),
     "t_sample_weighted": _sql_sample_weighted(),
+    "t_split_leakage_free": _sql_split_leakage_free(),
 }

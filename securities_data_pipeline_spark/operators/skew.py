@@ -199,5 +199,52 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
-SKEW_QUERIES = {"agg_salted_sum": agg_salted_sum}
-SKEW_ORACLES = {"agg_salted_sum": AGG_SALTED_SQL}
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue via the salted fact⋈dim join. The oracle is
+    the plain equi-join — salting must be observationally invisible.
+
+    This is the AQE-independent answer to a hot probe key: supplier
+    replicates ``DEFAULT_SALTS``× (tiny dim — replication is noise),
+    lineitem salts with the retry-deterministic hash, and the hottest
+    suppkey's rows spread over ``DEFAULT_SALTS`` reducers instead of
+    one. The big side projects to 3 columns BEFORE salting so the
+    content hash and the shuffle both move a narrow row. Decimal sums
+    keep the post-join aggregate exact across engines."""
+    from securities_data_pipeline_spark.sources.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_discount").cast("decimal(18,4)").alias("disc"),
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    rev = F.col("price") * (F.lit(1).cast("decimal(18,4)") - F.col("disc"))
+    return (
+        salted_join(li, sup, "l_suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+J_SALTED_SQL = """
+SELECT s_nationkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+SKEW_QUERIES = {
+    "agg_salted_sum": agg_salted_sum,
+    "j_salted_skew_join": j_salted_skew_join,
+}
+SKEW_ORACLES = {
+    "agg_salted_sum": AGG_SALTED_SQL,
+    "j_salted_skew_join": J_SALTED_SQL,
+}

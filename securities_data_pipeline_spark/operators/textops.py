@@ -1207,6 +1207,130 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+#
+# The sparse-retrieval scorer a decontamination / eval-leakage audit
+# runs against the training corpus: given a query term set, rank
+# documents by Okapi BM25. Reference parity: the reference has no
+# retrieval surface at all — this is part of the LLM-pipeline
+# extension mandate (text analysis / retrieval over `documents`).
+
+BM25_QUERY_TERMS: tuple[str, ...] = ("query", "merge", "window", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 50
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-``BM25_TOPK`` documents for a fixed query term
+    set.
+
+    Plan (scale notes): the exploded token stream filters to the
+    query's terms BEFORE any aggregation, so only matching (doc, term)
+    pairs ever shuffle — at 100 TB the tf aggregate is proportional to
+    the posting lists of 4 terms, not the corpus. Document length and
+    the corpus (n_docs, total_dl) roll up from one narrow projection
+    of the same scan; both broadcast back (single-row / per-doc dim).
+    Per-term contributions quantize HALF-UP to int64 micro-units
+    before the per-doc sum — the sum is order-independent (exact
+    integer), so ranking survives partition-order permutation (the
+    invariance gate) and the 6-dp boundary class that engine-native
+    ``round()`` reopens (ADVICE r5).
+    """
+    docs = table(spark, sf_dir, "documents")
+    words_ne = F.filter(words_col(), lambda w: w != "")
+    # (doc_id, dl) is 16 bytes/doc — checkpoint it so the stats
+    # aggregate and the per-doc join share ONE tokenizing scan
+    dl = docs.select("doc_id", F.size(words_ne).alias("dl")).localCheckpoint(
+        eager=False
+    )
+    stats = dl.agg(
+        F.count("dl").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    toks = (
+        docs.select("doc_id", F.explode(words_col()).alias("term"))
+        .where(F.col("term").isin(*BM25_QUERY_TERMS))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfc = F.col("tf").cast("double")
+    denom = tfc + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+    )
+    contrib = idf * tfc * F.lit(BM25_K1 + 1.0) / denom
+    # tie-free half-up micro-unit quantization (contrib >= 0 always:
+    # this idf form is ln(1 + x) with x > 0)
+    contrib_u = F.floor(contrib * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib_u.alias("contrib_u"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib_u").alias("score_u"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            (F.col("score_u").cast("double") / F.lit(1_000_000.0)).alias("bm25"),
+        )
+    )
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len(list_filter({_sql_words()}, w -> w <> '')) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(dl) AS n_docs, SUM(dl) AS total_dl FROM dl
+), toks AS (
+  SELECT doc_id, unnest({_sql_words()}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT doc_id,
+         CAST(floor(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * CAST(tf AS DOUBLE) * {BM25_K1 + 1.0}
+           / (CAST(tf AS DOUBLE)
+              + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * CAST(dl AS DOUBLE)
+                             / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           * 1000000.0 + 0.5) AS BIGINT) AS contrib_u
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), scored AS (
+  SELECT doc_id, SUM(contrib_u) AS score_u, COUNT(*) AS n_terms_matched
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_terms_matched,
+       CAST(score_u AS DOUBLE) / 1000000.0 AS bm25
+FROM scored
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_token_stats": t_token_stats,
     "t_vocab": t_vocab,
@@ -1225,6 +1349,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_tfidf_doc_terms": t_tfidf_doc_terms,
     "t_cms_heavy_hitters": t_cms_heavy_hitters,
     "t_quality_linear": t_quality_linear,
+    "t_bm25_topk": t_bm25_topk,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -1245,4 +1370,5 @@ TEXT_ORACLES: dict[str, str] = {
     "t_tfidf_doc_terms": T_TFIDF_DOC_SQL,
     "t_cms_heavy_hitters": _sql_cms_heavy_hitters(),
     "t_quality_linear": _sql_quality_linear(),
+    "t_bm25_topk": _sql_bm25(),
 }

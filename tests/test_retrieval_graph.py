@@ -1,0 +1,148 @@
+"""BM25 retrieval + common-neighbors link prediction.
+
+Value parity vs DuckDB is the oracle gate's job; these tests pin the
+MATH independently: BM25 against a pure-Python re-computation from the
+raw parquet, link prediction against a hand-built graph with known
+answers.
+"""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.operators.dedup import common_neighbor_links
+from securities_data_pipeline_spark.operators.textops import (
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY_TERMS,
+    BM25_TOPK,
+    t_bm25_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bm25_python(sf_dir: str) -> dict[str, float]:
+    """Independent BM25 in plain Python over the same parquet — no
+    Spark, no DuckDB, no shared code with the operator."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    toks = {
+        r.doc_id: [w for w in str(r.text).strip().lower().split() if w != ""]
+        for r in docs.itertuples()
+        if r.text is not None
+    }
+    n_docs = len(toks)
+    total_dl = sum(len(v) for v in toks.values())
+    avgdl = total_dl / n_docs
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in BM25_QUERY_TERMS
+    }
+    scores: dict[str, float] = {}
+    for doc, words in toks.items():
+        score_u = 0
+        matched = False
+        for t in BM25_QUERY_TERMS:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            matched = True
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            contrib = (
+                idf
+                * tf
+                * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(words) / avgdl))
+            )
+            score_u += math.floor(contrib * 1_000_000.0 + 0.5)
+        if matched:
+            scores[doc] = score_u / 1_000_000.0
+    return scores
+
+
+def test_bm25_matches_pure_python(spark):
+    got = {r.doc_id: (r.bm25, r.n_terms_matched) for r in t_bm25_topk(spark, SF).collect()}
+    assert 0 < len(got) <= BM25_TOPK
+    expected = _bm25_python(SF)
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert {d for d, _ in top} == set(got)
+    for doc, s in top:
+        assert got[doc][0] == pytest.approx(s, abs=1e-9)
+        assert 1 <= got[doc][1] <= len(BM25_QUERY_TERMS)
+
+
+def test_bm25_output_is_rank_ordered(spark):
+    out = t_bm25_topk(spark, SF).collect()
+    keys = [(-r.bm25, r.doc_id) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_common_neighbors_hand_graph(spark):
+    # square with one diagonal: 1-2, 1-3, 2-3, 2-4, 3-4.
+    # Only non-edge: (1,4) with common neighbors {2,3} -> cn=2;
+    # deg(1)=2, deg(4)=2 -> jaccard = 2/(2+2-2) = 1.0
+    edges = spark.createDataFrame(
+        [("1", "2"), ("1", "3"), ("2", "3"), ("2", "4"), ("3", "4")],
+        ["doc_a", "doc_b"],
+    )
+    out = common_neighbor_links(edges).collect()
+    assert [(r.doc_a, r.doc_b, r.cn, r.jaccard) for r in out] == [("1", "4", 2, 1.0)]
+
+
+def test_common_neighbors_excludes_existing_edges(spark):
+    # triangle: every 2-path closes -> no predicted links at all
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["doc_a", "doc_b"]
+    )
+    assert common_neighbor_links(edges).count() == 0
+
+
+def test_leakage_free_split_never_splits_a_cluster(spark):
+    """The property t_split_leakage_free exists for: no near-dup
+    component may span two splits (doc-level splits leak paraphrases
+    across train/test; component-level ones cannot)."""
+    from pyspark.sql import functions as F
+
+    from securities_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+    )
+    from securities_data_pipeline_spark.operators.sampling import (
+        split_col,
+        t_split_leakage_free,
+    )
+    from securities_data_pipeline_spark.sources.tables import table
+
+    docs = table(spark, SF, "documents")
+    labels = connected_components_star(
+        lsh_candidate_pairs(docs), docs.select("doc_id")
+    ).select("doc_id", "component", split_col(F.col("component").cast("string")).alias("split"))
+    spans = (
+        labels.groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+
+    # and the manifest accounts for every doc and every cluster exactly once
+    out = t_split_leakage_free(spark, SF).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    n_components = labels.select("component").distinct().count()
+    assert sum(r.n_clusters for r in out) == n_components
+
+
+def test_common_neighbors_topk_cut_is_deterministic(spark):
+    # star around h: every leaf pair is a non-edge with cn=1; the
+    # top-k cut must take the lexicographically first pairs
+    leaves = [str(i) for i in range(1, 8)]
+    edges = spark.createDataFrame(
+        [("h", x) if "h" < x else (x, "h") for x in leaves], ["doc_a", "doc_b"]
+    )
+    out = common_neighbor_links(edges, topk=5).collect()
+    got = [(r.doc_a, r.doc_b) for r in out]
+    import itertools
+
+    expected = sorted(itertools.combinations(sorted(leaves), 2))[:5]
+    assert got == [tuple(p) for p in expected]

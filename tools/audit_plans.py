@@ -81,6 +81,7 @@ BNLJ_OK = {
     "sec_rolling_beta",
     "q22_global_sales_opportunity",  # 1-row positive-balance avg scalar
     "dedup_triangle_stats",  # 1-row wedge-total × 1-row triangle-count
+    "t_bm25_topk",  # same 1-row (n_docs, total_dl) crossJoin as t_idf
 }
 
 # queries whose POINT is reading every column (data profiling)

@@ -73,12 +73,18 @@ DOC_QUERIES = [
     "dedup_resolve",
     "dedup_incremental",
     "dedup_triangle_stats",
+    "dedup_link_prediction",
+    "t_bm25_topk",
+    "t_split_leakage_free",
     "mm_near_dedup",
     "mm_binary_meta",
     "mm_payload_dedup",
 ]
 
-_WORDS = ["alpha", "beta", "gamma", "delta", "data", "train", "model", "the", "of"]
+# includes two BM25_QUERY_TERMS so the retrieval scorer sees matches
+# on the pathological corpus, not just an empty posting list
+_WORDS = ["alpha", "beta", "gamma", "delta", "data", "train", "model", "the", "of",
+          "merge", "window"]
 
 _PATHOLOGICAL = [
     "",  # empty
