@@ -99,6 +99,10 @@ def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# canonical definition lives beside the scans it compensates for
+from securities_data_pipeline_spark.sources.tables import spread  # noqa: F401,E402
+
+
 def guard_emb_sql(sql: str) -> str:
     """Rewrite an oracle so every ``embeddings`` reference goes through
     the same sanity gate as ``emb_table``: references become a ``__emb``
@@ -142,7 +146,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    corpus = emb.select(F.col("vec_id"), F.col("embedding"), F.col("label"))
+    corpus = spread(emb).select(F.col("vec_id"), F.col("embedding"), F.col("label"))
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -646,7 +650,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sketch feeds both join sides — materialize it once (the
     # at-scale pattern: band keys are written once and reused) instead
     # of analyzing/executing the 48-fold projection twice
-    banded = hyperplane_band_keys(emb, bits=ANN_BITS, bands=ANN_BANDS).localCheckpoint(
+    banded = hyperplane_band_keys(spread(emb), bits=ANN_BITS, bands=ANN_BANDS).localCheckpoint(
         eager=False
     )
     qb = banded.where(F.col("vec_id") < N_QUERIES).select(
@@ -746,7 +750,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential folds).
     """
     emb = emb_table(spark, sf_dir)
-    banded = hyperplane_band_keys(emb).localCheckpoint(eager=False)
+    banded = hyperplane_band_keys(spread(emb)).localCheckpoint(eager=False)
     other = banded.select(
         F.col("vec_id").alias("nbr_id"), F.col("band").alias("band"), F.col("key").alias("key")
     )
@@ -1040,7 +1044,7 @@ def sim_pq_topk(
             "(x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v))"
         )
 
-    normalized = emb.select("vec_id", F.expr(NV_EXPR).alias("_nv"))
+    normalized = spread(emb).select("vec_id", F.expr(NV_EXPR).alias("_nv"))
     encoded = normalized.select(
         "vec_id",
         "_nv",

@@ -230,7 +230,9 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(x, y) -> x - y) AS rv)"
         "), 1)), 1)), 1)"
     )
-    assigned = emb.select(
+    from securities_data_pipeline_spark.operators.similarity import spread
+
+    assigned = spread(emb).select(
         "vec_id", F.expr(f"explode(array({assign_expr}))").alias("_a")
     ).select("vec_id", F.col("_a.b").alias("_bidx"), F.col("_a.rv").alias("_rv"))
 

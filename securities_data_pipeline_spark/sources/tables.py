@@ -66,6 +66,30 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the input arrives in FEWER partitions — for CPU-heavy per-row
+    stages (minhash/hyperplane signatures, codebook argmins, pairwise
+    cosines: interpreted higher-order-function projections whose cost
+    is compute, not IO) that would otherwise pin one core on a small
+    single-row-group file while the rest idle. At cluster scale the
+    scan already arrives in more splits than cores and this is a
+    no-op (the guard returns the input untouched), so the extra
+    shuffle exists only in exactly the regime where it is ~free.
+    Results must be partition-invariant upstream of any use (pure
+    projections + total-order windows) — the invariance gate re-proves
+    that for every registered consumer each round. Measured wins at
+    sf0.1 (single-row-group files, local[32]): sim_ivfpq_rerank_topk
+    3.58 → 2.19 s, dedup_semdedup 7.46 → 2.84 s, same-session A/B."""
+    if df.isStreaming:  # .rdd is illegal on a streaming frame; a
+        return df  # micro-batch is bounded by the trigger anyway
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Pure ``spark.read.parquet`` — no caching, no hints.
 
