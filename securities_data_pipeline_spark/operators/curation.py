@@ -56,7 +56,7 @@ from securities_data_pipeline_spark.operators.textops import (
     round6_ratio,
     words_col,
 )
-from securities_data_pipeline_spark.sources.tables import table
+from securities_data_pipeline_spark.sources.tables import spread, table
 
 # ---------------------------------------------------------------------------
 # repetition filter (Gopher-style duplicate-text heuristics)
@@ -83,7 +83,9 @@ def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization rule (PLANS.md) applies when the shared prefix
     # SHRINKS the data or burns real compute; a split on an
     # already-columnar string column does neither.
-    base = docs.select("doc_id", words_col().alias("ws"))
+    # spread: the split runs twice (stats + bigrams), all per-row CPU
+    # on what is otherwise one input partition (A/B sf0.1: 1.50->0.89 s)
+    base = spread(docs).select("doc_id", words_col().alias("ws"))
     stats = base.select(
         "doc_id",
         F.size("ws").alias("n_tokens"),

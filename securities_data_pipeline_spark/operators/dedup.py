@@ -591,7 +591,13 @@ def simhash_col(bits: int = SIMHASH_BITS):
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # 16 interpreted folds over the word-hash array per row — spread
+    # the single-split scan (no-op at cluster scale). The pairs face's
+    # sf0.1 wall is NOT this: the 16-bit sketch saturates on the
+    # shared-vocab corpus (977 distinct sketches / 5000 docs) and the
+    # TRUE Hamming<=1 pair volume is ~2M rows — an output-size
+    # artifact of the demo sketch width, documented at SIMHASH_BANDS.
+    docs = spread(table(spark, sf_dir, "documents"))
     hashed = docs.select(
         "doc_id",
         F.transform(

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from securities_data_pipeline_spark.operators.textops import _sql_words, words_col
-from securities_data_pipeline_spark.sources.tables import table
+from securities_data_pipeline_spark.sources.tables import spread, table
 
 SUB_K = 5  # minimum duplicated span length, in tokens
 
@@ -87,7 +87,9 @@ def duplicated_spans(docs: DataFrame, *, k: int = SUB_K) -> DataFrame:
 
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: duplicated-substring report over ``documents``."""
-    return duplicated_spans(table(spark, sf_dir, "documents"))
+    # one md5 per k-gram position — per-row CPU; spread the single-
+    # split scan (A/B sf0.1: 2.08 -> 1.14 s; no-op at cluster scale)
+    return duplicated_spans(spread(table(spark, sf_dir, "documents")))
 
 
 def _sql_substring_spans(k: int = SUB_K) -> str:

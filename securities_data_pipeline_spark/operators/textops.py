@@ -29,7 +29,7 @@ from securities_data_pipeline_spark.functions.hashing import (
     sql_seeded_hash64,
     sql_stable_hash64,
 )
-from securities_data_pipeline_spark.sources.tables import table
+from securities_data_pipeline_spark.sources.tables import spread, table
 
 # one source of truth for both engines
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -204,7 +204,7 @@ FROM (
 
 
 def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", lang_id().alias("lang_pred"))
 
 
@@ -307,7 +307,9 @@ def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ignores the NULL ('0x' || NULL = '0x') and its BIGINT cast then
     # errors, while Spark's concat yields NULL — the engines disagree
     # on the garbage row, so the garbage row must not reach the hash
-    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # ~|text| md5s per doc, all per-row — spread the single-split scan
+    # (A/B sf0.1: 6.06 -> 2.55 s; no-op at cluster scale)
+    docs = spread(table(spark, sf_dir, "documents").where(F.col("text").isNotNull()))
     fps = let(
         F.array_join(words_col(), " "),
         lambda t: let(
@@ -857,6 +859,11 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bigram_logprob(docs: DataFrame) -> DataFrame:
+    # per-row pair/token projections dominate — spread a small
+    # single-split scan over the cores (no-op at cluster scale;
+    # A/B sf0.1: 8.2 -> 2.4 s). Decimal per-doc sums stay
+    # order-independent, so values are partition-invariant.
+    docs = spread(docs)
     warr = F.filter(words_col(), lambda x: x != F.lit(""))
     pair_t = "array<struct<w1:string,w2:string>>"
     pairs_col = F.when(
@@ -1036,9 +1043,9 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, probes, and both counts exactly (the md5 hash family is
     engine-portable), so the driver verifies the ALGORITHM, not a
     tolerance."""
-    toks = token_stream(table(spark, sf_dir, "documents")).localCheckpoint(
+    toks = token_stream(spread(table(spark, sf_dir, "documents"))).localCheckpoint(
         eager=False
-    )  # two consumers: cells + exact counts
+    )  # two consumers: cells + exact counts; spread: D hashes/token are per-row CPU
     positions = F.array(
         *[
             F.struct(
@@ -1171,7 +1178,9 @@ def hashed_linear_score(text: Column | str = "text") -> tuple[Column, Column]:
 
 
 def t_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # the hashed-gram score is ~2 md5s per token, all per-row — the
+    # single biggest spread win on the board (A/B sf0.1: 14.0 -> 1.3 s)
+    docs = spread(table(spark, sf_dir, "documents"))
     n, score = hashed_linear_score()
     return docs.select(
         "doc_id",
