@@ -233,6 +233,7 @@ HEADLINE = [
     "dedup_link_prediction",
     "j_salted_skew_join",
     "t_split_leakage_free",
+    "t_quality_logreg",
 ]
 
 

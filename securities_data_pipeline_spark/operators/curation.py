@@ -1038,6 +1038,166 @@ WHERE d.source <> '{BENCH_SOURCE}'
 
 
 # ---------------------------------------------------------------------------
+# distributed quality/domain-classifier TRAINING (batch gradient descent)
+
+LOGREG_ITERS = 2
+#: learning rate 1/2 — kept as an exact rational so the weight update
+#: is pure integer arithmetic (see the micro-unit scheme below)
+LOGREG_TARGET = "src1"  # same target split DSIR up-weights
+
+
+def _logreg_features():
+    """(y, x1, x2) columns: label = target-domain membership; features
+    = token count / 100 and stopword ratio. Both features are exact
+    int-derived double divisions — bit-identical cross-engine."""
+    from securities_data_pipeline_spark.operators.textops import (
+        stopword_count,
+        token_count,
+    )
+
+    y = F.when(F.col("source") == LOGREG_TARGET, 1).otherwise(0).alias("y")
+    n = token_count()
+    x1 = (n.cast("double") / F.lit(100.0)).alias("x1")
+    x2 = (
+        stopword_count().cast("double") / (n + F.lit(1)).cast("double")
+    ).alias("x2")
+    return y, x1, x2
+
+
+def _halfup_div(a: int, b: int) -> int:
+    """Round-half-up a/b (b > 0) with PYTHON floor division — the
+    driver-side twin of the oracle's offset-floor construction."""
+    return (2 * a + b) // (2 * b)
+
+
+def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the target-domain classifier on the cluster: batch
+    gradient descent for logistic regression, ``LOGREG_ITERS`` exact
+    steps from w = 0 — the discriminative twin of ``t_dsir_weights``'s
+    generative importance ratio (fastText-style quality/domain
+    classifiers are trained exactly like this over corpus-scale
+    feature streams).
+
+    Spark shape = the MLlib iteration loop: weights live on the driver
+    (3 ints), each step is ONE scan computing the per-row gradient and
+    ONE integer-sum aggregate (map-side partial combine; 3 BIGINTs +
+    a count cross the wire); updated weights re-enter the next step's
+    plan as literals. No shuffle of rows, ever; at 100 TB each step is
+    a scan-speed map + a 4-number reduce.
+
+    Exactness contract (why the oracle can pin a TRAINED model):
+    per-row gradient components quantize HALF-UP to int64 micro-units
+    (``floor(g·1e6 + 0.5)`` — same on both engines for either sign),
+    so the per-step sums are order-independent exact integers; the
+    update Δw = η·S̄ with η = 1/2 is the integer half-up division
+    S_u/(2n), and weights stay exact micro-unit ints end-to-end. The
+    only cross-engine float surface is σ(z) per row (exp parity at
+    1e-6 quantization — the established ln()/round precedent).
+
+    Oracle: the same two steps UNROLLED in SQL CTEs (the
+    dedup_pagerank pattern for iterative algorithms).
+    """
+    y, x1, x2 = _logreg_features()
+    feats = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(y, x1, x2)
+        .localCheckpoint(eager=False)  # scanned once per GD step
+    )
+
+    def quant(col):
+        return F.floor(col * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+
+    w = [0, 0, 0]  # micro-unit ints on the driver
+    n_train = None
+    for _ in range(LOGREG_ITERS):
+        z = (
+            F.lit(w[0] / 1e6)
+            + F.lit(w[1] / 1e6) * F.col("x1")
+            + F.lit(w[2] / 1e6) * F.col("x2")
+        )
+        r = F.col("y").cast("double") - F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(quant(r)).alias("s0"),
+            F.sum(quant(r * F.col("x1"))).alias("s1"),
+            F.sum(quant(r * F.col("x2"))).alias("s2"),
+        ).collect()[0]
+        n_train = int(row["n"])
+        for j, s in enumerate((int(row["s0"]), int(row["s1"]), int(row["s2"]))):
+            w[j] += _halfup_div(s, 2 * n_train)  # η = 1/2 → S_u/(2n)
+    return spark.createDataFrame(
+        [
+            ("bias", w[0] / 1e6, n_train),
+            ("tokens_per_100", w[1] / 1e6, n_train),
+            ("stopword_ratio", w[2] / 1e6, n_train),
+        ],
+        "feature string, weight double, n_train bigint",
+    )
+
+
+def _sql_logreg() -> str:
+    from securities_data_pipeline_spark.operators.textops import STOPWORDS
+
+    sw = f"len(list_filter({_sql_words()}, w -> w IN {STOPWORDS!r}))"
+    nt = f"len({_sql_words()})"
+    # offset-floor half-up division in pure int64: floor((2S+2n)/(4n))
+    # computed as ((t + K*d) - (t + K*d) % d)/d - K with t + K*d >= 0,
+    # because engines disagree on %/integer-division for NEGATIVE
+    # operands while agreeing for non-negative ones. K*d <= 4e13 and
+    # |t| < 1e12, so everything stays far inside int64.
+    K = 1_000_000_000
+
+    def upd(s: str, prev: str) -> str:
+        t = f"(2*({s}) + 2*n)"
+        tp = f"({t} + {K}::BIGINT * 4 * n)"
+        return f"({prev} + ({tp} - {tp} % (4*n)) / (4*n) - {K})"
+
+    def quant(g: str) -> str:
+        return f"CAST(floor(({g}) * 1000000.0 + 0.5) AS BIGINT)"
+
+    def sums(wb: str, w1: str, w2: str, tag: str) -> str:
+        z = f"(({wb})/1e6 + ({w1})/1e6 * x1 + ({w2})/1e6 * x2)"
+        r = f"(CAST(y AS DOUBLE) - 1.0/(1.0 + exp(-{z})))"
+        return (
+            f"SELECT SUM({quant(r)}) AS s0_{tag}, "
+            f"SUM({quant(f'{r} * x1')}) AS s1_{tag}, "
+            f"SUM({quant(f'{r} * x2')}) AS s2_{tag} FROM f"
+        )
+
+    return f"""
+WITH f AS MATERIALIZED (
+  SELECT CASE WHEN source = '{LOGREG_TARGET}' THEN 1 ELSE 0 END AS y,
+         CAST({nt} AS DOUBLE) / 100.0 AS x1,
+         CAST({sw} AS DOUBLE) / CAST({nt} + 1 AS DOUBLE) AS x2
+  FROM documents WHERE text IS NOT NULL
+), nn AS (SELECT COUNT(*) AS n FROM f),
+g1 AS ({sums("0", "0", "0", "a")}),
+w1 AS (
+  SELECT CAST({upd("s0_a", "0")} AS BIGINT) AS w0,
+         CAST({upd("s1_a", "0")} AS BIGINT) AS w1,
+         CAST({upd("s2_a", "0")} AS BIGINT) AS w2
+  FROM g1 CROSS JOIN nn
+),
+g2 AS (
+  SELECT s.* FROM w1, LATERAL ({sums("w1.w0", "w1.w1", "w1.w2", "b")}) s
+),
+w2 AS (
+  SELECT CAST({upd("s0_b", "w1.w0")} AS BIGINT) AS w0,
+         CAST({upd("s1_b", "w1.w1")} AS BIGINT) AS w1,
+         CAST({upd("s2_b", "w1.w2")} AS BIGINT) AS w2
+  FROM g2 CROSS JOIN w1 CROSS JOIN nn
+)
+SELECT 'bias' AS feature, CAST(w0 AS DOUBLE)/1e6 AS weight, n AS n_train
+FROM w2 CROSS JOIN nn
+UNION ALL
+SELECT 'tokens_per_100', CAST(w1 AS DOUBLE)/1e6, n FROM w2 CROSS JOIN nn
+UNION ALL
+SELECT 'stopword_ratio', CAST(w2 AS DOUBLE)/1e6, n FROM w2 CROSS JOIN nn
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1051,6 +1211,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_decontaminate_fuzzy": t_decontaminate_fuzzy,
     "dedup_semdedup": dedup_semdedup,
     "t_dsir_weights": t_dsir_weights,
+    "t_quality_logreg": t_quality_logreg,
 }
 
 def _guard_emb(sql: str) -> str:
@@ -1070,4 +1231,5 @@ CURATION_ORACLES: dict[str, str] = {
     "t_decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
     "dedup_semdedup": _guard_emb(_sql_semdedup()),
     "t_dsir_weights": _sql_dsir_weights(),
+    "t_quality_logreg": _sql_logreg(),
 }

@@ -78,6 +78,47 @@ def test_bm25_output_is_rank_ordered(spark):
     assert keys == sorted(keys)
 
 
+def test_quality_logreg_matches_pure_python(spark):
+    """Re-run the exact GD scheme in plain Python over the raw parquet
+    — independent of Spark AND DuckDB. Exactness means the trained
+    weights must agree to the last micro-unit."""
+    from securities_data_pipeline_spark.operators.curation import (
+        LOGREG_ITERS,
+        LOGREG_TARGET,
+        _halfup_div,
+        t_quality_logreg,
+    )
+    from securities_data_pipeline_spark.operators.textops import STOPWORDS
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["text", "source"]]
+    rows = []
+    for r in docs.itertuples():
+        if r.text is None:
+            continue
+        toks = str(r.text).strip().lower().split()
+        # Spark's split on '' yields [''] — size 1; Python split yields []
+        nt = len(toks) if toks else 1
+        sw = sum(1 for t in toks if t in STOPWORDS)
+        rows.append((1 if r.source == LOGREG_TARGET else 0, nt / 100.0, sw / (nt + 1)))
+    n = len(rows)
+    w = [0, 0, 0]
+    for _ in range(LOGREG_ITERS):
+        s = [0, 0, 0]
+        for y, x1, x2 in rows:
+            z = w[0] / 1e6 + w[1] / 1e6 * x1 + w[2] / 1e6 * x2
+            r_ = y - 1.0 / (1.0 + math.exp(-z))
+            for j, x in enumerate((1.0, x1, x2)):
+                s[j] += math.floor(r_ * x * 1_000_000.0 + 0.5)
+        for j in range(3):
+            w[j] += _halfup_div(s[j], 2 * n)
+    got = {r.feature: (r.weight, r.n_train) for r in t_quality_logreg(spark, SF).collect()}
+    assert got == {
+        "bias": (w[0] / 1e6, n),
+        "tokens_per_100": (w[1] / 1e6, n),
+        "stopword_ratio": (w[2] / 1e6, n),
+    }
+
+
 def test_common_neighbors_hand_graph(spark):
     # square with one diagonal: 1-2, 1-3, 2-3, 2-4, 3-4.
     # Only non-edge: (1,4) with common neighbors {2,3} -> cn=2;

@@ -76,6 +76,7 @@ DOC_QUERIES = [
     "dedup_link_prediction",
     "t_bm25_topk",
     "t_split_leakage_free",
+    "t_quality_logreg",
     "mm_near_dedup",
     "mm_binary_meta",
     "mm_payload_dedup",

@@ -58,12 +58,25 @@ def amplify_documents(spark, sf_dir: str, factor: int, out_dir: str) -> str:
 def _extra_stress_queries():
     """Round-6 additions: the ingest-shaped asymmetric join and the
     binary block-sketch tier (rows counted = matches / pairs)."""
-    from securities_data_pipeline_spark.operators.dedup import dedup_incremental
+    from securities_data_pipeline_spark.operators.curation import t_quality_logreg
+    from securities_data_pipeline_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_link_prediction,
+    )
     from securities_data_pipeline_spark.operators.multimodal import mm_near_dedup
+    from securities_data_pipeline_spark.operators.sampling import t_split_leakage_free
+    from securities_data_pipeline_spark.operators.textops import t_bm25_topk
 
     return [
         ("dedup_incremental", dedup_incremental),
         ("mm_near_dedup", mm_near_dedup),
+        # round-6 continued-session additions (documents-only surface):
+        # retrieval scorer, graph link prediction, component-keyed
+        # split, distributed GD training
+        ("t_bm25_topk", t_bm25_topk),
+        ("dedup_link_prediction", dedup_link_prediction),
+        ("t_split_leakage_free", t_split_leakage_free),
+        ("t_quality_logreg", t_quality_logreg),
     ]
 
 
