@@ -234,6 +234,7 @@ HEADLINE = [
     "j_salted_skew_join",
     "t_split_leakage_free",
     "t_quality_logreg",
+    "sec_macd",
 ]
 
 

@@ -832,6 +832,120 @@ SECURITIES_QUERIES["sec_ewma"] = sec_ewma
 SECURITIES_ORACLES["sec_ewma"] = _sql_ewma()
 
 
+# MACD with demo geometry (fast 6 / slow 13 / signal 5 — the corpus
+# has ≤30 bars per symbol, so the textbook 12/26/9 would emit zero
+# full windows at the gate SF; production geometry is a constant swap
+# on the identical plan). Same truncated-EWMA exactness recipe as
+# sec_ewma: ppb weights for the two price EMAs (int64 cents×ppb sums),
+# then the MACD line quantizes HALF-UP to int64 micro-units so the
+# signal EMA is again an exact integer sum — ppm weights there, since
+# micro-dollar MACD × ppb would overflow int64. Floats appear only in
+# the three final divisions/subtractions, identical IEEE ops from
+# identical int64s on both engines.
+MACD_FAST, MACD_SLOW, MACD_SIG = 6, 13, 5
+
+
+def _ppw(span: int, scale: int) -> list[int]:
+    return [round((1 - 2 / (span + 1)) ** j * scale) for j in range(span)]
+
+
+_MACD_WF = _ppw(MACD_FAST, 1_000_000_000)
+_MACD_WS = _ppw(MACD_SLOW, 1_000_000_000)
+_MACD_WG = _ppw(MACD_SIG, 1_000_000)
+_MACD_WF_SUM, _MACD_WS_SUM, _MACD_WG_SUM = (
+    sum(_MACD_WF), sum(_MACD_WS), sum(_MACD_WG),
+)
+
+
+def sec_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(fast, slow, signal) per symbol: fast-EMA − slow-EMA of the
+    close, plus the signal EMA of the MACD line and the histogram —
+    the momentum indicator stack one tier up from ``sec_sma_crossover``.
+
+    Plan: ONE shuffle+sort on (symbol, date_stamp) feeds BOTH window
+    passes — the lag chains for the two price EMAs and, stacked on the
+    same sorted partition, the lag chain for the signal EMA over the
+    quantized MACD column (Spark chains window operators after a
+    single Exchange+Sort when partitioning/ordering match). Rows emit
+    only when the slow window AND the signal window are both full.
+    """
+    from pyspark.sql import Window
+
+    ev = ticks(spark, sf_dir)
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg((F.max("value").cast("decimal(12,2)") * 100).cast("long").alias("pc"))
+    w = Window.partitionBy("symbol").orderBy("date_stamp")
+
+    def ema_sum(weights: list[int], col: str):
+        total = F.lag(col, 0).over(w) * F.lit(weights[0])
+        for j, wq in enumerate(weights[1:], start=1):
+            total = total + F.lag(col, j).over(w) * F.lit(wq)
+        return total
+
+    macd = (
+        ema_sum(_MACD_WF, "pc").cast("double")
+        / (F.lit(100.0) * F.lit(float(_MACD_WF_SUM)))
+        - ema_sum(_MACD_WS, "pc").cast("double")
+        / (F.lit(100.0) * F.lit(float(_MACD_WS_SUM)))
+    )
+    m = bars.select(
+        "symbol",
+        "date_stamp",
+        macd.alias("macd"),
+        F.floor(macd * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("_mu"),
+    ).where(F.col("macd").isNotNull())
+    sig = ema_sum(_MACD_WG, "_mu").cast("double") / (
+        F.lit(1_000_000.0) * F.lit(float(_MACD_WG_SUM))
+    )
+    return (
+        m.select("symbol", "date_stamp", "macd", sig.alias("macd_signal"))
+        .where(F.col("macd_signal").isNotNull())
+        .withColumn("histogram", F.col("macd") - F.col("macd_signal"))
+    )
+
+
+def _sql_macd() -> str:
+    tf = " + ".join(f"lag(pc, {j}) OVER w * {wq}" for j, wq in enumerate(_MACD_WF))
+    ts_ = " + ".join(f"lag(pc, {j}) OVER w * {wq}" for j, wq in enumerate(_MACD_WS))
+    tg = " + ".join(
+        f"lag(mu, {j}) OVER w2 * {wq}" for j, wq in enumerate(_MACD_WG)
+    )
+    return f"""
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         CAST(CAST(MAX(value) AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+  FROM events
+  GROUP BY 1, 2
+), m AS (
+  SELECT symbol, date_stamp,
+         CAST(({tf}) AS DOUBLE) / (CAST(100.0 AS DOUBLE) * CAST({float(_MACD_WF_SUM)!r} AS DOUBLE))
+         - CAST(({ts_}) AS DOUBLE) / (CAST(100.0 AS DOUBLE) * CAST({float(_MACD_WS_SUM)!r} AS DOUBLE))
+           AS macd
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp)
+), mu AS (
+  SELECT symbol, date_stamp, macd,
+         CAST(floor(macd * 1000000.0 + 0.5) AS BIGINT) AS mu
+  FROM m WHERE macd IS NOT NULL
+), s AS (
+  SELECT symbol, date_stamp, macd,
+         CAST(({tg}) AS DOUBLE)
+           / (CAST(1000000.0 AS DOUBLE) * CAST({float(_MACD_WG_SUM)!r} AS DOUBLE)) AS macd_signal
+  FROM mu
+  WINDOW w2 AS (PARTITION BY symbol ORDER BY date_stamp)
+)
+SELECT symbol, date_stamp, macd, macd_signal, macd - macd_signal AS histogram
+FROM s WHERE macd_signal IS NOT NULL
+"""
+
+
+SECURITIES_QUERIES["sec_macd"] = sec_macd
+SECURITIES_ORACLES["sec_macd"] = _sql_macd()
+
+
 # every securities query reads events through the ``tick_ok`` admission
 # gate (functions/gates.py, fuzz-derived: one NaN/±inf/1e308 "price"
 # aborted the whole family at the ANSI decimal/cents casts) — wrap every

@@ -56,6 +56,7 @@ EVENT_QUERIES = [
     "sec_weekly_bars",
     "sec_vwap",
     "sec_ewma",
+    "sec_macd",
     "sec_rsi",
     "sec_sma_crossover",
     "sec_drawdown",
