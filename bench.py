@@ -235,6 +235,7 @@ HEADLINE = [
     "t_split_leakage_free",
     "t_quality_logreg",
     "sec_macd",
+    "sec_bollinger",
 ]
 
 

@@ -946,6 +946,102 @@ SECURITIES_QUERIES["sec_macd"] = sec_macd
 SECURITIES_ORACLES["sec_macd"] = _sql_macd()
 
 
+BOLL_N = 7  # demo frame (production 20 is a constant swap)
+BOLL_K = 2  # band width in standard deviations
+
+
+def sec_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands + %B per symbol: rolling mean ± K·σ over an
+    N-bar frame, and the close's position inside the band — the
+    mean-reversion companion to the momentum stack (`sec_macd`,
+    `sec_sma_crossover`).
+
+    Exactness: unlike `sec_rolling_vol` (engine `stddev_samp` over an
+    identical frame), the band math here runs on EXACT integer-cent
+    moments — Σpc and Σpc² accumulate in int64 over the frame, the
+    sample-variance numerator n·Σpc²−(Σpc)² cancels in integers, and
+    the only floats are the final sqrt/divisions from identical
+    int64s (bounds: pc ≤ 2e7 cents ⇒ n·Σpc² ≤ 2.8e16 ≪ 2^63, loud
+    ANSI overflow beyond). Zero-variance frames (a constant price —
+    the fuzz-relational degenerate-group class) emit NULL %B on both
+    engines instead of an ANSI ÷0 abort. Rows emit only when the
+    frame is full. One shuffle+sort serves all three window columns.
+    """
+    from pyspark.sql import Window
+
+    ev = ticks(spark, sf_dir)
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg((F.max("value").cast("decimal(12,2)") * 100).cast("long").alias("pc"))
+    w = Window.partitionBy("symbol").orderBy("date_stamp")
+    wf = w.rowsBetween(-(BOLL_N - 1), 0)
+    base = bars.select(
+        "symbol",
+        "date_stamp",
+        "pc",
+        F.sum("pc").over(wf).alias("s"),
+        F.sum(F.col("pc") * F.col("pc")).over(wf).alias("ss"),
+        F.lag("pc", BOLL_N - 1).over(w).isNotNull().alias("_full"),
+    ).where(F.col("_full"))
+    n = F.lit(BOLL_N).cast("long")
+    var_num = (n * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    sd = F.sqrt(var_num / F.lit(float(BOLL_N * (BOLL_N - 1)))) / F.lit(100.0)
+    mid = F.col("s").cast("double") / F.lit(float(BOLL_N * 100))
+    px = F.col("pc").cast("double") / F.lit(100.0)
+    upper = mid + F.lit(float(BOLL_K)) * sd
+    lower = mid - F.lit(float(BOLL_K)) * sd
+    return base.select(
+        "symbol",
+        "date_stamp",
+        px.alias("px"),
+        mid.alias("mid"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        F.when(sd > 0, (px - lower) / (upper - lower)).alias("pct_b"),
+    )
+
+
+def _sql_bollinger() -> str:
+    nn = BOLL_N
+    return f"""
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         CAST(CAST(MAX(value) AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+  FROM events
+  GROUP BY 1, 2
+), f AS (
+  SELECT symbol, date_stamp, pc,
+         SUM(pc) OVER wf AS s,
+         SUM(pc * pc) OVER wf AS ss,
+         lag(pc, {nn - 1}) OVER w IS NOT NULL AS full_w
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp),
+         wf AS (PARTITION BY symbol ORDER BY date_stamp
+                ROWS BETWEEN {nn - 1} PRECEDING AND CURRENT ROW)
+), b AS (
+  SELECT symbol, date_stamp,
+         CAST(pc AS DOUBLE) / 100.0 AS px,
+         CAST(s AS DOUBLE) / {float(nn * 100)!r} AS mid,
+         sqrt(CAST({nn} * ss - s * s AS DOUBLE) / {float(nn * (nn - 1))!r}) / 100.0 AS sd
+  FROM f WHERE full_w
+)
+SELECT symbol, date_stamp, px, mid,
+       mid + {float(BOLL_K)!r} * sd AS upper,
+       mid - {float(BOLL_K)!r} * sd AS lower,
+       CASE WHEN sd > 0
+            THEN (px - (mid - {float(BOLL_K)!r} * sd))
+                 / ((mid + {float(BOLL_K)!r} * sd) - (mid - {float(BOLL_K)!r} * sd))
+       END AS pct_b
+FROM b
+"""
+
+
+SECURITIES_QUERIES["sec_bollinger"] = sec_bollinger
+SECURITIES_ORACLES["sec_bollinger"] = _sql_bollinger()
+
+
 # every securities query reads events through the ``tick_ok`` admission
 # gate (functions/gates.py, fuzz-derived: one NaN/±inf/1e308 "price"
 # aborted the whole family at the ANSI decimal/cents casts) — wrap every

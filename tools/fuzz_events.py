@@ -57,6 +57,7 @@ EVENT_QUERIES = [
     "sec_vwap",
     "sec_ewma",
     "sec_macd",
+    "sec_bollinger",
     "sec_rsi",
     "sec_sma_crossover",
     "sec_drawdown",
