@@ -236,6 +236,7 @@ HEADLINE = [
     "t_quality_logreg",
     "sec_macd",
     "sec_bollinger",
+    "dedup_banding_curve",
 ]
 
 

@@ -1637,6 +1637,119 @@ DEDUP_QUERIES["dedup_link_prediction"] = dedup_link_prediction
 DEDUP_ORACLES["dedup_link_prediction"] = _sql_link_prediction()
 
 
+#: (bands, rows) sweeps over the 8-slice signature — every divisor
+#: geometry from strictest (1×8: candidates must match the FULL
+#: signature) to loosest (4×2: the production default's shape)
+CURVE_GEOMETRIES: tuple[tuple[int, int], ...] = ((1, 8), (2, 4), (4, 2))
+CURVE_EST_MIN = 4  # "estimated duplicate": ≥4 of 8 slices agree (Ĵ ≥ 0.5)
+
+
+def dedup_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding calibration report: for every (bands, rows)
+    geometry over the SAME minhash signatures, the candidate-pair
+    count and how many candidates the full signature estimates as
+    true duplicates (Ĵ ≥ 0.5) — the empirical S-curve a dedup engineer
+    reads before picking production geometry (more bands → higher
+    recall, lower precision; this emits the tradeoff as data instead
+    of the textbook formula 1−(1−J^r)^b).
+
+    Plan: the signature table computes ONCE (checkpoint) and feeds
+    every geometry's band keying — per geometry one bucket shuffle +
+    two signature joins for the 8-slice agreement count; the three
+    one-row stat aggregates union. At 100 TB this is the calibration
+    job you run on a sample, so the candidate volumes stay bounded by
+    the sample; the signature pass (the expensive part at scale) is
+    shared across all geometries by construction.
+    """
+    sig = minhash_signatures(table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(N_MINHASH)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(N_MINHASH)]
+    )
+    matches = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(N_MINHASH)
+    )
+    out = None
+    for bands, rows_ in CURVE_GEOMETRIES:
+        pairs = bucket_pairs(banded_signatures(sig, bands))
+        stats = (
+            pairs.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.coalesce(
+                    F.sum((matches >= CURVE_EST_MIN).cast("long")), F.lit(0).cast("long")
+                ).alias("n_est_dups"),
+            )
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rows_).alias("rows_per_band"),
+                "n_candidates",
+                "n_est_dups",
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_est_dups").cast("double")
+                    / F.col("n_candidates").cast("double"),
+                ).alias("est_precision"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def _sql_banding_curve() -> str:
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    blocks, selects = [], []
+    for bands, rows_ in CURVE_GEOMETRIES:
+        g = f"g{bands}"
+        blocks.append(f"b{bands} AS ({_sql_banded_union(bands, N_MINHASH)})")
+        blocks.append(
+            f"""p{bands} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM b{bands} a JOIN b{bands} b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+        )
+        blocks.append(
+            f"""{g} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(COALESCE(SUM(CASE WHEN {matches} >= {CURVE_EST_MIN} THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_est_dups
+  FROM p{bands}
+  JOIN sig sa ON p{bands}.doc_a = sa.doc_id
+  JOIN sig sb ON p{bands}.doc_b = sb.doc_id
+)"""
+        )
+        selects.append(
+            f"""SELECT {bands} AS bands, {rows_} AS rows_per_band,
+       n_candidates, n_est_dups,
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_est_dups AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+       END AS est_precision
+FROM {g}"""
+        )
+    mins = ", ".join(f"{_sql_minhash_slice(s)} AS mh{s}" for s in range(N_MINHASH))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+),
+{", ".join(blocks)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+DEDUP_QUERIES["dedup_banding_curve"] = dedup_banding_curve
+DEDUP_ORACLES["dedup_banding_curve"] = _sql_banding_curve()
+
+
 INCR_NEW_MOD = 10
 INCR_NEW_REM = 7
 

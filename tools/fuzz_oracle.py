@@ -77,6 +77,7 @@ DOC_QUERIES = [
     "t_bm25_topk",
     "t_split_leakage_free",
     "t_quality_logreg",
+    "dedup_banding_curve",
     "mm_near_dedup",
     "mm_binary_meta",
     "mm_payload_dedup",
