@@ -237,6 +237,7 @@ HEADLINE = [
     "sec_macd",
     "sec_bollinger",
     "dedup_banding_curve",
+    "j_bloom_prefilter",
 ]
 
 

@@ -240,11 +240,123 @@ FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
 """
 
+# ---------------------------------------------------------------------------
+# bloom-prefiltered join (explicit semi-join reduction)
+
+BLOOM_JOIN_BITS = 1 << 16  # 8 KiB bitmap — fixed size at ANY corpus scale
+BLOOM_JOIN_K = 4
+BLOOM_PRIORITY = "1-URGENT"
+BLOOM_D1, BLOOM_D2 = "1995-01-01", "1996-01-01"
+
+
+def _bj_positions(key: Column) -> list[Column]:
+    from securities_data_pipeline_spark.functions.hashing import seeded_hash64
+
+    h1 = seeded_hash64(key.cast("string"), 301)
+    h2 = seeded_hash64(key.cast("string"), 302)
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_JOIN_BITS)) for i in range(BLOOM_JOIN_K)
+    ]
+
+
+def bloom_filter_build(keys: DataFrame, key_col: str) -> list[int]:
+    """Collect a key set's bloom bitmap as int64 words. The driver
+    transfer is bounded by DISTINCT BIT POSITIONS (≤ BLOOM_JOIN_BITS
+    rows) — constant regardless of how many keys the build side holds."""
+    pos = (
+        keys.select(F.explode(F.array(*_bj_positions(F.col(key_col)))).alias("p"))
+        .distinct()
+    )
+    words = [0] * (BLOOM_JOIN_BITS // 64)
+    for r in pos.collect():
+        words[r.p // 64] |= 1 << (r.p % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(key: Column, words: list[int]) -> Column:
+    """In-plan k-probe membership test against the literal bitmap —
+    a zero-shuffle scan predicate (codegen'd getbit chain)."""
+    bloom = F.array(*[F.lit(w).cast("long") for w in words])
+    out = None
+    for p in _bj_positions(key):
+        t = (
+            F.getbit(
+                F.element_at(bloom, (p / F.lit(64)).cast("int") + F.lit(1)),
+                p % F.lit(64),
+            )
+            == F.lit(1)
+        )
+        out = t if out is None else out & t
+    return out
+
+
+def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly bloom-prefiltered fact⋈dim join: revenue of
+    lineitems belonging to urgent 1995 orders, with the fact side
+    reduced AT THE SCAN by an 8 KiB bloom bitmap of the selected
+    order keys before any shuffle — the manual form of the semi-join
+    reduction / runtime-filter pass (Spark's own
+    ``runtime.bloomFilter`` does this adaptively; this operator is
+    the deterministic, tunable version a pipeline pins down).
+
+    Scale shape: the build side collects only distinct BIT POSITIONS
+    (≤ 2^16 rows however many orders match), the probe is a
+    zero-shuffle codegen'd predicate on the scan, and only the
+    ~selectivity fraction of the fact survives to the real join —
+    which then removes the bloom's false positives, so the result is
+    EXACT and the oracle is the plain join. At 100 TB the shuffle
+    volume drops ∝ selectivity for 8 KiB of broadcast state.
+    """
+    from securities_data_pipeline_spark.sources.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+    sel = orders.where(
+        (F.col("o_orderpriority") == BLOOM_PRIORITY)
+        & (F.col("o_orderdate") >= F.lit(BLOOM_D1).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(BLOOM_D2).cast("timestamp"))
+    ).select("o_orderkey")
+    words = bloom_filter_build(sel, "o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_discount").cast("decimal(18,4)").alias("disc"),
+    )
+    prefiltered = li.where(bloom_might_contain(F.col("l_orderkey"), words))
+    rev = F.col("price") * (F.lit(1).cast("decimal(18,4)") - F.col("disc"))
+    return (
+        prefiltered.join(
+            F.broadcast(sel), prefiltered.l_orderkey == sel.o_orderkey
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+J_BLOOM_SQL = f"""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '{BLOOM_PRIORITY}'
+  AND o_orderdate >= TIMESTAMP '{BLOOM_D1} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{BLOOM_D2} 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
 SKEW_QUERIES = {
     "agg_salted_sum": agg_salted_sum,
     "j_salted_skew_join": j_salted_skew_join,
+    "j_bloom_prefilter": j_bloom_prefilter,
 }
 SKEW_ORACLES = {
     "agg_salted_sum": AGG_SALTED_SQL,
     "j_salted_skew_join": J_SALTED_SQL,
+    "j_bloom_prefilter": J_BLOOM_SQL,
 }

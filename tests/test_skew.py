@@ -35,6 +35,25 @@ def test_salted_group_sum_matches_direct(spark):
     assert salted == direct
 
 
+def test_bloom_filter_no_false_negatives(spark):
+    """Every key that went INTO the bitmap must pass the in-plan probe
+    (bloom's one-sided guarantee — the join's exactness rests on it);
+    the bitmap stays its fixed word count regardless of key volume."""
+    from pyspark.sql import functions as F
+
+    from securities_data_pipeline_spark.operators.skew import (
+        BLOOM_JOIN_BITS,
+        bloom_filter_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 5000, 7).select(F.col("id").alias("k"))
+    words = bloom_filter_build(keys, "k")
+    assert len(words) == BLOOM_JOIN_BITS // 64
+    misses = keys.where(~bloom_might_contain(F.col("k"), words)).count()
+    assert misses == 0
+
+
 def test_salted_join_matches_direct(spark):
     big = _skewed_df(spark)
     small = spark.createDataFrame(
