@@ -279,3 +279,27 @@ def test_salted_ops_reject_reserved_scratch_columns(spark):
         salted_join(df, small, "k")
     with _pytest.raises(ValueError, match="reserves scratch columns"):
         salted_join(small, df, "k")
+
+
+def test_spread_contract(spark):
+    """spread() must be a no-op exactly where repartition would be
+    waste: already-spread inputs and streaming frames; and it must
+    fan a single-partition frame out to default parallelism."""
+    from pyspark.sql import functions as F
+
+    from securities_data_pipeline_spark.sources.tables import spread
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(100).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    assert spread(one).rdd.getNumPartitions() == par
+
+    wide = spark.range(1000).repartition(par + 4)
+    assert spread(wide) is wide  # guard returns the input untouched
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "1")
+        .load()
+    )
+    assert spread(stream) is stream  # .rdd is illegal on streaming frames
