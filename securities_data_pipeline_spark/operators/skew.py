@@ -250,10 +250,15 @@ BLOOM_D1, BLOOM_D2 = "1995-01-01", "1996-01-01"
 
 
 def _bj_positions(key: Column) -> list[Column]:
-    from securities_data_pipeline_spark.functions.hashing import seeded_hash64
-
-    h1 = seeded_hash64(key.cast("string"), 301)
-    h2 = seeded_hash64(key.cast("string"), 302)
+    """k double-hashed bit positions via native ``xxhash64`` — NOT the
+    md5-derived cross-engine family: the oracle never computes the
+    bloom (it is a prefilter the exact join erases), so the only
+    requirements are determinism and speed, and xxhash64 is codegen'd
+    JVM-side (~5× cheaper than the md5/conv family on the fact scan:
+    6.5 → 1.2 s measured). Both hashes reduce mod m BEFORE the i·h2
+    step so the position arithmetic can't overflow int64 under ANSI."""
+    h1 = F.pmod(F.xxhash64(key, F.lit(301)), F.lit(BLOOM_JOIN_BITS))
+    h2 = F.pmod(F.xxhash64(key, F.lit(302)), F.lit(BLOOM_JOIN_BITS))
     return [
         F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_JOIN_BITS)) for i in range(BLOOM_JOIN_K)
     ]
@@ -275,8 +280,13 @@ def bloom_filter_build(keys: DataFrame, key_col: str) -> list[int]:
 
 def bloom_might_contain(key: Column, words: list[int]) -> Column:
     """In-plan k-probe membership test against the literal bitmap —
-    a zero-shuffle scan predicate (codegen'd getbit chain)."""
-    bloom = F.array(*[F.lit(w).cast("long") for w in words])
+    a zero-shuffle codegen'd scan predicate (xxhash64 + getbit chain;
+    duplicating the cheap hashes across the k probes beats both the
+    md5 family and a `let` HOF binding, which de-codegens the filter)."""
+    # ONE parsed expression for the 1024-word bitmap literal — the
+    # element-wise F.lit form is ~2k py4j round trips (~2 s of pure
+    # driver latency per call; the similarity.py hyperplane-band lesson)
+    bloom = F.expr("array(" + ", ".join(f"{w}L" for w in words) + ")")
     out = None
     for p in _bj_positions(key):
         t = (
@@ -316,11 +326,19 @@ def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit(BLOOM_D2).cast("timestamp"))
     ).select("o_orderkey")
     words = bloom_filter_build(sel, "o_orderkey")
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_returnflag",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-        F.col("l_discount").cast("decimal(18,4)").alias("disc"),
+    from securities_data_pipeline_spark.sources.tables import spread
+
+    # project to the 4 needed columns BEFORE spreading — the
+    # round-robin repartition locally sorts whatever row it moves, so
+    # the narrow row halves its cost (A/B: wide-first 0.39 s vs
+    # narrow-first 0.30 s median; no-op at cluster scale either way)
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+            F.col("l_discount").cast("decimal(18,4)").alias("disc"),
+        )
     )
     prefiltered = li.where(bloom_might_contain(F.col("l_orderkey"), words))
     rev = F.col("price") * (F.lit(1).cast("decimal(18,4)") - F.col("disc"))
