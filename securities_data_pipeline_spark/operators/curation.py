@@ -305,7 +305,9 @@ def bloom_decontaminate(docs: DataFrame, words: list[int] | None = None) -> Data
     gram array with k getbit probes — a single zero-shuffle projection."""
     if words is None:
         words = bloom_build(docs)
-    bloom = F.array(*[F.lit(w).cast("long") for w in words])
+    # one parsed expression, not 1024 F.lit py4j round trips (~2 s of
+    # driver latency per call — the skew.py bloom-join measurement)
+    bloom = F.expr("array(" + ", ".join(f"{w}L" for w in words) + ")")
 
     def might_contain(g: Column) -> Column:
         tests = [
