@@ -38,6 +38,7 @@ _ROUND6_FRONT = (
     # new in round 6 (late additions first — never driver-sampled)
     "t_bm25_topk", "dedup_link_prediction", "j_salted_skew_join",
     "t_split_leakage_free", "t_quality_logreg", "sec_macd", "sec_bollinger",
+    "sec_atr", "sec_stochastic",
     "dedup_banding_curve", "j_bloom_prefilter",
     # new in round 6
     "q17_small_qty_revenue", "q18_large_volume_customer",

@@ -238,6 +238,8 @@ HEADLINE = [
     "sec_bollinger",
     "dedup_banding_curve",
     "j_bloom_prefilter",
+    "sec_atr",
+    "sec_stochastic",
 ]
 
 

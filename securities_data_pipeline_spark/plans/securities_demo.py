@@ -1042,6 +1042,186 @@ SECURITIES_QUERIES["sec_bollinger"] = sec_bollinger
 SECURITIES_ORACLES["sec_bollinger"] = _sql_bollinger()
 
 
+ATR_SPAN = 7  # truncated-EWMA span for the true-range average
+_ATR_WQ = [round((1 - 2 / (ATR_SPAN + 1)) ** j * 1_000_000_000) for j in range(ATR_SPAN)]
+_ATR_WQSUM = sum(_ATR_WQ)
+
+
+def sec_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range: the Wilder volatility indicator — true
+    range = max(high−low, |high−prev_close|, |low−prev_close|) per
+    bar, smoothed by a truncated EWMA. Unlike the close-only siblings
+    this one consumes the full OHLC-ish bar (high = day max tick,
+    low = day min, close = high here as elsewhere in the demo family).
+
+    Exactness: high/low/close quantize to int64 cents at the bar
+    aggregate, the true range is pure int max/abs (exact), and the
+    EWMA is the sec_ewma ppb-integer recipe — one final double
+    division, no float before it. One shuffle+sort serves the
+    prev-close lag and the ATR lag chain.
+    """
+    from pyspark.sql import Window
+
+    ev = ticks(spark, sf_dir)
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(
+        (F.max("value").cast("decimal(12,2)") * 100).cast("long").alias("hc"),
+        (F.min("value").cast("decimal(12,2)") * 100).cast("long").alias("lc"),
+    )
+    w = Window.partitionBy("symbol").orderBy("date_stamp")
+    prev_close = F.lag("hc").over(w)  # close = day max, as in sec_ewma
+    tr = F.greatest(
+        F.col("hc") - F.col("lc"),
+        F.abs(F.col("hc") - prev_close),
+        F.abs(F.col("lc") - prev_close),
+    )
+    with_tr = bars.select("symbol", "date_stamp", tr.alias("tr")).where(
+        F.col("tr").isNotNull()
+    )
+    total = F.lag("tr", 0).over(w) * F.lit(_ATR_WQ[0])
+    for j, wq in enumerate(_ATR_WQ[1:], start=1):
+        total = total + F.lag("tr", j).over(w) * F.lit(wq)
+    return with_tr.select(
+        "symbol",
+        "date_stamp",
+        (F.col("tr").cast("double") / F.lit(100.0)).alias("true_range"),
+        (
+            total.cast("double") / (F.lit(100.0) * F.lit(float(_ATR_WQSUM)))
+        ).alias("atr"),
+    ).where(F.col("atr").isNotNull())
+
+
+def _sql_atr() -> str:
+    terms = " + ".join(f"lag(tr, {j}) OVER w2 * {wq}" for j, wq in enumerate(_ATR_WQ))
+    return f"""
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         CAST(CAST(MAX(value) AS DECIMAL(12,2)) * 100 AS BIGINT) AS hc,
+         CAST(CAST(MIN(value) AS DECIMAL(12,2)) * 100 AS BIGINT) AS lc
+  FROM events
+  GROUP BY 1, 2
+), trs AS (
+  SELECT symbol, date_stamp,
+         greatest(hc - lc,
+                  abs(hc - lag(hc) OVER w),
+                  abs(lc - lag(hc) OVER w)) AS tr
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp)
+), t2 AS (
+  SELECT symbol, date_stamp, tr, {terms} AS tsum
+  FROM trs WHERE tr IS NOT NULL
+  WINDOW w2 AS (PARTITION BY symbol ORDER BY date_stamp)
+)
+SELECT symbol, date_stamp,
+       CAST(tr AS DOUBLE) / 100.0 AS true_range,
+       CAST(tsum AS DOUBLE) / (100.0 * CAST({float(_ATR_WQSUM)!r} AS DOUBLE)) AS atr
+FROM t2 WHERE tsum IS NOT NULL
+"""
+
+
+SECURITIES_QUERIES["sec_atr"] = sec_atr
+SECURITIES_ORACLES["sec_atr"] = _sql_atr()
+
+
+STOCH_N = 7  # lookback for %K
+STOCH_D = 3  # SMA span for %D
+
+
+def sec_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator: %K = (close − lowest_low_N) /
+    (highest_high_N − lowest_low_N), %D = its STOCH_D-bar SMA — the
+    momentum-exhaustion gauge next to RSI.
+
+    Exactness: window min/max over int64 cents are exact; %K quantizes
+    through the shared HALF-UP micro-unit construction (int64 all the
+    way — the round6_ratio recipe at 6 dp), so the %D SMA is an exact
+    integer mean of quantized %Ks divided once at the end. Flat
+    windows (highest = lowest) emit NULL %K on both engines.
+    """
+    from pyspark.sql import Window
+
+    ev = ticks(spark, sf_dir)
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(
+        (F.max("value").cast("decimal(12,2)") * 100).cast("long").alias("hc"),
+        (F.min("value").cast("decimal(12,2)") * 100).cast("long").alias("lc"),
+    )
+    w = Window.partitionBy("symbol").orderBy("date_stamp")
+    wf = w.rowsBetween(-(STOCH_N - 1), 0)
+    hh = F.max("hc").over(wf)
+    ll = F.min("lc").over(wf)
+    full = F.lag("hc", STOCH_N - 1).over(w).isNotNull()
+    num = F.col("hc") - F.col("_ll")
+    den = F.col("_hh") - F.col("_ll")
+    # half-up micro-unit %K in pure int64 (round6_ratio shape)
+    t = num * F.lit(2_000_000) + den
+    k_u = F.when(den > 0, ((t - F.pmod(t, F.lit(2) * den)) / (F.lit(2) * den)).cast("long"))
+    base = (
+        bars.select(
+            "symbol", "date_stamp", "hc", hh.alias("_hh"), ll.alias("_ll"), full.alias("_f")
+        )
+        .where(F.col("_f"))
+        .select("symbol", "date_stamp", k_u.alias("_ku"))
+    )
+    wd = Window.partitionBy("symbol").orderBy("date_stamp")
+    d_parts = [F.lag("_ku", j).over(wd) for j in range(STOCH_D)]
+    d_sum = d_parts[0]
+    for p in d_parts[1:]:
+        d_sum = d_sum + p
+    return base.select(
+        "symbol",
+        "date_stamp",
+        (F.col("_ku").cast("double") / F.lit(1_000_000.0)).alias("pct_k"),
+        (d_sum.cast("double") / F.lit(float(STOCH_D) * 1_000_000.0)).alias("pct_d"),
+    ).where(F.col("pct_d").isNotNull())
+
+
+def _sql_stochastic() -> str:
+    n = STOCH_N
+    d_terms = " + ".join(f"lag(ku, {j}) OVER w2" for j in range(STOCH_D))
+    return f"""
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         CAST(CAST(MAX(value) AS DECIMAL(12,2)) * 100 AS BIGINT) AS hc,
+         CAST(CAST(MIN(value) AS DECIMAL(12,2)) * 100 AS BIGINT) AS lc
+  FROM events
+  GROUP BY 1, 2
+), f AS (
+  SELECT symbol, date_stamp, hc,
+         MAX(hc) OVER wf AS hh, MIN(lc) OVER wf AS ll,
+         lag(hc, {n - 1}) OVER w IS NOT NULL AS full_w
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp),
+         wf AS (PARTITION BY symbol ORDER BY date_stamp
+                ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+), k AS (
+  SELECT symbol, date_stamp,
+         CASE WHEN hh - ll > 0 THEN
+           CAST(((hc - ll) * 2000000 + (hh - ll)) // (2 * (hh - ll)) AS BIGINT)
+         END AS ku
+  FROM f WHERE full_w
+), s AS (
+  SELECT symbol, date_stamp, ku, {d_terms} AS dsum
+  FROM k
+  WINDOW w2 AS (PARTITION BY symbol ORDER BY date_stamp)
+)
+SELECT symbol, date_stamp,
+       CAST(ku AS DOUBLE) / 1000000.0 AS pct_k,
+       CAST(dsum AS DOUBLE) / {float(STOCH_D)!r} / 1000000.0 AS pct_d
+FROM s WHERE dsum IS NOT NULL
+"""
+
+
+SECURITIES_QUERIES["sec_stochastic"] = sec_stochastic
+SECURITIES_ORACLES["sec_stochastic"] = _sql_stochastic()
+
+
 # every securities query reads events through the ``tick_ok`` admission
 # gate (functions/gates.py, fuzz-derived: one NaN/±inf/1e308 "price"
 # aborted the whole family at the ANSI decimal/cents casts) — wrap every

@@ -58,6 +58,8 @@ EVENT_QUERIES = [
     "sec_ewma",
     "sec_macd",
     "sec_bollinger",
+    "sec_atr",
+    "sec_stochastic",
     "sec_rsi",
     "sec_sma_crossover",
     "sec_drawdown",
