@@ -59,6 +59,24 @@ def amplify_events(spark, sf_dir: str, factor: int, out_dir: str) -> str:
     return path
 
 
+def _sec_indicator_queries():
+    """Round-6 continued-session indicator stack (events-only reads):
+    denser per-symbol bars stress the shared one-sort window chains."""
+    from securities_data_pipeline_spark.plans.securities_demo import (
+        sec_atr,
+        sec_bollinger,
+        sec_macd,
+        sec_stochastic,
+    )
+
+    return [
+        ("sec_macd", sec_macd),
+        ("sec_bollinger", sec_bollinger),
+        ("sec_atr", sec_atr),
+        ("sec_stochastic", sec_stochastic),
+    ]
+
+
 def main() -> int:
     from securities_data_pipeline_spark.session import get_spark
 
@@ -94,7 +112,7 @@ def main() -> int:
         ("j_asof_tolerance_purchase", j_asof_tolerance_purchase),
         ("j_range_bin", j_range_bin),
         ("s_stream_daily_rollup", s_stream_daily_rollup),
-    ]:
+    ] + _sec_indicator_queries():
         t = time.time()
         rows = fn(spark, scratch).count()
         results["queries"][name] = {"rows": rows, "sec": round(time.time() - t, 2)}
