@@ -1144,16 +1144,19 @@ def _sql_logreg() -> str:
     sw = f"len(list_filter({_sql_words()}, w -> w IN {STOPWORDS!r}))"
     nt = f"len({_sql_words()})"
     # offset-floor half-up division in pure int64: floor((2S+2n)/(4n))
-    # computed as ((t + K*d) - (t + K*d) % d)/d - K with t + K*d >= 0,
+    # computed as ((t + K*d) - (t + K*d) % d)//d - K with t + K*d >= 0,
     # because engines disagree on %/integer-division for NEGATIVE
     # operands while agreeing for non-negative ones. K*d <= 4e13 and
-    # |t| < 1e12, so everything stays far inside int64.
+    # |t| < 1e12, so everything stays far inside int64.  The division
+    # MUST be DuckDB's integer `//`: plain `/` is IEEE-double division,
+    # whose 53-bit mantissa silently rounds once the numerator passes
+    # 2^53 (~n > 2.2M docs) even though int64 still has headroom.
     K = 1_000_000_000
 
     def upd(s: str, prev: str) -> str:
         t = f"(2*({s}) + 2*n)"
         tp = f"({t} + {K}::BIGINT * 4 * n)"
-        return f"({prev} + ({tp} - {tp} % (4*n)) / (4*n) - {K})"
+        return f"({prev} + ({tp} - {tp} % (4*n)) // (4*n) - {K})"
 
     def quant(g: str) -> str:
         return f"CAST(floor(({g}) * 1000000.0 + 0.5) AS BIGINT)"

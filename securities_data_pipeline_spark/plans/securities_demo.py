@@ -1077,6 +1077,12 @@ def sec_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("hc") - prev_close),
         F.abs(F.col("lc") - prev_close),
     )
+    # NOTE: greatest() skips NULL arguments in both Spark and DuckDB, and
+    # hc-lc is never NULL, so the first bar per symbol (prev_close NULL)
+    # intentionally enters the EWMA chain with TR = high-low — Wilder's
+    # first-TR convention.  The isNotNull filter below is therefore a
+    # no-op kept only as a belt against future all-NULL inputs; it does
+    # NOT drop the first bar.
     with_tr = bars.select("symbol", "date_stamp", tr.alias("tr")).where(
         F.col("tr").isNotNull()
     )
@@ -1213,7 +1219,7 @@ WITH bars AS (
 )
 SELECT symbol, date_stamp,
        CAST(ku AS DOUBLE) / 1000000.0 AS pct_k,
-       CAST(dsum AS DOUBLE) / {float(STOCH_D)!r} / 1000000.0 AS pct_d
+       CAST(dsum AS DOUBLE) / {float(STOCH_D) * 1_000_000.0!r} AS pct_d
 FROM s WHERE dsum IS NOT NULL
 """
 
