@@ -88,41 +88,33 @@ def a8_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = (n * F.col("sxy") - sx * sy).cast("double")
     var_x_n = (n * F.col("sxx") - sx * sx).cast("double")
     var_y_n = (n * F.col("syy") - sy * sy).cast("double")
-    slope = cov_n / var_x_n
     nd = F.col("n").cast("double")
     # zero variance (a constant column within a group — e.g. a group
     # with one row) makes corr/beta statistically undefined: emit NULL,
     # which is also what SQL corr() returns. Ungated, Spark's ANSI
     # division aborts the whole query on the degenerate group while
     # DuckDB emits inf/nan (found by tools/fuzz_relational.py).
-    defined_x = F.col("var_x_n") > 0
-    defined_y = F.col("var_y_n") > 0
+    # Single select on purpose: a chained select (materialize cov_n/
+    # var_x_n, then guard) is NOT collapsed by Catalyst's CollapseProject
+    # (the aliases are non-cheap and multiply-referenced), leaving an
+    # extra Project/codegen stage that a same-session A/B (tools/ab_a8.py,
+    # BASELINE.md r7 note) measured at ~1.2x per run; the identical
+    # guards in one select measure ~1.05x ≈ noise.
+    defined_x = var_x_n > 0
+    defined_y = var_y_n > 0
     return m.select(
         "l_returnflag",
-        F.col("n").cast("long"),
-        cov_n.alias("cov_n"),
-        var_x_n.alias("var_x_n"),
-        var_y_n.alias("var_y_n"),
-        sx.cast("double").alias("sxd"),
-        sy.cast("double").alias("syd"),
-        nd.alias("nd"),
-    ).select(
-        "l_returnflag",
-        F.col("n").alias("n"),
+        F.col("n").cast("long").alias("n"),
         F.when(
             defined_x & defined_y,
-            F.round(
-                F.col("cov_n") / F.sqrt("var_x_n") / F.sqrt("var_y_n"), 6
-            ),
+            F.round(cov_n / F.sqrt(var_x_n) / F.sqrt(var_y_n), 6),
         ).alias("corr_qty_price"),
-        F.when(defined_x, F.round(F.col("cov_n") / F.col("var_x_n"), 6)).alias(
-            "beta"
-        ),
+        F.when(defined_x, F.round(cov_n / var_x_n, 6)).alias("beta"),
         F.when(
             defined_x,
             F.round(
-                (F.col("syd") - F.col("cov_n") / F.col("var_x_n") * F.col("sxd"))
-                / F.col("nd")
+                (sy.cast("double") - cov_n / var_x_n * sx.cast("double"))
+                / nd
                 / F.lit(100.0),
                 6,
             ),
