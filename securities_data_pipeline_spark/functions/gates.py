@@ -107,14 +107,29 @@ SQL_TICK_OK = (
 
 def events_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events scan through ``event_ok`` — the only way the gated
-    window/session/trend queries read the table."""
-    return table(spark, sf_dir, "events").where(event_ok())
+    window/session/trend queries read the table.  Since round 7 this
+    reads the write-time validated clean store (sources/validated.py):
+    the gate runs once at ingest, not on every scan, per SCALE.md §12.
+    """
+    from securities_data_pipeline_spark.sources.validated import (
+        validated_events,
+    )
+
+    return validated_events(spark, sf_dir)
 
 
 def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events scan through ``tick_ok`` — the securities family's
-    price-tick feed."""
-    return table(spark, sf_dir, "events").where(tick_ok())
+    price-tick feed.  Reads the ``event_ok`` clean store and applies
+    only the residual tick predicate (tick_ok ⟹ event_ok: surviving
+    non-NULL values are already finite and ≤ the bound, so the residue
+    is just ``value IS NOT NULL AND value > 0``)."""
+    from securities_data_pipeline_spark.sources.validated import (
+        validated_events,
+    )
+
+    v = F.col("value")
+    return validated_events(spark, sf_dir).where(v.isNotNull() & (v > 0.0))
 
 
 def guard_table_sql(sql: str, table_name: str, pred: str) -> str:

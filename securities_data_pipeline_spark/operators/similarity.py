@@ -93,10 +93,15 @@ SQL_EMB_OK = (
 def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings scan through the ``embedding_ok`` sanity gate — the
     ONLY way the similarity family reads the table (f_array_stats
-    deliberately reads raw: profiling garbage is its job)."""
-    return table(spark, sf_dir, "embeddings").where(
-        embedding_ok(F.col("embedding"))
+    deliberately reads raw: profiling garbage is its job).  Since
+    round 7 this reads the write-time validated clean store
+    (sources/validated.py): the per-scan gate cost (measured 15-25%,
+    BASELINE.md) is paid once at ingest, per SCALE.md §12."""
+    from securities_data_pipeline_spark.sources.validated import (
+        validated_embeddings,
     )
+
+    return validated_embeddings(spark, sf_dir)
 
 
 # canonical definition lives beside the scans it compensates for

@@ -1,0 +1,165 @@
+"""Write-time admission gating: the validated clean store.
+
+SCALE.md §12's contract is that at 100 TB the admission gates
+(``event_ok``/``tick_ok`` for events, ``embedding_ok`` for vectors)
+run ONCE at ingest, not on every query's scan — the per-read gate was
+measured at 15-25% of every embeddings scan (BASELINE.md round-6 fuzz
+notes).  This module implements that contract with the same S6
+quarantine-split pattern the relational ingest path already uses
+(reference error channel: py_pipeline/extract.py:122,134-137):
+
+    raw parquet ──gate──▶ clean store (parquet)  ◀── every gated query
+                    └────▶ quarantine store      ◀── audit / replay
+
+The clean store is keyed by (raw file stat, gate version), so a
+rewritten raw file (the fuzz harnesses overwrite their scratch tables
+between runs) or a changed gate predicate invalidates it
+automatically.  Materialization is write-once / read-many with an
+atomic ``os.rename`` commit, so concurrent sessions race benignly
+(first writer wins, losers read the winner's store).
+
+The per-read gates in ``functions/gates.py`` / ``embedding_ok`` stay
+as the documented defense for ad-hoc scans of unvalidated paths, and
+``SPARK_GRAFT_GATE_MODE=read`` forces that behavior everywhere (used
+by the gate-cost A/B and as an escape hatch on read-only filesystems —
+any OSError during materialization also falls back to the per-read
+gate instead of failing the query).
+
+At cluster scale the equivalent is the ingest job writing the
+validated Delta table and queries scanning it; the oracle side keeps
+the per-read gated CTE (same rows by construction), so Spark-vs-DuckDB
+parity is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.sources.tables import table
+
+#: bump when any admission predicate changes — stale stores must not
+#: survive a gate redefinition
+GATE_VERSION = 1
+
+_CLEAN_ROOT_ENV = "SPARK_GRAFT_CLEAN_DIR"
+_MODE_ENV = "SPARK_GRAFT_GATE_MODE"  # "write" (default) | "read"
+
+
+def _gate_column(name: str):
+    if name == "events":
+        from securities_data_pipeline_spark.functions.gates import event_ok
+
+        return event_ok()
+    if name == "embeddings":
+        from securities_data_pipeline_spark.operators.similarity import (
+            embedding_ok,
+        )
+
+        return embedding_ok(F.col("embedding"))
+    raise ValueError(f"no admission gate defined for table {name!r}")
+
+
+def _store_key(sf_dir: str, name: str) -> str:
+    """Content key for the clean store: raw file identity (path + per-
+    part size + mtime_ns) + gate version.  Cheap (os.stat only), and
+    any rewrite of the raw table produces a new key."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    parts: list[tuple] = []
+    if os.path.isdir(path):
+        for fn in sorted(os.listdir(path)):
+            fp = os.path.join(path, fn)
+            st = os.stat(fp)
+            parts.append((fn, st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(path)
+        parts.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    raw = repr((os.path.abspath(path), parts, GATE_VERSION))
+    return hashlib.sha1(raw.encode()).hexdigest()[:16]
+
+
+def clean_root() -> str:
+    return os.environ.get(_CLEAN_ROOT_ENV, "/tmp/sdp_clean")
+
+
+def _materialize(spark: SparkSession, sf_dir: str, name: str, dest: str) -> None:
+    """Quarantine-split the raw table and commit the clean store
+    atomically: write to a pid-unique staging dir, then rename."""
+    staging = f"{dest}.tmp.{os.getpid()}"
+    raw = table(spark, sf_dir, name)
+    gate = _gate_column(name)
+    # clean rows: gate TRUE.  Written with the scan's own partitioning:
+    # at testdata scale that is 1-2 files (a repartition(par) here was
+    # A/B-measured SLOWER — 32 ~25 KB files cost more in per-file open
+    # overhead than the vectorized gate they saved), and at cluster
+    # scale the ingest job's scan already arrives in size-based splits.
+    # CPU-heavy consumers fan out via spread() exactly as on raw scans.
+    raw.where(gate).write.mode("overwrite").parquet(
+        os.path.join(staging, "clean")
+    )
+    # quarantine rows: gate FALSE or NULL — kept for audit/replay, the
+    # S6 error-channel side output.
+    raw.where(~F.coalesce(gate, F.lit(False))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(staging, "quarantine"))
+    try:
+        os.rename(staging, dest)
+    except OSError:
+        # another session committed first — use theirs
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(dest):
+            raise
+
+
+def _store_dir(sf_dir: str, name: str) -> str:
+    return os.path.join(clean_root(), f"{name}-{_store_key(sf_dir, name)}")
+
+
+def validated_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan the admission-gated clean store for ``name``, materializing
+    it on first touch.  Falls back to the per-read gate when
+    ``SPARK_GRAFT_GATE_MODE=read`` or the store cannot be written."""
+    if name == "events":
+        # clean-store ts is already µs TIMESTAMP, but every downstream
+        # consumer assumes UTC session semantics — pin exactly as the
+        # raw scan does (sources/tables.py contract)
+        from securities_data_pipeline_spark.sources.tables import (
+            pin_event_session_confs,
+        )
+
+        pin_event_session_confs(spark)
+    if os.environ.get(_MODE_ENV, "write") == "read":
+        return table(spark, sf_dir, name).where(_gate_column(name))
+    try:
+        dest = _store_dir(sf_dir, name)
+        if not os.path.isdir(os.path.join(dest, "clean")):
+            os.makedirs(clean_root(), exist_ok=True)
+            _materialize(spark, sf_dir, name, dest)
+        return spark.read.parquet(os.path.join(dest, "clean"))
+    except OSError:
+        return table(spark, sf_dir, name).where(_gate_column(name))
+
+
+def quarantined_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The rejected-rows side output for a validated table (audit
+    surface; empty on clean inputs)."""
+    validated_table(spark, sf_dir, name)  # ensure materialized
+    dest = _store_dir(sf_dir, name)
+    qpath = os.path.join(dest, "quarantine")
+    if os.path.isdir(qpath):
+        return spark.read.parquet(qpath)
+    # read-mode / fallback: compute the complement on the fly
+    gate = _gate_column(name)
+    return table(spark, sf_dir, name).where(~F.coalesce(gate, F.lit(False)))
+
+
+def validated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validated_table(spark, sf_dir, "events")
+
+
+def validated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validated_table(spark, sf_dir, "embeddings")

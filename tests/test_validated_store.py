@@ -1,0 +1,134 @@
+"""Write-time admission gating (sources/validated.py).
+
+Pins the SCALE.md §12 contract: the gate runs once at ingest into a
+clean store + quarantine side output (S6 pattern), queries scan the
+clean store, and the store invalidates itself when the raw table is
+rewritten or the gate version changes.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from securities_data_pipeline_spark.sources import validated as V
+
+
+@pytest.fixture()
+def scratch(tmp_path, monkeypatch):
+    """Isolated sf_dir with a small pathological events table, and an
+    isolated clean root so tests never share store state."""
+    monkeypatch.setenv("SPARK_GRAFT_CLEAN_DIR", str(tmp_path / "clean"))
+    monkeypatch.delenv("SPARK_GRAFT_GATE_MODE", raising=False)
+    return str(tmp_path)
+
+
+def _write_events(spark, sf_dir, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event string, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+
+
+GOOD = [
+    (1, "2024-01-01 00:00:00", "view", 1.0),
+    (2, "2024-01-02 00:00:00", "error", None),  # NULL metric is legit
+]
+BAD = [
+    (3, None, "view", 1.0),  # NULL event time
+    (4, "2200-01-01 00:00:00", "view", 1.0),  # watermark poison
+    (5, "2024-01-03 00:00:00", "view", math.nan),  # NaN metric
+    (6, "2024-01-04 00:00:00", "view", 1.0e9),  # out-of-bound metric
+]
+
+
+def _rows(spark, rows):
+    import datetime as dt
+
+    def conv(r):
+        ts = (
+            dt.datetime.fromisoformat(r[1]).replace(tzinfo=dt.timezone.utc)
+            if r[1]
+            else None
+        )
+        return (r[0], ts, r[2], r[3])
+
+    return [conv(r) for r in rows]
+
+
+def test_clean_store_splits_and_quarantines(spark, scratch):
+    _write_events(spark, scratch, _rows(spark, GOOD + BAD))
+    clean = V.validated_events(spark, scratch)
+    assert sorted(r.user_id for r in clean.collect()) == [1, 2]
+    quar = V.quarantined_table(spark, scratch, "events")
+    assert sorted(r.user_id for r in quar.collect()) == [3, 4, 5, 6]
+    # store materialized on disk exactly once
+    dest = V._store_dir(scratch, "events")
+    assert os.path.isdir(os.path.join(dest, "clean"))
+    assert os.path.isdir(os.path.join(dest, "quarantine"))
+
+
+def test_store_invalidates_on_raw_rewrite(spark, scratch):
+    _write_events(spark, scratch, _rows(spark, GOOD))
+    assert V.validated_events(spark, scratch).count() == 2
+    old_key = V._store_key(scratch, "events")
+    # rewrite the raw table (the fuzz harnesses do this between runs)
+    _write_events(spark, scratch, _rows(spark, GOOD + BAD + BAD))
+    new_key = V._store_key(scratch, "events")
+    assert new_key != old_key
+    assert V.validated_events(spark, scratch).count() == 2  # gate holds
+
+
+def test_read_mode_matches_write_mode(spark, scratch, monkeypatch):
+    _write_events(spark, scratch, _rows(spark, GOOD + BAD))
+    w = {tuple(r) for r in V.validated_events(spark, scratch).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_GATE_MODE", "read")
+    r = {tuple(r) for r in V.validated_events(spark, scratch).collect()}
+    assert w == r
+
+
+def test_unwritable_clean_root_falls_back(spark, scratch, monkeypatch):
+    _write_events(spark, scratch, _rows(spark, GOOD + BAD))
+    monkeypatch.setenv(
+        "SPARK_GRAFT_CLEAN_DIR", "/proc/definitely/not/writable"
+    )
+    df = V.validated_events(spark, scratch)
+    assert sorted(r.user_id for r in df.collect()) == [1, 2]
+
+
+def test_embeddings_store_gates_vectors(spark, scratch):
+    rows = [
+        (0, [1.0] * 64, 0),  # good
+        (1, None, 0),  # NULL
+        (2, [0.0] * 64, 0),  # zero vector
+        (3, [1.0] * 3, 0),  # wrong dim
+        (4, [math.inf] + [1.0] * 63, 0),  # inf component
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(scratch, "embeddings.parquet")
+    )
+    clean = V.validated_embeddings(spark, scratch)
+    assert [r.vec_id for r in clean.collect()] == [0]
+    quar = V.quarantined_table(spark, scratch, "embeddings")
+    assert sorted(r.vec_id for r in quar.collect()) == [1, 2, 3, 4]
+
+
+def test_ticks_residual_on_clean_store(spark, scratch):
+    # a NULL-value event passes event_ok (error events carry no metric)
+    # but must not reach the securities tick feed
+    _write_events(
+        spark,
+        scratch,
+        _rows(spark, GOOD + [(7, "2024-01-05 00:00:00", "tick", -3.0)]),
+    )
+    from securities_data_pipeline_spark.functions.gates import ticks
+
+    t = ticks(spark, scratch)
+    assert [r.user_id for r in t.collect()] == [1]  # null metric + negative dropped
