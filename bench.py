@@ -312,31 +312,65 @@ def main() -> None:
         canary_ratio = canary_ratio_pre or canary_ratio_post
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "repeats": REPEATS,
-                "stat": "median",
-                "sf": sf_val,
-                # container-drift canary (see module comment): ratio of
-                # this run's frozen-query medians to their r3 reference;
-                # divide any cross-round comparison by it first.
-                "canary": canary,
-                "canary_post": canary_post,
-                "canary_ref": _CANARY_REF,
-                "canary_ratio_pre": canary_ratio_pre,
-                "canary_ratio_post": canary_ratio_post,
-                "canary_ratio": canary_ratio,
-                "value_canary_normalized": (
-                    round(total / canary_ratio, 3) if canary_ratio else None
-                ),
-            }
-        )
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "repeats": REPEATS,
+        "stat": "median",
+        "sf": sf_val,
+        # container-drift canary (see module comment): ratio of
+        # this run's frozen-query medians to their r3 reference;
+        # divide any cross-round comparison by it first.
+        "canary": canary,
+        "canary_post": canary_post,
+        "canary_ref": _CANARY_REF,
+        "canary_ratio_pre": canary_ratio_pre,
+        "canary_ratio_post": canary_ratio_post,
+        "canary_ratio": canary_ratio,
+        "value_canary_normalized": (
+            round(total / canary_ratio, 3) if canary_ratio else None
+        ),
+    }
+    print(json.dumps(record))
+    _write_sidecar(record)
+
+
+def _next_round() -> int:
+    """Infer the in-flight round: the driver records BENCH_r{N}.json
+    AFTER running bench, so the current round is max(existing)+1."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def _write_sidecar(record: dict) -> None:
+    """Full-fidelity bench record on disk (VERDICT r6 bench-infra nit):
+    the driver captures stdout with a bounded tail, and at 90+ headline
+    queries the one-line JSON outgrew it — r5/r6 per-query maps were
+    only partially recoverable by regex. The sidecar carries the whole
+    record so ``tools/bench_compare.py`` round-trips losslessly; the
+    stdout line stays the compact driver contract."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(repo, f"BENCH_QUERIES_r{_next_round():02d}.json"),
     )
+    try:
+        with open(path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"# full record: {path}", file=sys.stderr)
+    except OSError as ex:  # a read-only checkout must not fail the bench
+        print(f"# sidecar write failed: {ex}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -215,8 +215,24 @@ def resize_media(media: DataFrame, *, target: int = RESIZE_BYTES) -> DataFrame:
             out["payload"] = [
                 resize_stub(p, m, target) for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
+            # NULL meta structs (a real corpus has rows whose probe
+            # step failed) coalesce to an all-NULL dict before the
+            # width update — {**None} would kill the task (found by
+            # tools/fuzz_media.py)
+            empty = {"width": None, "height": None, "sample_rate": None, "n_frames": None}
             out["meta"] = [
-                {**(m if isinstance(m, dict) else m.asDict() if hasattr(m, "asDict") else dict(m)), "width": target}
+                {
+                    **(
+                        empty
+                        if m is None
+                        else m
+                        if isinstance(m, dict)
+                        else m.asDict()
+                        if hasattr(m, "asDict")
+                        else dict(m)
+                    ),
+                    "width": target,
+                }
                 for m in pdf["meta"]
             ]
             yield out

@@ -23,9 +23,14 @@ import sys
 
 
 def load(path: str) -> dict:
-    """Accept either bench.py's raw one-line JSON (possibly preceded
-    by stderr noise) or the round driver's BENCH_r{N}.json wrapper
-    (bench line under 'parsed')."""
+    """Accept bench.py's raw one-line JSON (possibly preceded by
+    stderr noise), the round driver's BENCH_r{N}.json wrapper (bench
+    line under 'parsed'), or — when the wrapper is truncated
+    (parsed: null, the r5/r6 failure mode) — the full-fidelity
+    BENCH_QUERIES_r{N}.json sidecar bench.py writes beside it."""
+    import os
+    import re
+
     with open(path) as f:
         raw = f.read()
     try:
@@ -34,6 +39,16 @@ def load(path: str) -> dict:
         doc = json.loads(raw.strip().splitlines()[-1])
     if "queries" not in doc and isinstance(doc.get("parsed"), dict):
         doc = doc["parsed"]
+    if "queries" not in doc:
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            sidecar = os.path.join(
+                os.path.dirname(path), f"BENCH_QUERIES_r{m.group(1)}.json"
+            )
+            if os.path.exists(sidecar):
+                print(f"# {path} truncated — using sidecar {sidecar}")
+                with open(sidecar) as f:
+                    return json.load(f)
     return doc
 
 
