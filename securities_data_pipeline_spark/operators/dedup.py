@@ -634,7 +634,7 @@ SIMHASH_BANDS = 2
 HAMMING_MAX = 1
 
 
-def simhash_hamming_pairs(sig: DataFrame) -> DataFrame:
+def simhash_hamming_pairs(sig: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``HAMMING_MAX`` over ANY
     (doc_id, simhash) sketch — text unigram sketches
     (``dedup_simhash_pairs``) and binary byte-gram sketches
@@ -668,7 +668,7 @@ def simhash_hamming_pairs(sig: DataFrame) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
     return (
-        bucket_pairs(banded)
+        bucket_pairs(banded, max_bucket=max_bucket)
         .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa")), "doc_a")
         .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb")), "doc_b")
         .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
@@ -683,20 +683,34 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(dedup_simhash(spark, sf_dir))
 
 
-def _sql_simhash_pairs(sig_sql: str | None = None) -> str:
+def _sql_simhash_pairs(
+    sig_sql: str | None = None, max_bucket: int | None = None
+) -> str:
     bits_per = SIMHASH_BITS // SIMHASH_BANDS
     banded = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
         f"(simhash >> {b * bits_per}) & {(1 << bits_per) - 1} AS key FROM sig"
         for b in range(SIMHASH_BANDS)
     )
+    # the cap drops WHOLE oversized buckets before pair expansion —
+    # identical semantics to bucket_pairs(max_bucket=...)
+    cap = (
+        f"""
+qual AS (
+  SELECT band, key FROM banded
+  GROUP BY band, key HAVING COUNT(*) <= {max_bucket}
+),
+capped AS (SELECT banded.* FROM banded JOIN qual USING (band, key)),"""
+        if max_bucket is not None
+        else "capped AS (SELECT * FROM banded),"
+    )
     return f"""
 WITH sig AS MATERIALIZED ({(sig_sql or _sql_simhash()).strip()}),
-banded AS ({banded}),
+banded AS ({banded}),{cap}
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
                   b.doc_id AS doc_b, b.simhash AS sb
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming

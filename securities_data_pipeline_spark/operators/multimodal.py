@@ -426,4 +426,80 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM g
 
 
 MULTIMODAL_QUERIES["mm_near_dedup"] = mm_near_dedup
+
+
+#: bucket cap for the dup-burst-robust tier: the 16-bit demo sketch has
+#: only 2^8 = 256 keys per band, so at dup-heavy corpora bucket
+#: population grows O(n) and in-bucket pair expansion O(n²) — the 20×
+#: stress run measured mm_near_dedup at 95× wall on 20× docs
+#: (SCALE.md §5). The cap bounds any bucket's cost at cap²/2; real
+#: near-dups also collide in rarer buckets and survive. Production
+#: geometry (64-bit sketch, 4×16-bit bands) pushes the same cliff out
+#: by 256×, but a cap is still the guard a 100 TB corpus needs.
+MM_BUCKET_CAP = 64
+
+
+def mm_near_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mm_near_dedup`` with the bucket-size cap — the tier to run on
+    corpora with duplication bursts (mirror sites, boilerplate media):
+    oversized (band, key) buckets are dropped whole before pair
+    expansion, exactly like ``dedup_minhash_pairs_capped``. Cap
+    semantics are deterministic, so the DuckDB twin pins them."""
+    from securities_data_pipeline_spark.functions.hashing import seeded_hash64
+    from securities_data_pipeline_spark.operators.dedup import (
+        simhash_col,
+        simhash_hamming_pairs,
+    )
+
+    media = documents_as_media(spark, sf_dir)
+    hexed = spread(media).select("doc_id", F.hex(F.col("payload")).alias("_hx"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_hx") - 15, F.lit(1)), F.lit(16)
+            ),
+            lambda i: F.col("_hx").substr(i, F.lit(16)),
+        )
+    )
+    sig = (
+        hexed.select("doc_id", grams.alias("_g"))
+        .select(
+            "doc_id",
+            F.transform(F.col("_g"), lambda g: seeded_hash64(g, 0)).alias("_swh"),
+        )
+        .select("doc_id", simhash_col().alias("simhash"))
+    )
+    return simhash_hamming_pairs(sig, max_bucket=MM_BUCKET_CAP)
+
+
+def _sql_mm_near_dedup_capped() -> str:
+    from securities_data_pipeline_spark.functions.hashing import sql_seeded_hash64
+    from securities_data_pipeline_spark.operators.dedup import (
+        SIMHASH_BITS,
+        _sql_simhash_pairs,
+    )
+
+    h = sql_seeded_hash64("x", 0)
+    terms = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(hs, "
+        f"h -> ((h >> {b}) & 1) * 2 - 1), 'sum') > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    sig_sql = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             range(1, greatest(len(hx) - 15, 1) + 1, 16),
+             i -> substring(hx, i, 16))),
+           x -> {h}) AS hs
+  FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents) t
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM g
+"""
+    return _sql_simhash_pairs(sig_sql, max_bucket=MM_BUCKET_CAP)
+
+
+MULTIMODAL_QUERIES["mm_near_dedup_capped"] = mm_near_dedup_capped
+MULTIMODAL_ORACLES["mm_near_dedup_capped"] = _sql_mm_near_dedup_capped()
 MULTIMODAL_ORACLES["mm_near_dedup"] = _sql_mm_near_dedup()

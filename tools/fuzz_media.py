@@ -50,6 +50,7 @@ MM_QUERIES = [
     "mm_resize",
     "mm_frame_sample",
     "mm_near_dedup",
+    "mm_near_dedup_capped",
 ]
 
 ASCII = string.ascii_letters + string.digits + " .,;:!?-_()[]"

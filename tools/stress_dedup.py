@@ -60,16 +60,24 @@ def _extra_stress_queries():
     binary block-sketch tier (rows counted = matches / pairs)."""
     from securities_data_pipeline_spark.operators.curation import t_quality_logreg
     from securities_data_pipeline_spark.operators.dedup import (
+        dedup_banding_curve,
         dedup_incremental,
         dedup_link_prediction,
     )
-    from securities_data_pipeline_spark.operators.multimodal import mm_near_dedup
+    from securities_data_pipeline_spark.operators.multimodal import (
+        mm_near_dedup,
+        mm_near_dedup_capped,
+    )
     from securities_data_pipeline_spark.operators.sampling import t_split_leakage_free
     from securities_data_pipeline_spark.operators.textops import t_bm25_topk
 
     return [
         ("dedup_incremental", dedup_incremental),
         ("mm_near_dedup", mm_near_dedup),
+        # r7: the dup-burst-robust tier — the 20x stress measured the
+        # uncapped tier at 95x wall on 20x docs (16-bit sketch = 256
+        # keys/band, buckets grow O(n)); the cap must hold wall ~linear
+        ("mm_near_dedup_capped", mm_near_dedup_capped),
         # round-6 continued-session additions (documents-only surface):
         # retrieval scorer, graph link prediction, component-keyed
         # split, distributed GD training
@@ -77,6 +85,10 @@ def _extra_stress_queries():
         ("dedup_link_prediction", dedup_link_prediction),
         ("t_split_leakage_free", t_split_leakage_free),
         ("t_quality_logreg", t_quality_logreg),
+        # r7 (VERDICT item 8): the banding-curve sweep re-runs the
+        # signature build once per (bands, rows) config — wall must
+        # stay ~linear in corpus and per-config, never quadratic
+        ("dedup_banding_curve", dedup_banding_curve),
     ]
 
 
