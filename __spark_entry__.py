@@ -14,87 +14,82 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver checks queries in registry order and may only reach the first
-# ~50 per round, so the registry rotates which family leads each round to
-# guarantee every query is eventually driver-verified:
-#   round 1: relational/TPC-H/window/agg families (natural order)
-#   round 2: streaming, dedup, similarity, securities, grouped-UDF
-#   round 3: the 33 queries never sampled in rounds 1-2 plus round-3 adds.
-#   round 4: round-3 hash-fails + never-sampled + round-4 additions.
-#   round 5 (this file — all 161 prior queries have been driver-green at
-#     least once, so the policy becomes: CHANGED/NEW first, then
-#     LEAST-RECENTLY-GREEN): the 5 new + 3 changed queries lead, then the
-#     33 queries last driver-checked in round 1, then the 36 last checked
-#     in round 2 — the ~50-query window covers new/changed + all r1-stale
-#     + the head of r2-stale; round 6 fronts the remainder.
-#   round 6: same policy (changed/new first, then least-recently-green).
-#     After r5, last-driver-green rounds are: r5=50, r4=48, r3=38, r2=36,
-#     r1=5. The front is: 6 new queries (TPC-H Q17/Q18/Q22, triangle
-#     census, column profiler, exact percentiles) + the 8 queries touched
-#     by this round's advisory fixes (MMR quantization, E-S weight guard,
-#     star-contraction convergence probe) + the 5 r1-stale + the 36
-#     r2-stale — 55 entries, so the driver's ~50-query window clears all
-#     r1 staleness and most of r2; the rest + the r3 block front round 7.
-_ROUND6_FRONT = (
-    # new in round 6 (late additions first — never driver-sampled)
-    "t_bm25_topk", "dedup_link_prediction", "j_salted_skew_join",
-    "t_split_leakage_free", "t_quality_logreg", "sec_macd", "sec_bollinger",
-    "sec_atr", "sec_stochastic",
-    "dedup_banding_curve", "j_bloom_prefilter",
-    # new in round 6
-    "q17_small_qty_revenue", "q18_large_volume_customer",
-    "q22_global_sales_opportunity", "dedup_triangle_stats",
-    "t_profile_columns", "t_len_percentiles", "mm_near_dedup",
-    "dedup_incremental", "s_stream_dedup_vs_corpus", "dedup_components_rcte",
-    "f_variant_parse", "f_sql_udf_revenue", "f_pipe_syntax",
-    "f_param_query",
-    # changed in round 6, advisory fixes (tie-free MMR quantization;
-    # zero-weight guard; star-contraction convergence probe +
-    # soft-weights checkpoint — every star-contraction consumer
-    # re-verifies)
-    "sim_mmr_rerank", "t_sample_weighted", "dedup_soft_weights",
-    "dedup_components_star", "dedup_components", "dedup_cluster_stats",
-    "dedup_resolve", "dedup_pagerank",
-    # changed in round 6, fuzz program (tools/fuzz_oracle.py /
-    # fuzz_embeddings.py / fuzz_events.py): admission gates + guarded
-    # oracles + NULL-shingle fix — every query whose plan or oracle
-    # text changed re-verifies, highest-risk rewrites first
-    "f_json_extract", "dedup_minhash_pairs", "dedup_minhash_signature",
-    "dedup_minhash_estimate", "dedup_minhash_pairs_wide",
-    "dedup_minhash_pairs_capped", "dedup_ngram_jaccard",
-    "dedup_containment", "w1_ffill", "w4_session_windows", "w5_lead_lag",
-    "w7_interval_range", "w8_pattern_match", "m_scd2_intervals",
-    "g_user_trend", "g_user_trend_udf", "g_weighted_mean_udaf",
-    "sec_vwap", "sec_ewma", "sec_sharpe", "sec_stg_ffill", "sec_drawdown",
-    "sec_rsi", "sec_calendar_spine", "s_stream_daily_rollup",
-    "s_stream_session_rollup", "s_stream_dedup_within_watermark",
-    "s_stream_join_attrib", "sim_lsh_topk", "sim_quantize",
-    "f_array_stats", "t_winnow_fingerprint", "dedup_semdedup",
-    "sim_kmeans_assign",
-    # same fuzz changes, lower rewrite risk (shared gate/oracle wrap
-    # verified by the entries above) — covered when the window is wide
-    "sec_weekly_bars", "sec_rolling_vol", "sec_rolling_beta",
-    "sec_sma_crossover", "s_stream_sliding_rollup", "s_stream_dedup_keys",
-    "s_stream_enrich_static", "s_stream_join_attrib_outer",
-    "s_stream_join_attrib_full", "s_stream_weekly_from_daily",
-    "s_stream_user_stats_stateful", "s_stream_topk_transform_state",
-    "sim_bruteforce_topk", "sim_range_search", "sim_label_centroid_dist",
-    "sim_ivf_topk", "sim_knn_graph", "sim_ivf_recall", "sim_lsh_recall",
-    "sim_pq_recall", "sim_pq_topk", "sim_pq_rerank_topk",
-    "sim_ivfpq_rerank_topk", "dedup_embedding_cosine",
-    "dedup_embedding_resolve", "sim_cluster_sample", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_ngram_jaccard_capped",
+# ~50 per round. Policy since round 5: NEW/CHANGED queries first, then
+# LEAST-RECENTLY-DRIVER-GREEN. Rounds 5-6 narrated the staleness order in
+# a hand-written tuple, and the round-6 comment drifted from the actual
+# coverage (VERDICT r6 "what's wrong" #3) — so since round 7 the stale
+# tail is COMPUTED from the CORRECTNESS_r*.json history at import time
+# (tools/staleness.py holds the same logic as a CLI). Only the
+# new/changed head remains hand-maintained, per round:
+_NEW_OR_CHANGED = (
+    # new in round 7: the dup-burst-robust byte-block tier (added after
+    # the 20x stress measured the uncapped tier at 95x wall — SCALE.md §5)
+    "mm_near_dedup_capped",
+    # changed in round 7 — rewritten plan: single-select guard form
+    # (chained-select CollapseProject miss, BASELINE.md r7 A/B)
+    "a8_corr_moments",
+    # changed — oracle text: integer // in the GD weight update
+    # (double-mantissa bound); single-division pct_d (1-ulp parity)
+    "t_quality_logreg", "sec_stochastic",
+    # changed — NULL-meta fix in the resize mapInPandas body
+    # (tools/fuzz_media.py root cause)
+    "mm_resize",
+    # changed — shared simhash_hamming_pairs plan gained max_bucket
+    # (None for these two: same output, new code path)
+    "mm_near_dedup", "dedup_simhash_pairs",
+    # changed — write-time admission gates: events/embeddings consumers
+    # now scan the validated clean store (sources/validated.py).
+    # Representative consumers lead (every family member re-verified
+    # locally, 203/203); the rest of the gated families sit in the
+    # computed stale tail anyway (most are r2-stale).
+    "w1_ffill", "sim_lsh_topk", "w7_interval_range", "sec_vwap",
+    "sim_quantize", "dedup_semdedup", "m_scd2_intervals",
 )
 
-_FRONT_RANK = {name: i for i, name in enumerate(_ROUND6_FRONT)}
+
+def _last_green_rounds() -> dict[str, int]:
+    """query -> latest round with a green driver row, from the
+    CORRECTNESS_r*.json files beside this file (0 = never checked)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                out[name] = max(out.get(name, 0), int(m.group(1)))
+            else:
+                out.setdefault(name, 0)
+    return out
 
 
 def _prioritized(entries: dict) -> dict:
-    def rank(name: str) -> int:
-        return _FRONT_RANK.get(name, len(_FRONT_RANK))
+    head = {n: i for i, n in enumerate(_NEW_OR_CHANGED)}
+    greens = _last_green_rounds()
 
-    return dict(
-        sorted(entries.items(), key=lambda kv: (rank(kv[0]), kv[0]))
-    )
+    def rank(name: str):
+        if name in head:
+            return (0, head[name], name)
+        return (1, greens.get(name, 0), name)
+
+    return dict(sorted(entries.items(), key=lambda kv: rank(kv[0])))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -240,6 +240,8 @@ HEADLINE = [
     "j_bloom_prefilter",
     "sec_atr",
     "sec_stochastic",
+    # round-7 additions
+    "mm_near_dedup_capped",
 ]
 
 

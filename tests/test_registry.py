@@ -154,13 +154,35 @@ def test_query_registry_contract():
 
 def test_round_front_queries_lead_registry_order():
     """The driver samples ~50 queries in registry order; the round's
-    front-load list must actually lead (and every front name must
+    new/changed head must actually lead (and every head name must
     exist — a typo would silently drop a query from priority)."""
     import __spark_entry__ as e
 
     q = e.queries()
     names = list(q)
-    front = [n for n in e._ROUND6_FRONT if n in q]
-    missing = set(e._ROUND6_FRONT) - set(q)
+    head = [n for n in e._NEW_OR_CHANGED if n in q]
+    missing = set(e._NEW_OR_CHANGED) - set(q)
     assert not missing, f"front-load names not in registry: {missing}"
-    assert names[: len(front)] == front
+    assert names[: len(head)] == head
+
+
+def test_stale_tail_is_least_recently_green_order():
+    """Since r7 the stale tail is COMPUTED from the CORRECTNESS_r*.json
+    history (the r6 hand-written tuple drifted from reality): after the
+    new/changed head, last-driver-green rounds must be non-decreasing,
+    and queries in the driver's ~50 window must include every query
+    whose last green round is minimal (nothing maximally stale can hide
+    below the window while fresher entries sit inside it)."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    names = list(q)
+    head = set(e._NEW_OR_CHANGED)
+    greens = e._last_green_rounds()
+    tail = [n for n in names if n not in head]
+    rounds = [greens.get(n, 0) for n in tail]
+    assert rounds == sorted(rounds), "stale tail not least-recently-green"
+    # the CLI twin must agree with the import-time logic
+    import tools.staleness as st
+
+    assert st.last_green_rounds() == greens
