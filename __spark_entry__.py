@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 _NEW_OR_CHANGED = (
     # new in round 7: the dup-burst-robust byte-block tier (added after
     # the 20x stress measured the uncapped tier at 95x wall — SCALE.md §5)
-    "mm_near_dedup_capped",
+    # and the production-geometry 60-bit/4-band simhash tier
+    "mm_near_dedup_capped", "dedup_simhash_wide",
     # changed in round 7 — rewritten plan: single-select guard form
     # (chained-select CollapseProject miss, BASELINE.md r7 A/B)
     "a8_corr_moments",

@@ -634,7 +634,13 @@ SIMHASH_BANDS = 2
 HAMMING_MAX = 1
 
 
-def simhash_hamming_pairs(sig: DataFrame, max_bucket: int | None = None) -> DataFrame:
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    max_bucket: int | None = None,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    hamming_max: int = HAMMING_MAX,
+) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``HAMMING_MAX`` over ANY
     (doc_id, simhash) sketch — text unigram sketches
     (``dedup_simhash_pairs``) and binary byte-gram sketches
@@ -648,7 +654,7 @@ def simhash_hamming_pairs(sig: DataFrame, max_bucket: int | None = None) -> Data
     16-bit / 4-band demo geometry keeps the oracle SQL tractable;
     production is 64-bit / 4×16-bit bands (same plan, collision odds
     4/2¹⁶ per random pair instead of 4/2⁴)."""
-    bits_per = SIMHASH_BITS // SIMHASH_BANDS
+    bits_per = bits // bands
     sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         "doc_id",
@@ -662,7 +668,7 @@ def simhash_hamming_pairs(sig: DataFrame, max_bucket: int | None = None) -> Data
                         .cast("string")
                         .alias("key"),
                     )
-                    for b in range(SIMHASH_BANDS)
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),
@@ -672,7 +678,7 @@ def simhash_hamming_pairs(sig: DataFrame, max_bucket: int | None = None) -> Data
         .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa")), "doc_a")
         .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb")), "doc_b")
         .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
-        .where(F.col("hamming") <= HAMMING_MAX)
+        .where(F.col("hamming") <= hamming_max)
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -683,14 +689,59 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(dedup_simhash(spark, sf_dir))
 
 
+# The production geometry the 16-bit demo tier documents itself against
+# (and the remedy for the key-space saturation the 20× stress measured
+# on the byte-block tier, SCALE.md §5): a wide sketch banded into
+# 15-bit keys — 2¹⁵ = 32,768 buckets per band instead of 256, so bucket
+# population at a given corpus size drops 128× and the O(n²)-in-bucket
+# cliff moves out by the same factor. 60 bits (not 64) keeps every
+# value — sketch, band keys, per-bit weights — strictly positive in
+# int64, sidestepping the signed-shift/overflow edge cases both engines
+# would otherwise need carve-outs for (a real deployment uses unsigned
+# 64/128-bit sketches; nothing in the plan changes). Radius 3 needs ≥4
+# bands by pigeonhole — exactly the bands we have.
+SIMHASH_WIDE_BITS = 60
+SIMHASH_WIDE_BANDS = 4
+HAMMING_WIDE_MAX = 3
+
+
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-geometry SimHash near-dup pairs: 60-bit unigram
+    sketch, 4×15-bit bands, exact for Hamming radius ≤ 3 — the same
+    shared banded plan as the demo tier, wider keys. The sketch build
+    is 60 aggregate folds over the per-doc word-hash array (a narrow
+    projection; ``spread`` fans it across cores on single-split
+    inputs)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(words_col()), lambda w: seeded_hash64(w, 0)
+        ).alias("_swh"),
+    )
+    sig = hashed.select(
+        "doc_id", simhash_col(SIMHASH_WIDE_BITS).alias("simhash")
+    )
+    return simhash_hamming_pairs(
+        sig,
+        bits=SIMHASH_WIDE_BITS,
+        bands=SIMHASH_WIDE_BANDS,
+        hamming_max=HAMMING_WIDE_MAX,
+    )
+
+
 def _sql_simhash_pairs(
-    sig_sql: str | None = None, max_bucket: int | None = None
+    sig_sql: str | None = None,
+    max_bucket: int | None = None,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    hamming_max: int = HAMMING_MAX,
 ) -> str:
-    bits_per = SIMHASH_BITS // SIMHASH_BANDS
+    bits_per = bits // bands
     banded = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
         f"(simhash >> {b * bits_per}) & {(1 << bits_per) - 1} AS key FROM sig"
-        for b in range(SIMHASH_BANDS)
+        for b in range(bands)
     )
     # the cap drops WHOLE oversized buckets before pair expansion —
     # identical semantics to bucket_pairs(max_bucket=...)
@@ -714,7 +765,7 @@ cand AS (
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
+FROM cand WHERE bit_count(xor(sa, sb)) <= {hamming_max}
 """
 
 
@@ -1372,6 +1423,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_simhash_wide": dedup_simhash_wide,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
@@ -1401,6 +1453,12 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_minhash_estimate": _sql_minhash_estimate(),
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
+    "dedup_simhash_wide": _sql_simhash_pairs(
+        _sql_simhash(SIMHASH_WIDE_BITS),
+        bits=SIMHASH_WIDE_BITS,
+        bands=SIMHASH_WIDE_BANDS,
+        hamming_max=HAMMING_WIDE_MAX,
+    ),
     "dedup_ngram_jaccard": _sql_jaccard(),
     "dedup_containment": _sql_containment(),
     "dedup_ngram_jaccard_capped": _sql_jaccard_capped(),
