@@ -24,8 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 _NEW_OR_CHANGED = (
     # new in round 7: the dup-burst-robust byte-block tier (added after
     # the 20x stress measured the uncapped tier at 95x wall — SCALE.md §5)
-    # and the production-geometry 60-bit/4-band simhash tier
-    "mm_near_dedup_capped", "dedup_simhash_wide",
+    # the production-geometry 60-bit/4-band simhash tier, and the
+    # streaming multimodal ingest face (mapInPandas decode per
+    # micro-batch)
+    "mm_near_dedup_capped", "dedup_simhash_wide", "s_stream_mm_features",
     # changed in round 7 — rewritten plan: single-select guard form
     # (chained-select CollapseProject miss, BASELINE.md r7 A/B)
     "a8_corr_moments",

@@ -1084,6 +1084,63 @@ STREAMING_QUERIES["s_stream_dedup_vs_corpus"] = s_stream_dedup_vs_corpus
 STREAMING_ORACLES["s_stream_dedup_vs_corpus"] = _sql_stream_dedup_vs_corpus()
 
 
+def s_stream_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal ingest: binary payloads arrive as a stream
+    and the Arrow-batched ``mapInPandas`` decode (``extract_features``)
+    runs INSIDE each micro-batch — the shape a media crawl's feature
+    backfill actually has (decode at ingest, store small vectors, the
+    blob never lands twice). The mapInPandas stage is stateless, so the
+    stream needs no watermark and append mode emits each doc's feature
+    row exactly once per file-source offset — restart semantics are the
+    checkpointed file-source's (see the dedup-vs-corpus restart test).
+
+    Value-checked end-to-end: the stub decode is the seeded stable
+    hash, so the same pure-SQL oracle as ``mm_feature_extract`` pins
+    every feature value flowing through the streaming path."""
+    from securities_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    docs = documents_stream(spark, sf_dir)
+    media = docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    out = feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("feature").alias("feat_idx", "feat_val"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "feat_idx",
+        F.col("feat_val").cast("double").alias("feat_val"),
+    )
+    return run_to_memory(out, "append")
+
+
+def _sql_stream_mm_features() -> str:
+    from securities_data_pipeline_spark.operators.multimodal import (
+        MM_FEATURE_EXTRACT_SQL,
+    )
+
+    # identical answer to the batch op: the stream is an arrival order
+    # over the same documents file
+    return MM_FEATURE_EXTRACT_SQL
+
+
+STREAMING_QUERIES["s_stream_mm_features"] = s_stream_mm_features
+STREAMING_ORACLES["s_stream_mm_features"] = _sql_stream_mm_features()
+
+
 # every event-fed streaming query reads through the ``event_ok`` gate in
 # ``events_stream`` (see its inline note: the far-future-timestamp
 # watermark hazard); wrap every oracle with the identical predicate at
