@@ -502,4 +502,99 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM g
 
 MULTIMODAL_QUERIES["mm_near_dedup_capped"] = mm_near_dedup_capped
 MULTIMODAL_ORACLES["mm_near_dedup_capped"] = _sql_mm_near_dedup_capped()
+
+
+MM_KNN_QUERY_MOD = 100  # doc_id % 100 == 0 are the demo query docs
+MM_KNN_K = 5
+
+
+def mm_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family composition: decode binary payloads to feature
+    vectors (the Arrow-batched ``extract_features`` path), then run
+    cosine top-k over the DECODED features with the similarity tier's
+    exact plan (broadcast queries × corpus, window top-k, ties broken
+    by doc_id after 6-dp rounding) — the perceptual-retrieval shape
+    (CLIP-feature nearest neighbors) with the codec stubbed.
+
+    The feature values are integer-valued floats < 1e5 (exact in
+    float32 AND double), so dot products and norms are bit-identical
+    across engines and the whole two-stage pipeline — mapInPandas
+    decode INTO JVM-side window ranking — is value-checked by one SQL
+    oracle. Scale shape: features are 8 floats per blob, so the
+    broadcast+crossJoin tier costs what ``sim_bruteforce_topk`` costs —
+    at real scale the IVF/LSH tiers take over on the same vectors."""
+    media = documents_as_media(spark, sf_dir)
+    feats = (
+        extract_features(spread(media))
+        .where(F.col("feature").isNotNull())
+        .select("doc_id", "feature")
+    )
+    queries = feats.where(
+        F.pmod(F.col("doc_id"), F.lit(MM_KNN_QUERY_MOD)) == 0
+    ).select(F.col("doc_id").alias("query_id"), F.col("feature").alias("qvec"))
+    from securities_data_pipeline_spark.operators.similarity import cosine
+
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(feats)
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            cosine(F.col("qvec"), F.col("feature")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= MM_KNN_K)
+        .select("query_id", "rank", "doc_id", "sim")
+    )
+
+
+def _sql_mm_feature_knn() -> str:
+    feat = (
+        "[CAST(CAST(concat('0x', substring(md5(concat(CAST(i AS VARCHAR), ':', text)), 1, 15)) "
+        "AS BIGINT) % 100000 AS DOUBLE) FOR i IN range(0, 8)]"
+    )
+    dot = (
+        "list_aggregate(list_transform(list_zip(q.qvec, f.feature), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    )
+    norm_q = (
+        "sqrt(list_aggregate(list_transform(q.qvec, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    norm_f = (
+        "sqrt(list_aggregate(list_transform(f.feature, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    return f"""
+WITH f AS MATERIALIZED (
+  SELECT doc_id, {feat} AS feature
+  FROM documents WHERE text IS NOT NULL
+), q AS (
+  SELECT doc_id AS query_id, feature AS qvec FROM f
+  WHERE doc_id % {MM_KNN_QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, f.doc_id,
+         round({dot} / ({norm_q} * {norm_f}), 6) AS sim
+  FROM q, f WHERE f.doc_id <> q.query_id
+), ranked AS (
+  SELECT query_id, doc_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, sim
+FROM ranked WHERE rank <= {MM_KNN_K}
+"""
+
+
+MULTIMODAL_QUERIES["mm_feature_knn"] = mm_feature_knn
+MULTIMODAL_ORACLES["mm_feature_knn"] = _sql_mm_feature_knn()
 MULTIMODAL_ORACLES["mm_near_dedup"] = _sql_mm_near_dedup()

@@ -35,6 +35,7 @@ PY_OK = {
     "sim_kmeans_assign",
     "sim_cluster_sample",  # rank window over the kmeans pandas-UDF assignment
     "mm_feature_extract",
+    "mm_feature_knn",  # same Arrow decode stage as mm_feature_extract
     "mm_frame_sample",
     "mm_resize",
     "s_stream_user_stats_stateful",
@@ -67,6 +68,7 @@ BNLJ_OK = {
     "dedup_pagerank",  # one-row corpus-count crossJoin per iteration
     "j_range_band",
     "sim_bruteforce_topk",
+    "mm_feature_knn",  # broadcast decoded-query vectors x corpus, the exact tier
     "sim_range_search",  # broadcast queries × corpus scan, τ filter
     "sim_ivf_topk",
     "sim_ivf_recall",  # composes the two allowlisted plans above

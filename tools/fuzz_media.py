@@ -51,6 +51,7 @@ MM_QUERIES = [
     "mm_frame_sample",
     "mm_near_dedup",
     "mm_near_dedup_capped",
+    "mm_feature_knn",
 ]
 
 ASCII = string.ascii_letters + string.digits + " .,;:!?-_()[]"
