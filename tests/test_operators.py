@@ -751,3 +751,52 @@ def test_cms_one_sided_guarantee_and_width_collisions(spark):
     assert all(r.cms_n >= r.exact_n for r in rows)
     assert all(r.overestimate_ok for r in rows)
     assert any(r.cms_n > r.exact_n for r in rows)  # collisions observed
+
+
+def test_wide_simhash_banding_is_exact_for_radius_3(spark):
+    """Pigeonhole completeness for the production geometry (r7): with
+    4 bands over the 60-bit sketch, EVERY pair at Hamming distance <= 3
+    must collide on at least one intact band and appear in the output;
+    pairs beyond the radius must be excluded by the verify filter even
+    when a band collides. Exercised directly on synthetic sketches so
+    the property is tested at exact distances, not corpus luck."""
+    import random
+
+    from securities_data_pipeline_spark.operators.dedup import (
+        HAMMING_WIDE_MAX,
+        SIMHASH_WIDE_BANDS,
+        SIMHASH_WIDE_BITS,
+        simhash_hamming_pairs,
+    )
+
+    rng = random.Random(13)
+    base = rng.getrandbits(SIMHASH_WIDE_BITS - 1)  # keep bit 59 clear -> positive
+    rows = [(0, base)]
+    expected = set()
+    nid = 1
+    # flip exactly d bits for d = 1..6: d <= 3 must pair with doc 0
+    for d in range(1, 7):
+        for _ in range(8):
+            bits = rng.sample(range(SIMHASH_WIDE_BITS - 1), d)
+            v = base
+            for b in bits:
+                v ^= 1 << b
+            rows.append((nid, v))
+            if d <= HAMMING_WIDE_MAX:
+                expected.add((0, nid))
+            nid += 1
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_hamming_pairs(
+            sig,
+            bits=SIMHASH_WIDE_BITS,
+            bands=SIMHASH_WIDE_BANDS,
+            hamming_max=HAMMING_WIDE_MAX,
+        ).collect()
+    }
+    # completeness: every within-radius pair against doc 0 is present
+    assert expected <= got
+    # soundness: nothing beyond the radius survives the verify filter
+    far = {nid for nid, v in rows if bin(v ^ base).count("1") > HAMMING_WIDE_MAX}
+    assert not any(a == 0 and b in far for a, b in got)
