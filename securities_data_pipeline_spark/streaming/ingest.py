@@ -1009,10 +1009,13 @@ STREAMING_ORACLES: dict[str, str] = {
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the documents landing file(s) — the text-corpus
     twin of ``events_stream``: schema pinned from the batch scan so the
-    stream and batch paths cannot desynchronize."""
-    batch_schema = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).schema
+    stream and batch paths cannot desynchronize. Single-file and
+    directory landing layouts both supported (see
+    ``embeddings_stream``)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(batch_schema).parquet(path)
     return (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1139,6 +1142,131 @@ def _sql_stream_mm_features() -> str:
 
 STREAMING_QUERIES["s_stream_mm_features"] = s_stream_mm_features
 STREAMING_ORACLES["s_stream_mm_features"] = _sql_stream_mm_features()
+
+
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the embeddings landing file(s) — schema pinned
+    from the batch scan so stream and batch cannot desynchronize.
+
+    Handles both landing layouts: a single ``embeddings.parquet`` FILE
+    beside other tables (the testdata convention — glob-filtered so
+    sibling tables are not swept in) and an ``embeddings.parquet/``
+    DIRECTORY of part files (what any Spark writer produces — a real
+    landing zone IS a directory; the glob filter would silently match
+    zero part files there, found by the embeddings fuzz sweep)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(batch_schema).parquet(path)
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def s_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ANN-index maintenance: new vectors arrive
+    as a stream and each micro-batch assigns them to their nearest IVF
+    centroid — the write path that keeps a vector index fresh (batch
+    twin: ``assign_buckets``; the query path is ``sim_ivf_topk``).
+
+    The production shape this pins: the index's coarse quantizer
+    (centroids) is trained offline and is BOUNDED DRIVER STATE — here
+    it enters the plan as literal vectors (≤ ``N_CENTROIDS_CAP`` of
+    them, the same documented bounded-collect as the PQ codebooks), so
+    per-batch assignment is a stateless narrow projection: no window,
+    no groupBy, no state store, nothing for a restart to replay
+    wrong. Argmax over the centroid literals is an array-max over
+    (sim, -centroid_id) structs — ties at the 6-dp cosine quantum
+    break toward the LOWER centroid id, byte-identical to the batch
+    assigner's ORDER BY csim DESC, centroid_id ASC. The stream reads
+    through the same ``embedding_ok`` admission predicate the batch
+    ingest applies at write time (a stream IS an ingest point)."""
+    from securities_data_pipeline_spark.operators.similarity import (
+        _centroid_filter,
+        cosine,
+        embedding_ok,
+        emb_table,
+    )
+
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb_table(spark, sf_dir)
+        .where(_centroid_filter())
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # "new" vectors = the vec_id % 10 == 7 slice (the same new-batch
+    # convention as dedup_incremental) — disjoint from the centroid
+    # donors (vec_id % 100 == 0) by construction
+    new_vecs = embeddings_stream(spark, sf_dir).where(
+        embedding_ok(F.col("embedding"))
+        & (F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.array(*[F.lit(x).cast("float") for x in cvec]),
+                    F.col("embedding"),
+                ).alias("csim"),
+                F.lit(-cid).cast("long").alias("neg_cid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    best = F.array_max(scored)
+    out = new_vecs.select(
+        "vec_id",
+        (-best["neg_cid"]).alias("centroid_id"),
+        best["csim"].alias("csim"),
+    )
+    return run_to_memory(out, "append")
+
+
+def _sql_stream_ivf_assign() -> str:
+    from securities_data_pipeline_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        N_CENTROIDS_CAP,
+        _sql_cosine,
+    )
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {CENTROID_STRIDE} = 0
+    AND vec_id < {CENTROID_STRIDE * N_CENTROIDS_CAP}
+), assigned AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_sql_cosine('c.cvec', 'e.embedding')} AS csim,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cosine('c.cvec', 'e.embedding')} DESC,
+                    c.centroid_id ASC
+         ) AS r
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id % 10 = 7
+)
+SELECT vec_id, centroid_id, csim FROM assigned WHERE r = 1
+"""
+
+
+STREAMING_QUERIES["s_stream_ivf_assign"] = s_stream_ivf_assign
+
+
+def _guarded_ivf_assign_sql() -> str:
+    # the Spark side reads the stream through embedding_ok (a stream IS
+    # an ingest point); inject the identical predicate into the oracle
+    # exactly as every batch similarity oracle gets it
+    from securities_data_pipeline_spark.operators.similarity import (
+        guard_emb_sql,
+    )
+
+    return guard_emb_sql(_sql_stream_ivf_assign())
+
+
+STREAMING_ORACLES["s_stream_ivf_assign"] = _guarded_ivf_assign_sql()
 
 
 # every event-fed streaming query reads through the ``event_ok`` gate in

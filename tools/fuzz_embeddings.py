@@ -50,6 +50,7 @@ EMB_QUERIES = [
     "dedup_embedding_resolve",
     "dedup_semdedup",
     "f_array_stats",
+    "s_stream_ivf_assign",  # streaming ingest face: gated assign vs raw oracle
 ]
 
 DIM = 64
