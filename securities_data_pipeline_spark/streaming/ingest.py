@@ -56,12 +56,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pin_event_session_confs(spark)
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # directory landing (what any Spark writer produces) — the glob
+        # filter below would match zero part files (see
+        # embeddings_stream, fuzz-found)
+        stream = spark.readStream.schema(batch_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # event_ok admission gate (functions/gates.py) AT the ingest point —
     # exactly where a production stream quarantines garbage. The
     # watermark hazard is streaming-specific (fuzz-found,

@@ -70,3 +70,44 @@ def test_arrow_batch_boundary_invariance(spark, garbage_media):
         assert snap() == ref
     finally:
         spark.conf.set(key, default)
+
+
+def test_capped_near_dedup_is_subset_with_small_buckets_preserved(spark, tmp_path):
+    """Cap contract on a generated dup-burst corpus: the capped tier's
+    pairs are a SUBSET of the uncapped tier's, and every pair whose
+    band buckets are all within the cap survives untouched (the cap
+    drops oversized buckets whole, never individual rows)."""
+    import os
+    import random
+
+    from securities_data_pipeline_spark.operators.multimodal import (
+        mm_near_dedup,
+        mm_near_dedup_capped,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    # a burst: 70 exact copies of one payload (crosses the 64 bucket
+    # cap), plus an organic near-dup pair that must survive
+    burst = "".join(rng.choice("abcdef ") for _ in range(200))
+    for i in range(70):
+        rows.append((i, burst, "en", "s0", len(burst)))
+    organic = "".join(rng.choice("xyzuvw ") for _ in range(300))
+    rows.append((100, organic, "en", "s1", len(organic)))
+    rows.append((101, organic[:-3], "en", "s1", len(organic) - 3))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    capped = {
+        (r.doc_a, r.doc_b) for r in mm_near_dedup_capped(spark, str(tmp_path)).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in mm_near_dedup(spark, str(tmp_path)).collect()
+    }
+    assert capped <= uncapped
+    # the 70-copy burst saturates its buckets -> its pairs are dropped
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+    # the organic near-dup pair lives in small buckets -> preserved
+    assert (100, 101) in capped
