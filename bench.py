@@ -242,6 +242,11 @@ HEADLINE = [
     "sec_stochastic",
     # round-7 additions
     "mm_near_dedup_capped",
+    "dedup_simhash_wide",
+    "mm_feature_knn",
+    "s_stream_mm_features",
+    "s_stream_ivf_assign",
+    "sim_hard_negatives",
 ]
 
 

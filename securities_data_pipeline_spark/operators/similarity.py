@@ -1574,3 +1574,82 @@ SIMILARITY_ORACLES: dict[str, str] = {
         "sim_pq_rerank_topk": SIM_PQ_RERANK_SQL,
     }.items()
 }
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive training pairs)
+
+#: presumed-relevant horizon: ranks 1..HN_SKIP are treated as positives
+#: /near-positives and excluded from the negative pool — the mined
+#: negatives start just past the retrieval cutoff, which is where the
+#: hardest (most confusable) negatives live
+HN_SKIP = TOP_K
+HN_K = 5  # hard negatives mined per anchor
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining over the embedding corpus: per
+    anchor, ONE positive (the nearest neighbor) plus the ``HN_K``
+    hardest negatives — the most-similar vectors BEYOND the presumed-
+    relevant top-``HN_SKIP``. This is the batch-mining step an
+    embedding-training pipeline runs between epochs (in-batch negatives
+    are easy; ranks just past the retrieval cutoff are the gradient-
+    rich ones). One ranking window serves both roles, so the plan is
+    exactly the exact-tier scan + a single row_number — at corpus scale
+    the shortlist comes from the IVF/LSH tiers instead and the window
+    runs on the shortlist only."""
+    emb = emb_table(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = spread(emb).select("vec_id", "embedding")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    ranked = (
+        F.broadcast(anchors)
+        .crossJoin(corpus)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return ranked.where(
+        (F.col("rank") == 1)
+        | F.col("rank").between(HN_SKIP + 1, HN_SKIP + HN_K)
+    ).select(
+        "query_id",
+        F.when(F.col("rank") == 1, F.lit("pos"))
+        .otherwise(F.lit("hard_neg"))
+        .alias("role"),
+        "rank",
+        "vec_id",
+        "sim",
+    )
+
+
+SIM_HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT q.query_id, e.vec_id,
+         {_sql_cosine('q.qvec', 'e.embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_sql_cosine('q.qvec', 'e.embedding')} DESC, e.vec_id ASC
+         ) AS rank
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id,
+       CASE WHEN rank = 1 THEN 'pos' ELSE 'hard_neg' END AS role,
+       CAST(rank AS INT) AS rank, vec_id, sim
+FROM ranked
+WHERE rank = 1 OR rank BETWEEN {HN_SKIP + 1} AND {HN_SKIP + HN_K}
+"""
+
+SIMILARITY_QUERIES["sim_hard_negatives"] = sim_hard_negatives
+SIMILARITY_ORACLES["sim_hard_negatives"] = guard_emb_sql(SIM_HARD_NEG_SQL)

@@ -68,6 +68,7 @@ BNLJ_OK = {
     "dedup_pagerank",  # one-row corpus-count crossJoin per iteration
     "j_range_band",
     "sim_bruteforce_topk",
+    "sim_hard_negatives",  # same broadcast anchors x corpus exact tier
     "mm_feature_knn",  # broadcast decoded-query vectors x corpus, the exact tier
     "sim_range_search",  # broadcast queries × corpus scan, τ filter
     "sim_ivf_topk",

@@ -51,6 +51,7 @@ EMB_QUERIES = [
     "dedup_semdedup",
     "f_array_stats",
     "s_stream_ivf_assign",  # streaming ingest face: gated assign vs raw oracle
+    "sim_hard_negatives",
 ]
 
 DIM = 64
