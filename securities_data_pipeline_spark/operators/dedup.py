@@ -730,6 +730,42 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bucket cap for the wide tier — larger than the shingle tiers'
+#: MAX_BUCKET=16 because 15-bit keys make honest buckets rarer events
+#: (and the 20× stress shows recall SURVIVES this cap here: 45k pairs
+#: where the saturated 16-bit tier kept 0)
+WIDE_BUCKET_CAP = 64
+
+
+def dedup_simhash_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production configuration: wide keys AND the bucket cap.
+    The 20× stress (SCALE.md §5) is the whole argument in three rows —
+    uncapped wide OOMs a 128 GiB JVM (the in-bucket pair array
+    materializes m²/2 structs in ONE row on duplication-burst cliques),
+    the capped 16-bit demo keeps 0 pairs (saturated key space: every
+    bucket oversized), and capped-wide finishes in 9 s with 45k true
+    near-dup pairs intact. Width prevents saturation so recall
+    survives the cap; the cap bounds burst cost so the job survives
+    the corpus."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(words_col()), lambda w: seeded_hash64(w, 0)
+        ).alias("_swh"),
+    )
+    sig = hashed.select(
+        "doc_id", simhash_col(SIMHASH_WIDE_BITS).alias("simhash")
+    )
+    return simhash_hamming_pairs(
+        sig,
+        max_bucket=WIDE_BUCKET_CAP,
+        bits=SIMHASH_WIDE_BITS,
+        bands=SIMHASH_WIDE_BANDS,
+        hamming_max=HAMMING_WIDE_MAX,
+    )
+
+
 def _sql_simhash_pairs(
     sig_sql: str | None = None,
     max_bucket: int | None = None,
@@ -1424,6 +1460,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_simhash_wide": dedup_simhash_wide,
+    "dedup_simhash_wide_capped": dedup_simhash_wide_capped,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
@@ -1455,6 +1492,13 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_simhash_wide": _sql_simhash_pairs(
         _sql_simhash(SIMHASH_WIDE_BITS),
+        bits=SIMHASH_WIDE_BITS,
+        bands=SIMHASH_WIDE_BANDS,
+        hamming_max=HAMMING_WIDE_MAX,
+    ),
+    "dedup_simhash_wide_capped": _sql_simhash_pairs(
+        _sql_simhash(SIMHASH_WIDE_BITS),
+        max_bucket=WIDE_BUCKET_CAP,
         bits=SIMHASH_WIDE_BITS,
         bands=SIMHASH_WIDE_BANDS,
         hamming_max=HAMMING_WIDE_MAX,

@@ -63,6 +63,7 @@ def _extra_stress_queries():
         dedup_banding_curve,
         dedup_incremental,
         dedup_link_prediction,
+        dedup_simhash_wide_capped,
     )
     from securities_data_pipeline_spark.operators.multimodal import (
         mm_near_dedup,
@@ -89,6 +90,11 @@ def _extra_stress_queries():
         # signature build once per (bands, rows) config — wall must
         # stay ~linear in corpus and per-config, never quadratic
         ("dedup_banding_curve", dedup_banding_curve),
+        # r7: the production simhash configuration (wide keys + cap) —
+        # the uncapped wide tier OOMs at 20x (single-row m^2 pair
+        # array), the capped demo tier keeps 0 pairs (saturation);
+        # this one must stay ~linear AND keep real pairs
+        ("dedup_simhash_wide_capped", dedup_simhash_wide_capped),
     ]
 
 
