@@ -132,3 +132,20 @@ def test_ticks_residual_on_clean_store(spark, scratch):
 
     t = ticks(spark, scratch)
     assert [r.user_id for r in t.collect()] == [1]  # null metric + negative dropped
+
+
+def test_concurrent_materialize_race_first_writer_wins(spark, scratch):
+    """Two sessions materializing the same store race benignly: the
+    loser's atomic rename fails, it discards its staging dir and reads
+    the winner's store."""
+    _write_events(spark, scratch, _rows(spark, GOOD))
+    # winner commits first
+    assert V.validated_events(spark, scratch).count() == 2
+    dest = V._store_dir(scratch, "events")
+    # loser: call _materialize directly against the existing dest —
+    # must not raise, must not corrupt the committed store
+    V._materialize(spark, scratch, "events", dest)
+    assert V.validated_events(spark, scratch).count() == 2
+    # and no staging litter left behind
+    parent = os.path.dirname(dest)
+    assert not [d for d in os.listdir(parent) if ".tmp." in d]
