@@ -711,7 +711,11 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared banded plan as the demo tier, wider keys. The sketch build
     is 60 aggregate folds over the per-doc word-hash array (a narrow
     projection; ``spread`` fans it across cores on single-split
-    inputs)."""
+    inputs). Two rejected alternatives, both A/B'd at sf0.1: a
+    one-pass array-accumulator fold (1.00× — the fold count is not the
+    bottleneck) and an explode + 60 codegen'd SUMs + doc-keyed combine
+    (0.93× locally but ADDS a full doc_id shuffle the zero-shuffle HOF
+    form never pays — the wrong trade at 100 TB)."""
     docs = spread(table(spark, sf_dir, "documents"))
     hashed = docs.select(
         "doc_id",
