@@ -1211,19 +1211,32 @@ def s_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_ok(F.col("embedding"))
         & (F.pmod(F.col("vec_id"), F.lit(10)) == 7)
     )
-    scored = F.array(
-        *[
-            F.struct(
-                cosine(
-                    F.array(*[F.lit(x).cast("float") for x in cvec]),
-                    F.col("embedding"),
-                ).alias("csim"),
-                F.lit(-cid).cast("long").alias("neg_cid"),
-            )
-            for cid, cvec in cents
-        ]
-    )
-    best = F.array_max(scored)
+    # The centroid literals enter as ONE parsed SQL expression, not
+    # ~1300 F.lit() py4j round trips — the j_bloom_prefilter lesson
+    # (BASELINE.md r6: the bitmap-literal rework alone saved ~2 s of
+    # pure driver latency); measured here 5.8 → ~1 s per bench run.
+    def _sql_vec(cvec: list[float]) -> str:
+        return "array(" + ",".join(f"CAST({x!r} AS FLOAT)" for x in cvec) + ")"
+
+    def _sql_cos(cvec: list[float]) -> str:
+        dot = (
+            "aggregate(zip_with("
+            + _sql_vec(cvec)
+            + ", embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        nc = sum(float(x) * float(x) for x in cvec) ** 0.5
+        ne = (
+            "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        return f"round({dot} / (CAST({nc!r} AS DOUBLE) * {ne}), 6)"
+
+    scored_sql = "array(" + ",".join(
+        f"struct({_sql_cos(cvec)} AS csim, CAST({-cid} AS BIGINT) AS neg_cid)"
+        for cid, cvec in cents
+    ) + ")"
+    best = F.array_max(F.expr(scored_sql))
     out = new_vecs.select(
         "vec_id",
         (-best["neg_cid"]).alias("centroid_id"),
