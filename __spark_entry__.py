@@ -44,9 +44,10 @@ _NEW_OR_CHANGED = (
     "mm_near_dedup", "dedup_simhash_pairs",
     # changed — write-time admission gates: events/embeddings consumers
     # now scan the validated clean store (sources/validated.py).
-    # Representative consumers lead (every family member re-verified
-    # locally, 203/203); the rest of the gated families sit in the
-    # computed stale tail anyway (most are r2-stale).
+    # Representative consumers lead (the whole registry re-verified
+    # locally across the round's full oracle runs, 210/210); the rest
+    # of the gated families sit in the computed stale tail anyway
+    # (most are r2-stale).
     "w1_ffill", "sim_lsh_topk", "w7_interval_range", "sec_vwap",
     "sim_quantize", "dedup_semdedup", "m_scd2_intervals",
 )

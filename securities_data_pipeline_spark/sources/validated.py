@@ -113,6 +113,30 @@ def _materialize(spark: SparkSession, sf_dir: str, name: str, dest: str) -> None
         shutil.rmtree(staging, ignore_errors=True)
         if not os.path.isdir(dest):
             raise
+    _gc_stale_stores(name, keep=dest)
+
+
+def _gc_stale_stores(name: str, keep: str, max_keep: int = 4) -> None:
+    """Bound the clean root: every raw-table rewrite (the fuzz
+    harnesses do this constantly) mints a new store key, so without
+    GC the root grows one store per rewrite forever. Keep the
+    ``max_keep`` most-recent stores per table (by mtime) plus the one
+    just committed; prune the rest best-effort (a concurrently-read
+    victim store just re-materializes on its next touch — the commit
+    protocol makes that safe)."""
+    root = clean_root()
+    try:
+        sibs = [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith(f"{name}-") and ".tmp." not in d
+        ]
+    except OSError:
+        return
+    sibs = [d for d in sibs if os.path.abspath(d) != os.path.abspath(keep)]
+    sibs.sort(key=lambda d: os.path.getmtime(d), reverse=True)
+    for stale in sibs[max_keep:]:
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def _store_dir(sf_dir: str, name: str) -> str:

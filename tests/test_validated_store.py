@@ -149,3 +149,18 @@ def test_concurrent_materialize_race_first_writer_wins(spark, scratch):
     # and no staging litter left behind
     parent = os.path.dirname(dest)
     assert not [d for d in os.listdir(parent) if ".tmp." in d]
+
+
+def test_store_gc_bounds_clean_root(spark, scratch):
+    """Raw rewrites mint new store keys; the GC keeps only the most
+    recent few per table so the clean root cannot grow forever."""
+    for i in range(7):
+        _write_events(
+            spark, scratch, _rows(spark, GOOD + GOOD[:1] * i)
+        )
+        assert V.validated_events(spark, scratch).count() >= 2
+    root = V.clean_root()
+    stores = [d for d in os.listdir(root) if d.startswith("events-")]
+    assert len(stores) <= 5  # max_keep=4 + the live one
+    # the live store still reads fine after GC of its siblings
+    assert V.validated_events(spark, scratch).count() >= 2
