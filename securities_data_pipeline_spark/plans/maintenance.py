@@ -185,6 +185,62 @@ FROM events
 """
 
 
+def m_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-changelog → **current-state table** (the Type-1 sibling of
+    ``m_scd2_intervals``, i.e. what `MERGE`-applying a Delta Change
+    Data Feed produces): each user's event stream is the ordered
+    changelog of that user's row — the LATEST record wins, and an
+    ``'error'`` record is the delete tombstone that removes the row
+    from the final state entirely.
+
+    Plan: ONE shuffle on the key (user_id), a single descending
+    row_number to pick the latest version (ties broken by event_id so
+    replays are deterministic), version count rides the same window
+    pass. At 100 TB this is the standard log-compaction shape: state
+    size is O(live keys), never O(changelog), and the changelog is
+    read exactly once. Reads through the ``event_ok`` gate — a CDC
+    record with no event time cannot be sequenced (same fuzz-found
+    rationale as SCD2)."""
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_versions"),
+    ).where(F.col("_rn") == 1)
+    return latest.where(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("value").alias("current_value"),
+        F.col("ts").alias("updated_at"),
+        F.col("n_versions").cast("long").alias("n_versions"),
+    )
+
+
+M_CDC_APPLY_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+  FROM events
+)
+SELECT user_id,
+       value AS current_value,
+       ts AS updated_at,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def _guard_events(sql: str) -> str:
     from securities_data_pipeline_spark.functions.gates import guard_events_sql
 
@@ -195,10 +251,12 @@ MAINTENANCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_zorder_cluster": m_zorder_cluster,
     "m_incremental_rollup": m_incremental_rollup,
     "m_scd2_intervals": m_scd2_intervals,
+    "m_cdc_apply": m_cdc_apply,
 }
 
 MAINTENANCE_ORACLES: dict[str, str] = {
     "m_zorder_cluster": M_ZORDER_SQL,
     "m_incremental_rollup": M_INCREMENTAL_SQL,
     "m_scd2_intervals": _guard_events(M_SCD2_SQL),
+    "m_cdc_apply": _guard_events(M_CDC_APPLY_SQL),
 }
