@@ -29,7 +29,7 @@ _NEW_OR_CHANGED = (
     # micro-batch)
     "mm_near_dedup_capped", "dedup_simhash_wide", "s_stream_mm_features",
     "mm_feature_knn", "s_stream_ivf_assign", "sim_hard_negatives",
-    "dedup_simhash_wide_capped", "m_cdc_apply",
+    "dedup_simhash_wide_capped", "m_cdc_apply", "a_k_anonymity",
     # changed in round 7 — rewritten plan: single-select guard form
     # (chained-select CollapseProject miss, BASELINE.md r7 A/B)
     "a8_corr_moments",

@@ -318,3 +318,81 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "f_array_stats": F_ARRAY_STATS_SQL,
     "w8_pattern_match": _guard_events(W8_PATTERN_SQL),
 }
+
+
+def a_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: k-anonymity of users' behavioral signatures.
+
+    A user's quasi-identifier here is their GENERALIZED per-event-type
+    count vector — counts bucketed to powers of two, the
+    generalization step every k-anonymization pipeline applies to
+    numeric quasi-identifiers (raw counts are near-unique by
+    construction: at sf0.01 every one of the 400 users is k=1 on raw
+    counts, which is Narayanan & Shmatikov's de-anonymization result
+    in miniature). Users sharing a generalized signature form an
+    anonymity set of size k; k=1 users remain re-identifiable even
+    after generalization. Output: one row per k with the number of
+    anonymity sets and users at that k — the histogram a 100 TB event
+    store audits before releasing "anonymized" data.
+
+    Plan: two hash aggregations (user×type counts → per-user
+    signature → signature groups) + one tiny k histogram — shuffles
+    carry (user_id, type, count) then (signature-hash) rows, never
+    events. Reads through ``event_ok``: a NULL-time record is not
+    attributable behavior and the engines disagree on its sort.
+    """
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
+    # NULL event types group as an explicit sentinel: Spark's
+    # concat_ws SKIPS null args while SQL || PROPAGATES them, so an
+    # un-coalesced NULL type silently merges distinct signatures on
+    # one engine only (fuzz-found)
+    etype = F.coalesce(F.col("event_type"), F.lit("(null)"))
+    per_type = ev.groupBy("user_id", etype.alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # generalize: count -> 2^floor(log2(count)) bucket label
+    bucket = F.pow(F.lit(2.0), F.floor(F.log2("n"))).cast("long")
+    sig = per_type.groupBy("user_id").agg(
+        F.concat_ws(
+            "|",
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(":", "event_type", bucket.cast("string"))
+                )
+            ),
+        ).alias("signature")
+    )
+    sets_ = sig.groupBy("signature").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        sets_.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_sets"),
+            F.sum("k").cast("long").alias("n_users"),
+        )
+        .orderBy("k")
+    )
+
+
+A_K_ANONYMITY_SQL = """
+WITH per_type AS (
+  SELECT user_id, COALESCE(event_type, '(null)') AS event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), sig AS (
+  SELECT user_id,
+         list_aggregate(
+           list_sort(list(event_type || ':' ||
+             CAST(CAST(pow(2.0, floor(log2(n))) AS BIGINT) AS VARCHAR))),
+           'string_agg', '|') AS signature
+  FROM per_type GROUP BY user_id
+), sets_ AS (
+  SELECT signature, COUNT(*) AS k FROM sig GROUP BY signature
+)
+SELECT k, COUNT(*) AS n_sets, CAST(SUM(k) AS BIGINT) AS n_users
+FROM sets_ GROUP BY k ORDER BY k
+"""
+
+ANALYTICS_QUERIES["a_k_anonymity"] = a_k_anonymity
+ANALYTICS_ORACLES["a_k_anonymity"] = _guard_events(A_K_ANONYMITY_SQL)

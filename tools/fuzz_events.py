@@ -52,6 +52,7 @@ EVENT_QUERIES = [
     "j_range_bin",
     "m_scd2_intervals",
     "m_cdc_apply",
+    "a_k_anonymity",
     "sec_stg_ffill",
     "sec_calendar_spine",
     "sec_weekly_bars",
