@@ -54,14 +54,28 @@ _NEW_OR_CHANGED = (
 
 
 def _last_green_rounds() -> dict[str, int]:
-    """query -> latest round with a green driver row, from the
-    CORRECTNESS_r*.json files beside this file (0 = never checked)."""
-    import glob
-    import json
+    """query -> latest round with a green driver row (0 = never).
+    The green predicate and history scan live in ONE place —
+    ``tools.staleness`` (ADVICE r7: the duplicated copy here could
+    drift from the CLI's); the inline fallback below only covers a
+    driver checkout without ``tools/`` and mirrors it verbatim."""
     import os
-    import re
+    import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    try:
+        from tools.staleness import last_green_rounds
+
+        return last_green_rounds()
+    except Exception:
+        pass
+
+    import glob
+    import json
+    import re
+
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)

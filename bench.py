@@ -247,7 +247,25 @@ HEADLINE = [
     "s_stream_mm_features",
     "s_stream_ivf_assign",
     "sim_hard_negatives",
+    # round-8 additions: the production-geometry twins now that the
+    # uncapped tiers are tagged calibration (VERDICT r7 #1/#2)
+    "dedup_simhash_wide_capped",
+    "dedup_link_prediction_capped",
 ]
+
+#: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"
+#: #1-#3): registered + oracle-checked at sf0.01 like every query, and
+#: still timed here, but their own 20× stress rows prove the uncapped
+#: expansion does not survive scale (SCALE.md §5: simhash_wide OOMs a
+#: 128 GiB JVM, mm_near_dedup hits key-space saturation at 95× wall,
+#: link_prediction's wedge join grows 7.5×). The sidecar separates
+#: their time out so `value_production` reflects production shapes
+#: only; the registered *_capped twins are the production tiers.
+CALIBRATION = {
+    "dedup_simhash_wide",
+    "mm_near_dedup",
+    "dedup_link_prediction",
+}
 
 
 def main() -> None:
@@ -319,6 +337,8 @@ def main() -> None:
         canary_ratio = canary_ratio_pre or canary_ratio_post
 
     total = round(sum(timings.values()), 3)
+    calib = sorted(CALIBRATION & set(timings))
+    value_calibration = round(sum(timings[q] for q in calib), 3)
     record = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -327,6 +347,19 @@ def main() -> None:
         "repeats": REPEATS,
         "stat": "median",
         "sf": sf_val,
+        # production-vs-calibration split (VERDICT r7 #4): `value`
+        # stays the all-timed total for round-over-round continuity;
+        # `value_production` excludes the tagged calibration tiers
+        # whose uncapped expansion is a proven 20× non-survivor.
+        "calibration_queries": calib,
+        "value_calibration": value_calibration,
+        "value_production": round(total - value_calibration, 3),
+        # round/run identity (ADVICE r7): _next_round() infers from
+        # existing BENCH_r*.json, so a re-run AFTER the driver records
+        # the round would mint round+1 — stamping the round and SHA in
+        # the record lets bench_compare refuse a mismatched sidecar.
+        "round": _bench_round(),
+        "git_sha": _git_sha(),
         # container-drift canary (see module comment): ratio of
         # this run's frozen-query medians to their r3 reference;
         # divide any cross-round comparison by it first.
@@ -338,6 +371,11 @@ def main() -> None:
         "canary_ratio": canary_ratio,
         "value_canary_normalized": (
             round(total / canary_ratio, 3) if canary_ratio else None
+        ),
+        "value_production_canary_normalized": (
+            round((total - value_calibration) / canary_ratio, 3)
+            if canary_ratio
+            else None
         ),
     }
     print(json.dumps(record))
@@ -359,6 +397,36 @@ def _next_round() -> int:
     return max(rounds, default=0) + 1
 
 
+def _bench_round() -> int:
+    """The round this run claims: the driver can pin it explicitly via
+    SPARK_GRAFT_BENCH_ROUND; otherwise fall back to the max+1
+    inference (which mis-numbers a post-driver re-run — exactly why
+    the value is ALSO stamped inside the record for bench_compare to
+    validate)."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    return _next_round()
+
+
+def _git_sha() -> str | None:
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
 def _write_sidecar(record: dict) -> None:
     """Full-fidelity bench record on disk (VERDICT r6 bench-infra nit):
     the driver captures stdout with a bounded tail, and at 90+ headline
@@ -369,7 +437,7 @@ def _write_sidecar(record: dict) -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     path = os.environ.get(
         "SPARK_GRAFT_BENCH_SIDECAR",
-        os.path.join(repo, f"BENCH_QUERIES_r{_next_round():02d}.json"),
+        os.path.join(repo, f"BENCH_QUERIES_r{record['round']:02d}.json"),
     )
     try:
         with open(path, "w") as f:

@@ -22,8 +22,9 @@ The per-read gates in ``functions/gates.py`` / ``embedding_ok`` stay
 as the documented defense for ad-hoc scans of unvalidated paths, and
 ``SPARK_GRAFT_GATE_MODE=read`` forces that behavior everywhere (used
 by the gate-cost A/B and as an escape hatch on read-only filesystems —
-any OSError during materialization also falls back to the per-read
-gate instead of failing the query).
+any failure during materialization, filesystem OR Spark-side, also
+falls back to the per-read gate instead of failing the query, after
+removing its staging dir).
 
 At cluster scale the equivalent is the ingest job writing the
 validated Delta table and queries scanning it; the oracle side keeps
@@ -34,8 +35,13 @@ parity is unchanged.
 from __future__ import annotations
 
 import hashlib
+import itertools
 import os
 import shutil
+import sys
+import tempfile
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +54,17 @@ GATE_VERSION = 1
 
 _CLEAN_ROOT_ENV = "SPARK_GRAFT_CLEAN_DIR"
 _MODE_ENV = "SPARK_GRAFT_GATE_MODE"  # "write" (default) | "read"
+_GC_GRACE_ENV = "SPARK_GRAFT_CLEAN_GC_GRACE_SEC"
+
+#: GC only prunes stores this old (seconds). A sibling store younger
+#: than the grace window may still back a concurrent session's LAZY
+#: DataFrame — parquet scans resolve files at action time, so deleting
+#: a just-superseded store fails that in-flight query with
+#: FileNotFoundException rather than "re-materializing on next touch"
+#: (only the NEXT validated_table call re-materializes).
+GC_GRACE_SEC = 3600
+
+_staging_seq = itertools.count()
 
 
 def _gate_column(name: str):
@@ -83,29 +100,82 @@ def _store_key(sf_dir: str, name: str) -> str:
 
 
 def clean_root() -> str:
-    return os.environ.get(_CLEAN_ROOT_ENV, "/tmp/sdp_clean")
+    """Clean-store root. The default is PER-UID (not a world-shared
+    /tmp path): on a multi-user host a fixed shared root lets another
+    user pre-create ``events-<key>`` (the key is computable from stat
+    of readable raw files) and have every gated query trust their
+    rows as validated; a root owned by another uid also turns every
+    makedirs/rename into a permanent per-read fallback. Stores found
+    under an explicitly-configured root are additionally ownership-
+    checked before being trusted (``_owned_by_me``)."""
+    root = os.environ.get(_CLEAN_ROOT_ENV)
+    if root:
+        return root
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    return os.path.join(tempfile.gettempdir(), f"sdp_clean-{uid}")
+
+
+def _owned_by_me(path: str) -> bool:
+    """True when ``path`` belongs to this uid (POSIX) — a store or
+    root owned by anyone else is never trusted and never written
+    into. On platforms without uids there is no ownership axis."""
+    if not hasattr(os, "getuid"):
+        return True
+    try:
+        return os.stat(path).st_uid == os.getuid()
+    except OSError:
+        return False
+
+
+def _ensure_root() -> str:
+    """Create (0700) or validate the clean root; raises PermissionError
+    when an existing root is another uid's (the caller's except-path
+    turns that into the per-read gate)."""
+    root = clean_root()
+    if os.path.isdir(root):
+        if not _owned_by_me(root):
+            raise PermissionError(f"clean root {root!r} owned by another uid")
+        return root
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
 
 
 def _materialize(spark: SparkSession, sf_dir: str, name: str, dest: str) -> None:
     """Quarantine-split the raw table and commit the clean store
-    atomically: write to a pid-unique staging dir, then rename."""
-    staging = f"{dest}.tmp.{os.getpid()}"
+    atomically: write to a call-unique staging dir, then rename.
+    Staging uniqueness must be per CALL, not per process — two threads
+    of one session racing the same store key (the driver runs queries
+    concurrently under pytest-style harnesses) would interleave writes
+    into a shared pid-keyed dir; pid+thread+sequence keys each attempt.
+    Any write failure removes the staging dir before propagating, so a
+    half-written staging never survives (the caller falls back to the
+    per-read gate)."""
+    staging = (
+        f"{dest}.tmp.{os.getpid()}.{threading.get_ident()}.{next(_staging_seq)}"
+    )
     raw = table(spark, sf_dir, name)
     gate = _gate_column(name)
-    # clean rows: gate TRUE.  Written with the scan's own partitioning:
-    # at testdata scale that is 1-2 files (a repartition(par) here was
-    # A/B-measured SLOWER — 32 ~25 KB files cost more in per-file open
-    # overhead than the vectorized gate they saved), and at cluster
-    # scale the ingest job's scan already arrives in size-based splits.
-    # CPU-heavy consumers fan out via spread() exactly as on raw scans.
-    raw.where(gate).write.mode("overwrite").parquet(
-        os.path.join(staging, "clean")
-    )
-    # quarantine rows: gate FALSE or NULL — kept for audit/replay, the
-    # S6 error-channel side output.
-    raw.where(~F.coalesce(gate, F.lit(False))).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(staging, "quarantine"))
+    try:
+        # clean rows: gate TRUE.  Written with the scan's own
+        # partitioning: at testdata scale that is 1-2 files (a
+        # repartition(par) here was A/B-measured SLOWER — 32 ~25 KB
+        # files cost more in per-file open overhead than the
+        # vectorized gate they saved), and at cluster scale the ingest
+        # job's scan already arrives in size-based splits. CPU-heavy
+        # consumers fan out via spread() exactly as on raw scans.
+        raw.where(gate).write.mode("overwrite").parquet(
+            os.path.join(staging, "clean")
+        )
+        # quarantine rows: gate FALSE or NULL — kept for audit/replay,
+        # the S6 error-channel side output.
+        raw.where(~F.coalesce(gate, F.lit(False))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staging, "quarantine"))
+    except BaseException:
+        # Spark-side write failure (Py4JJavaError, AnalysisException,
+        # task-level disk full) — never leave a torn staging dir
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     try:
         os.rename(staging, dest)
     except OSError:
@@ -116,26 +186,50 @@ def _materialize(spark: SparkSession, sf_dir: str, name: str, dest: str) -> None
     _gc_stale_stores(name, keep=dest)
 
 
-def _gc_stale_stores(name: str, keep: str, max_keep: int = 4) -> None:
+def _gc_grace_sec() -> float:
+    """GC grace age, env-overridable (maintenance jobs that KNOW no
+    concurrent reader exists can set 0 to reclaim space immediately)."""
+    try:
+        return float(os.environ.get(_GC_GRACE_ENV, GC_GRACE_SEC))
+    except ValueError:
+        return GC_GRACE_SEC
+
+
+def _gc_stale_stores(
+    name: str, keep: str, max_keep: int = 4, grace_sec: float | None = None
+) -> None:
     """Bound the clean root: every raw-table rewrite (the fuzz
     harnesses do this constantly) mints a new store key, so without
     GC the root grows one store per rewrite forever. Keep the
     ``max_keep`` most-recent stores per table (by mtime) plus the one
-    just committed; prune the rest best-effort (a concurrently-read
-    victim store just re-materializes on its next touch — the commit
-    protocol makes that safe)."""
+    just committed; prune the rest best-effort, but ONLY past the
+    ``grace_sec`` age bound — a younger sibling may still back a
+    concurrent session's lazy DataFrame (parquet resolves files at
+    action time), and deleting it would fail that in-flight query at
+    action time rather than harmlessly forcing a re-materialization.
+    Abandoned ``.tmp.`` staging dirs (a crashed writer) age out under
+    the same grace window."""
+    if grace_sec is None:
+        grace_sec = _gc_grace_sec()
     root = clean_root()
+    now = time.time()
     try:
-        sibs = [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith(f"{name}-") and ".tmp." not in d
-        ]
+        entries = os.listdir(root)
     except OSError:
         return
+    sibs, staging = [], []
+    for d in entries:
+        if not d.startswith(f"{name}-"):
+            continue
+        (staging if ".tmp." in d else sibs).append(os.path.join(root, d))
     sibs = [d for d in sibs if os.path.abspath(d) != os.path.abspath(keep)]
     sibs.sort(key=lambda d: os.path.getmtime(d), reverse=True)
-    for stale in sibs[max_keep:]:
+    for stale in sibs[max_keep:] + staging:
+        try:
+            if now - os.path.getmtime(stale) < grace_sec:
+                continue
+        except OSError:
+            continue
         shutil.rmtree(stale, ignore_errors=True)
 
 
@@ -161,8 +255,28 @@ def validated_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         dest = _store_dir(sf_dir, name)
         if not os.path.isdir(os.path.join(dest, "clean")):
-            os.makedirs(clean_root(), exist_ok=True)
-            _materialize(spark, sf_dir, name, dest)
+            _ensure_root()
+            try:
+                _materialize(spark, sf_dir, name, dest)
+            except OSError:
+                raise
+            except Exception as ex:
+                # Spark-side write failure (Py4JJavaError / Analysis-
+                # Exception — task-level disk full, unreachable root
+                # via the Hadoop FS layer): _materialize already
+                # removed its staging dir; degrade to the per-read
+                # gate instead of failing the query.
+                print(
+                    f"# validated_table({name}): materialize failed, "
+                    f"per-read fallback: {ex}",
+                    file=sys.stderr,
+                )
+                return table(spark, sf_dir, name).where(_gate_column(name))
+        if not _owned_by_me(dest):
+            # a pre-existing store under a shared/explicit root that
+            # this uid did not write — never trust another user's rows
+            # as validated data
+            return table(spark, sf_dir, name).where(_gate_column(name))
         return spark.read.parquet(os.path.join(dest, "clean"))
     except OSError:
         return table(spark, sf_dir, name).where(_gate_column(name))
@@ -174,7 +288,7 @@ def quarantined_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     validated_table(spark, sf_dir, name)  # ensure materialized
     dest = _store_dir(sf_dir, name)
     qpath = os.path.join(dest, "quarantine")
-    if os.path.isdir(qpath):
+    if os.path.isdir(qpath) and _owned_by_me(dest):
         return spark.read.parquet(qpath)
     # read-mode / fallback: compute the complement on the fly
     gate = _gate_column(name)

@@ -151,9 +151,13 @@ def test_concurrent_materialize_race_first_writer_wins(spark, scratch):
     assert not [d for d in os.listdir(parent) if ".tmp." in d]
 
 
-def test_store_gc_bounds_clean_root(spark, scratch):
+def test_store_gc_bounds_clean_root(spark, scratch, monkeypatch):
     """Raw rewrites mint new store keys; the GC keeps only the most
-    recent few per table so the clean root cannot grow forever."""
+    recent few per table so the clean root cannot grow forever.
+    Grace age 0 here: this test is ABOUT the max_keep bound, and every
+    store it creates is seconds old (the grace-window behavior is
+    pinned separately below)."""
+    monkeypatch.setenv("SPARK_GRAFT_CLEAN_GC_GRACE_SEC", "0")
     for i in range(7):
         _write_events(
             spark, scratch, _rows(spark, GOOD + GOOD[:1] * i)
@@ -164,3 +168,139 @@ def test_store_gc_bounds_clean_root(spark, scratch):
     assert len(stores) <= 5  # max_keep=4 + the live one
     # the live store still reads fine after GC of its siblings
     assert V.validated_events(spark, scratch).count() >= 2
+
+
+def test_gc_grace_spares_young_siblings(spark, scratch):
+    """ADVICE r7: a just-superseded store may still back a concurrent
+    session's LAZY DataFrame (parquet resolves files at action time),
+    so default GC must NOT prune seconds-old siblings — only the
+    grace-aged ones. Proven end-to-end: a reader plan built against
+    the old store still collects correctly after the rewrite."""
+    _write_events(spark, scratch, _rows(spark, GOOD))
+    old_reader = V.validated_events(spark, scratch)  # lazy, old store
+    for i in range(6):  # mint 6 more store keys under default grace
+        _write_events(spark, scratch, _rows(spark, GOOD + GOOD[:1] * (i + 1)))
+        assert V.validated_events(spark, scratch).count() >= 2
+    root = V.clean_root()
+    stores = [d for d in os.listdir(root) if d.startswith("events-")]
+    assert len(stores) == 7  # nothing young was pruned
+    # the in-flight reader over the superseded store still works
+    assert old_reader.count() == 2
+
+
+def test_foreign_uid_store_not_trusted(spark, scratch, monkeypatch):
+    """ADVICE r7 (medium): a pre-existing store this uid does not own
+    (another user pre-created the computable key under a shared root)
+    must never be read as validated rows — the per-read gate runs
+    instead, so a poisoned store cannot leak unvalidated data."""
+    _write_events(spark, scratch, _rows(spark, GOOD + BAD))
+    assert V.validated_events(spark, scratch).count() == 2  # materialize
+    dest = V._store_dir(scratch, "events")
+    # poison the committed store with unvalidated (BAD-inclusive) rows
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(dest, "clean"))
+    spark.createDataFrame(
+        _rows(spark, GOOD + BAD),
+        "user_id long, ts timestamp, event string, value double",
+    ).coalesce(1).write.parquet(os.path.join(dest, "clean"))
+    # same uid: the (poisoned) store is trusted — demonstrates the
+    # attack surface the ownership check closes
+    assert V.validated_events(spark, scratch).count() == 6
+    # foreign uid: distrusted, per-read gate re-applies
+    monkeypatch.setattr(V, "_owned_by_me", lambda path: False)
+    assert sorted(
+        r.user_id for r in V.validated_events(spark, scratch).collect()
+    ) == [1, 2]
+    # quarantine side follows the same trust rule (complement on the fly)
+    quar = V.quarantined_table(spark, scratch, "events")
+    assert sorted(r.user_id for r in quar.collect()) == [3, 4, 5, 6]
+
+
+def test_default_clean_root_is_per_uid(monkeypatch):
+    """The default root must not be a world-shared fixed path."""
+    monkeypatch.delenv("SPARK_GRAFT_CLEAN_DIR", raising=False)
+    root = V.clean_root()
+    assert root != "/tmp/sdp_clean"
+    if hasattr(os, "getuid"):
+        assert str(os.getuid()) in os.path.basename(root)
+
+
+def test_spark_side_materialize_failure_falls_back(spark, scratch, monkeypatch):
+    """ADVICE r7: a NON-OSError failure inside materialization (the
+    Py4JJavaError / AnalysisException class — task-level disk full,
+    unreachable clean root through the Hadoop FS layer) must degrade
+    to the per-read gate, not fail the query."""
+    _write_events(spark, scratch, _rows(spark, GOOD + BAD))
+
+    def boom(spark_, sf_dir, name, dest):
+        raise RuntimeError("simulated Py4JJavaError: executor lost")
+
+    monkeypatch.setattr(V, "_materialize", boom)
+    df = V.validated_events(spark, scratch)
+    assert sorted(r.user_id for r in df.collect()) == [1, 2]
+
+
+def test_failed_materialize_removes_staging(spark, scratch, monkeypatch):
+    """A write that dies at ACTION time (real Spark task failure, not a
+    monkeypatched stand-in) must not leave a half-written staging dir
+    behind — cleanup runs on the failure path, not only after rename."""
+    _write_events(spark, scratch, _rows(spark, GOOD))
+    real_table = V.table
+
+    def poisoned_table(spark_, sf_dir, name):
+        df = real_table(spark_, sf_dir, name)
+        # assert_true(false) throws inside the write job's tasks
+        return df.withColumn(
+            "value", F.when(F.assert_true(F.lit(False)).isNull(), df.value)
+        )
+
+    monkeypatch.setattr(V, "table", poisoned_table)
+    dest = V._store_dir(scratch, "events")
+    with pytest.raises(Exception):
+        V._materialize(spark, scratch, "events", dest)
+    root = V.clean_root()
+    assert not [d for d in os.listdir(root) if ".tmp." in d]
+    assert not os.path.isdir(dest)
+
+
+def test_concurrent_materialization_one_winner_no_torn_reads(spark, scratch):
+    """VERDICT r7 #7: two sessions materializing the same (table,
+    gate-version) key SIMULTANEOUSLY on a shared filesystem. Threads
+    here stand in for sessions — the commit protocol under test is
+    purely filesystem-level (call-unique staging dir + atomic rename),
+    identical across threads, processes, and hosts sharing a POSIX
+    namespace. Both racers must return exactly the gated rows (zero
+    torn reads), exactly one committed store must exist, and no
+    staging litter may survive."""
+    import threading
+
+    _write_events(spark, scratch, _rows(spark, GOOD + BAD))
+    barrier = threading.Barrier(2)
+    results: dict[int, object] = {}
+
+    def racer(i):
+        barrier.wait()
+        try:
+            results[i] = sorted(
+                r.user_id
+                for r in V.validated_events(spark, scratch).collect()
+            )
+        except Exception as ex:  # pragma: no cover - failure detail
+            results[i] = ex
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results[0] == [1, 2], results[0]
+    assert results[1] == [1, 2], results[1]
+    root = V.clean_root()
+    stores = [d for d in os.listdir(root) if d.startswith("events-")]
+    assert len(stores) == 1  # exactly one winner
+    assert not [d for d in os.listdir(root) if ".tmp." in d]
+    # the committed store is complete: clean AND quarantine halves
+    dest = os.path.join(root, stores[0])
+    assert os.path.isdir(os.path.join(dest, "clean"))
+    assert os.path.isdir(os.path.join(dest, "quarantine"))

@@ -46,9 +46,22 @@ def load(path: str) -> dict:
                 os.path.dirname(path), f"BENCH_QUERIES_r{m.group(1)}.json"
             )
             if os.path.exists(sidecar):
-                print(f"# {path} truncated — using sidecar {sidecar}")
                 with open(sidecar) as f:
-                    return json.load(f)
+                    side = json.load(f)
+                # a sidecar stamped with a different round belongs to a
+                # post-driver re-run (ADVICE r7: max+1 inference would
+                # mint round+1) — refuse rather than silently pair
+                # mismatched runs; rounds ≤7 predate the stamp.
+                stamped = side.get("round")
+                if stamped is not None and stamped != int(m.group(1)):
+                    print(
+                        f"# {sidecar} is stamped round {stamped}, wrapper "
+                        f"is round {int(m.group(1))} — NOT substituting "
+                        "(mismatched runs)"
+                    )
+                    return doc
+                print(f"# {path} truncated — using sidecar {sidecar}")
+                return side
     return doc
 
 
