@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from securities_data_pipeline_spark.functions.hashing import (
@@ -1755,6 +1755,208 @@ LIMIT {CN_TOPK}
 
 DEDUP_QUERIES["dedup_link_prediction"] = dedup_link_prediction
 DEDUP_ORACLES["dedup_link_prediction"] = _sql_link_prediction()
+
+
+#: per-node neighbor-list cap for the production link-prediction tier.
+#: Wedge volume through a center n is C(min(deg(n), CAP), 2) ≤ C(8,2)=28
+#: rows — linear in node count regardless of the degree distribution,
+#: vs the uncapped Σ C(deg(n), 2) that a power-law hub makes quadratic.
+CN_MAX_NBRS = 8
+
+
+def common_neighbor_links_capped(
+    scored_pairs: DataFrame, topk: int = CN_TOPK, max_nbrs: int = CN_MAX_NBRS
+) -> DataFrame:
+    """Production tier of ``common_neighbor_links`` — the cap the
+    uncapped operator's docstring only narrates (VERDICT r7 #3): each
+    node's adjacency list is truncated to its ``max_nbrs`` BEST
+    neighbors before the wedge expansion. ``scored_pairs``:
+    (doc_a, doc_b, priority) distinct undirected edges, doc_a < doc_b;
+    higher priority = kept first, with neighbor-id ascending as the
+    deterministic tiebreak. ``dedup_link_prediction_capped`` feeds the
+    MinHash agreement count (0..8 matching signature slots — the same
+    similarity estimate ``dedup_minhash_estimate`` calibrates) as the
+    priority.
+
+    Sacrifice semantics (the family pattern of the capped LSH /
+    simhash tiers, oracle-pinned): the WHOLE computation runs on the
+    capped graph — wedge counts, existing-edge removal, and the
+    degrees in the Jaccard denominator all see only capped edges, so
+    a wedge (a, n, b) counts iff BOTH ends survive n's top-K. What is
+    sacrificed is exactly the hub fan-out that makes the exact tier
+    quadratic: a center keeps its K most-similar neighbors, so the
+    near-miss pairs that matter (high estimated similarity) keep their
+    wedges while boilerplate hubs stop dominating the join.
+
+    Shape: one (band,key) bucket shuffle for candidates, two signature
+    joins for the priority, ONE row_number window by node (the cap),
+    then the same wedge join / count / anti-join as the exact tier —
+    but with per-center cost bounded at C(K,2). Degree orientation is
+    deliberately NOT used here: unlike the triangle census (where each
+    triangle needs counting once and orientation prunes 5/6 of the
+    candidate wedges), common-neighbor counting needs EVERY wedge as
+    an output contribution, so orientation cannot reduce the row
+    volume — only the neighbor cap can.
+
+    No reference counterpart (extension operator; nearest reference
+    analytics surface is the dbt star schema, dw_transformer/models).
+    """
+    est = scored_pairs.localCheckpoint(eager=False)  # feeds sym AND anti-join
+    pairs = est.select("doc_a", "doc_b")
+    sym = est.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"), "priority"
+    ).union(
+        est.select(
+            F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"), "priority"
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("priority").desc(), F.col("nbr").asc()
+    )
+    capped = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_nbrs)
+        .select("node", "nbr")
+        .localCheckpoint(eager=False)  # feeds wedges AND degrees
+    )
+    deg = capped.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    s1 = capped.select(F.col("node").alias("n"), F.col("nbr").alias("a"))
+    s2 = capped.select(F.col("node").alias("n"), F.col("nbr").alias("b"))
+    cn = (
+        s1.join(s2, "n")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    non_edges = cn.join(
+        pairs,
+        (cn.a == pairs.doc_a) & (cn.b == pairs.doc_b),
+        "left_anti",
+    )
+    out = (
+        non_edges.join(
+            F.broadcast(
+                deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+            ),
+            "b",
+        )
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(
+        F.col("cn").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(topk)
+
+
+def scored_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate edges annotated with the MinHash agreement count
+    (0..N_MINHASH matching signature slots) as the integer similarity
+    priority — the input shape ``common_neighbor_links_capped``
+    truncates adjacency lists by."""
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    pairs = bucket_pairs(banded_signatures(sig, LSH_BANDS))
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_MINHASH)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(N_MINHASH)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", agree.alias("priority"))
+    )
+
+
+def dedup_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped common-neighbors link prediction over the near-dup
+    candidate graph — the tier a production run registers (the exact
+    twin stays as the sf0.01 calibration reference)."""
+    return common_neighbor_links_capped(
+        scored_lsh_pairs(table(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_link_prediction_capped(
+    topk: int = CN_TOPK,
+    max_nbrs: int = CN_MAX_NBRS,
+    bands: int = LSH_BANDS,
+    n_hashes: int = N_MINHASH,
+) -> str:
+    banded = _sql_banded_union(bands, n_hashes)
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END)"
+        for s in range(n_hashes)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id,
+         {', '.join(f"{_sql_minhash_slice(s)} AS mh{s}" for s in range(n_hashes))}
+  FROM sh GROUP BY doc_id
+), banded AS ({banded}), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), est AS (
+  SELECT doc_a, doc_b, ({agree}) AS agree
+  FROM pairs
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+), sym AS (
+  SELECT doc_a AS node, doc_b AS nbr, agree FROM est
+  UNION ALL SELECT doc_b, doc_a, agree FROM est
+), capped AS (
+  SELECT node, nbr FROM (
+    SELECT node, nbr,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY agree DESC, nbr ASC) AS rn
+    FROM sym
+  ) WHERE rn <= {max_nbrs}
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM capped GROUP BY node
+), cn AS (
+  SELECT s1.nbr AS a, s2.nbr AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM capped s1 JOIN capped s2
+    ON s1.node = s2.node AND s1.nbr < s2.nbr
+  GROUP BY s1.nbr, s2.nbr
+), non_edges AS (
+  SELECT c.a, c.b, c.cn FROM cn c
+  LEFT JOIN pairs p ON c.a = p.doc_a AND c.b = p.doc_b
+  WHERE p.doc_a IS NULL
+)
+SELECT n.a AS doc_a, n.b AS doc_b, n.cn,
+       CAST(n.cn AS DOUBLE) / CAST(da.deg + db.deg - n.cn AS DOUBLE) AS jaccard
+FROM non_edges n
+JOIN deg da ON n.a = da.node
+JOIN deg db ON n.b = db.node
+ORDER BY n.cn DESC, doc_a ASC, doc_b ASC
+LIMIT {topk}
+"""
+
+
+DEDUP_QUERIES["dedup_link_prediction_capped"] = dedup_link_prediction_capped
+DEDUP_ORACLES["dedup_link_prediction_capped"] = _sql_link_prediction_capped()
 
 
 #: (bands, rows) sweeps over the 8-slice signature — every divisor

@@ -187,3 +187,65 @@ def test_common_neighbors_topk_cut_is_deterministic(spark):
 
     expected = sorted(itertools.combinations(sorted(leaves), 2))[:5]
     assert got == [tuple(p) for p in expected]
+
+
+def test_capped_common_neighbors_caps_hub_adjacency(spark):
+    """VERDICT r7 #3: the hub's adjacency must truncate to its top
+    max_nbrs neighbors BEFORE wedge expansion. Star around h with 7
+    leaves, uniform priority: cap 2 keeps leaves '1','2' (tiebreak =
+    nbr ascending), so the only wedge left is (1, h, 2) -> one
+    predicted link, vs C(7,2)=21 uncapped."""
+    from securities_data_pipeline_spark.operators.dedup import (
+        common_neighbor_links_capped,
+    )
+
+    leaves = [str(i) for i in range(1, 8)]
+    edges = spark.createDataFrame(
+        [("h", x, 1) if "h" < x else (x, "h", 1) for x in leaves],
+        ["doc_a", "doc_b", "priority"],
+    )
+    out = common_neighbor_links_capped(edges, max_nbrs=2).collect()
+    assert [(r.doc_a, r.doc_b, r.cn) for r in out] == [("1", "2", 1)]
+    # jaccard runs on the CAPPED graph: deg(1)=deg(2)=1 -> 1/(1+1-1)
+    assert out[0].jaccard == 1.0
+
+
+def test_capped_common_neighbors_priority_picks_survivors(spark):
+    """Higher-priority (more similar) neighbors survive the cap; the
+    tiebreak never overrides a real priority difference."""
+    from securities_data_pipeline_spark.operators.dedup import (
+        common_neighbor_links_capped,
+    )
+
+    # hub h: leaves 5,6 carry priority 9; leaves 1..4 priority 1
+    edges = spark.createDataFrame(
+        [("h", x, 9) for x in ("x5", "x6")]
+        + [("h", x, 1) for x in ("x1", "x2", "x3", "x4")],
+        ["doc_a", "doc_b", "priority"],
+    )
+    out = common_neighbor_links_capped(edges, max_nbrs=2).collect()
+    assert [(r.doc_a, r.doc_b, r.cn) for r in out] == [("x5", "x6", 1)]
+
+
+def test_capped_equals_exact_when_cap_exceeds_degrees(spark):
+    """With max_nbrs >= max degree nothing is sacrificed: the capped
+    tier must reproduce the exact tier bit-for-bit."""
+    from securities_data_pipeline_spark.operators.dedup import (
+        common_neighbor_links_capped,
+    )
+
+    # square with one diagonal (the exact tier's hand graph)
+    raw = [("1", "2"), ("1", "3"), ("2", "3"), ("2", "4"), ("3", "4")]
+    edges = spark.createDataFrame(raw, ["doc_a", "doc_b"])
+    scored = spark.createDataFrame(
+        [(a, b, 1) for a, b in raw], ["doc_a", "doc_b", "priority"]
+    )
+    exact = [
+        (r.doc_a, r.doc_b, r.cn, r.jaccard)
+        for r in common_neighbor_links(edges).collect()
+    ]
+    capped = [
+        (r.doc_a, r.doc_b, r.cn, r.jaccard)
+        for r in common_neighbor_links_capped(scored, max_nbrs=100).collect()
+    ]
+    assert capped == exact == [("1", "4", 2, 1.0)]

@@ -63,6 +63,7 @@ def _extra_stress_queries():
         dedup_banding_curve,
         dedup_incremental,
         dedup_link_prediction,
+        dedup_link_prediction_capped,
         dedup_simhash_wide_capped,
     )
     from securities_data_pipeline_spark.operators.multimodal import (
@@ -84,6 +85,11 @@ def _extra_stress_queries():
         # split, distributed GD training
         ("t_bm25_topk", t_bm25_topk),
         ("dedup_link_prediction", dedup_link_prediction),
+        # r8 (VERDICT item 3): the capped twin — per-node neighbor
+        # lists truncated to top-8 by minhash agreement BEFORE the
+        # wedge join, so wedge volume is ≤ C(8,2) per center and wall
+        # must stay ~linear where the uncapped tier grew 7.5x
+        ("dedup_link_prediction_capped", dedup_link_prediction_capped),
         ("t_split_leakage_free", t_split_leakage_free),
         ("t_quality_logreg", t_quality_logreg),
         # r7 (VERDICT item 8): the banding-curve sweep re-runs the
