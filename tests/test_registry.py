@@ -186,3 +186,37 @@ def test_stale_tail_is_least_recently_green_order():
     import tools.staleness as st
 
     assert st.last_green_rounds() == greens
+
+
+def test_driver_window_covers_every_deeply_stale_query():
+    """VERDICT r7 item 2: coverage claims must be COMPUTED and
+    enforced, not narrated. Two invariants, checked on the live
+    registry order so any late-round head addition that would push a
+    stale query below the driver window fails here instead of
+    silently invalidating the round's changelog claim:
+
+    1. the hand-maintained new/changed head stays within its cap;
+    2. every query ≥4 rounds stale (last driver-green ≤ max_round-4,
+       never-checked counts as round 0) ranks inside the first
+       DRIVER_WINDOW positions of queries() order.
+    """
+    import __spark_entry__ as e
+
+    assert len(e._NEW_OR_CHANGED) <= e.NEW_OR_CHANGED_CAP, (
+        f"new/changed head has {len(e._NEW_OR_CHANGED)} entries; "
+        f"cap is {e.NEW_OR_CHANGED_CAP} (VERDICT r7 item 1)"
+    )
+    greens = e._last_green_rounds()
+    max_round = max(greens.values(), default=0)
+    threshold = max_round - 4
+    order = list(e.queries())
+    window = set(order[: e.DRIVER_WINDOW])
+    deeply_stale = sorted(
+        n for n in order if greens.get(n, 0) <= threshold
+    )
+    outside = [n for n in deeply_stale if n not in window]
+    assert not outside, (
+        f"{len(outside)} queries ≥4 rounds stale (last green ≤ "
+        f"r{threshold}) rank below the {e.DRIVER_WINDOW}-query driver "
+        f"window: {outside} — shrink the new/changed head"
+    )
