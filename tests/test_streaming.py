@@ -532,3 +532,128 @@ def test_dedup_vs_corpus_restart_no_dup_pairs_no_lost_docs(spark, tmp_path):
     total_rows = spark.read.parquet(sink_path).count()
     assert total_rows == len(expected)
     new_docs.unpersist()
+
+
+def test_stream_mm_features_garbage_midstream_restart_exactly_once(spark, tmp_path):
+    """VERDICT r7 item 5: the streaming multimodal face under the
+    media fuzz classes + a mid-batch kill. Binary media rows arrive in
+    three files; file2 carries the full garbage set (NULL payload,
+    NULL meta, empty, 1-byte, invalid UTF-8, embedded NULs). The
+    foreachBatch sink splits each micro-batch into a features store
+    (decodable rows) and a quarantine store (NULL-payload rows — the
+    S6 error channel), both PK-merged. The query is killed MID-BATCH
+    on the garbage-bearing micro-batch (sink written, offset commit
+    deleted — the real crash window) and must absorb the replay:
+    after resume + a third file, the features store equals the batch
+    twin over all decodable rows exactly once, and the quarantine
+    store holds each corrupt doc exactly once."""
+    import shutil
+
+    from securities_data_pipeline_spark.load import merge_upsert
+    from securities_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    landing = str(tmp_path / "landing")
+    feat_path = str(tmp_path / "features")
+    quar_path = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    meta = {"width": 1, "height": 1, "sample_rate": None, "n_frames": None}
+    good1 = [(i, "image/png", f"payload {i}".encode(), meta) for i in range(10)]
+    garbage = [
+        (100, "image/png", None, None),  # NULL payload -> quarantine
+        (101, "image/png", b"", meta),  # empty: decodable (0 bytes)
+        (102, "audio/wav", b"\xff", None),  # NULL meta mid-stream
+        (103, "image/jpeg", b"\xc3\x28" * 40, None),  # invalid UTF-8
+        (104, "video/mp4", b"\x00" * 193, None),  # embedded NULs
+        (105, "image/png", None, None),  # second quarantined row
+    ]
+    good2 = [(i, "image/png", f"late {i}".encode(), meta) for i in range(200, 205)]
+
+    def land(rows, fname):
+        stage = str(tmp_path / f"_stage_{fname}")
+        spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(f"{stage}/{part}", f"{landing}/{fname}")
+        shutil.rmtree(stage)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(MEDIA_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(landing)
+        )
+        feats = extract_features(stream)
+
+        def sink(batch_df, _bid):
+            batch_df = batch_df.localCheckpoint()  # split reads it twice
+            merge_upsert(
+                spark,
+                batch_df.where(F.col("feature").isNotNull()).withColumn(
+                    "feature", F.col("feature").cast("array<double>")
+                ),
+                feat_path,
+                ["doc_id"],
+            )
+            merge_upsert(
+                spark,
+                batch_df.where(F.col("feature").isNull()).select(
+                    "doc_id", "media_type", "n_bytes"
+                ),
+                quar_path,
+                ["doc_id"],
+            )
+
+        q = (
+            feats.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(good1, "f1.parquet")
+    run_once()
+    assert spark.read.parquet(feat_path).count() == 10
+
+    # the garbage-bearing micro-batch, then a MID-BATCH crash: sinks
+    # written, offset commit deleted
+    land(garbage, "f2.parquet")
+    run_once()
+    n_feat = spark.read.parquet(feat_path).count()
+    n_quar = spark.read.parquet(quar_path).count()
+    assert n_quar == 2  # the two NULL-payload rows, nothing else
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()  # replays the garbage batch into both sinks
+    assert spark.read.parquet(feat_path).count() == n_feat
+    assert spark.read.parquet(quar_path).count() == n_quar
+
+    # resume with new data — picked up exactly once
+    land(good2, "f3.parquet")
+    run_once()
+
+    # ground truth: the batch twin over every landed row
+    all_rows = spark.createDataFrame(good1 + garbage + good2, MEDIA_SCHEMA)
+    batch = extract_features(all_rows)
+    expected_feat = {
+        (r.doc_id, r.n_bytes, tuple(r.feature))
+        for r in batch.where(F.col("feature").isNotNull()).collect()
+    }
+    got_feat = {
+        (r.doc_id, r.n_bytes, tuple(r.feature))
+        for r in spark.read.parquet(feat_path).collect()
+    }
+    assert got_feat == expected_feat  # nothing lost, fabricated, or doubled
+    assert spark.read.parquet(feat_path).count() == len(expected_feat)
+    got_quar = {r.doc_id for r in spark.read.parquet(quar_path).collect()}
+    assert got_quar == {100, 105}
+    assert spark.read.parquet(quar_path).count() == 2
