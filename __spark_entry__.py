@@ -22,14 +22,19 @@ from pyspark.sql import DataFrame, SparkSession
 # (tools/staleness.py holds the same logic as a CLI). Only the
 # new/changed head remains hand-maintained, per round:
 _NEW_OR_CHANGED = (
-    # new in round 8: the production link-prediction tier — per-node
-    # neighbor-list cap (top-8 by minhash agreement) before the wedge
-    # join (VERDICT r7 item 3). The ONLY head entry this round: the r7
-    # verdict's #1 ask is draining the 40-query r2/r3 staleness tail in
-    # one 50-window, which needs the head capped (≤10 hard, enforced by
-    # tests/test_registry.py); round 8's other changes (clean-store
-    # hardening, bench stamping) alter no query's output.
+    # new in round 8 — kept to 4 entries (cap 10, enforced below) so
+    # the 50-query driver window still covers the entire 40-query
+    # r2/r3 staleness tail (VERDICT r7 item 1); round 8's other
+    # changes (clean-store hardening, bench stamping) alter no
+    # query's output.
+    # the production link-prediction tier: per-node neighbor cap
+    # (top-8 by minhash agreement) before the wedge join (VERDICT
+    # r7 item 3)
     "dedup_link_prediction_capped",
+    # the privacy audit's homogeneity-attack stage (l of each
+    # k-anonymity set), the downside-risk screen, and the
+    # partition-skew ops report
+    "a_l_diversity", "sec_sortino", "m_partition_skew_report",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

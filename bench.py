@@ -248,9 +248,13 @@ HEADLINE = [
     "s_stream_ivf_assign",
     "sim_hard_negatives",
     # round-8 additions: the production-geometry twins now that the
-    # uncapped tiers are tagged calibration (VERDICT r7 #1/#2)
+    # uncapped tiers are tagged calibration (VERDICT r7 #1/#2), plus
+    # the round's new operators
     "dedup_simhash_wide_capped",
     "dedup_link_prediction_capped",
+    "a_l_diversity",
+    "sec_sortino",
+    "m_partition_skew_report",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

@@ -396,3 +396,88 @@ FROM sets_ GROUP BY k ORDER BY k
 
 ANALYTICS_QUERIES["a_k_anonymity"] = a_k_anonymity
 ANALYTICS_ORACLES["a_k_anonymity"] = _guard_events(A_K_ANONYMITY_SQL)
+
+
+def a_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit, stage 2: l-diversity of the anonymity sets
+    ``a_k_anonymity`` builds. k-anonymity alone fails the homogeneity
+    attack — an anonymity set whose members all share one sensitive
+    value re-identifies the attribute without re-identifying the user
+    (Machanavajjhala et al.'s motivating case). Here the sensitive
+    attribute is each user's DOMINANT event type (their primary
+    behavior), and each generalized-signature set reports l = number
+    of distinct dominant behaviors among its members. Output: one row
+    per l with the number of sets and users — l=1 rows are the
+    homogeneous sets a release audit must treat as disclosed.
+
+    Plan: the same two hash aggregations as the k-anonymity audit —
+    the dominant behavior folds into the per-user aggregate as a
+    max over '<zero-padded count>:<type>' strings (one deterministic
+    expression both engines order identically: count first, type as
+    the tiebreak — no second window or self-join), then one
+    signature-group aggregate + the tiny l histogram. Shuffles carry
+    (user_id, type, count) then signature rows, never events.
+    """
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
+    # NULL-type sentinel: same fuzz-found concat_ws/|| divergence as
+    # a_k_anonymity
+    etype = F.coalesce(F.col("event_type"), F.lit("(null)"))
+    per_type = ev.groupBy("user_id", etype.alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bucket = F.pow(F.lit(2.0), F.floor(F.log2("n"))).cast("long")
+    sig = per_type.groupBy("user_id").agg(
+        F.concat_ws(
+            "|",
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(":", "event_type", bucket.cast("string"))
+                )
+            ),
+        ).alias("signature"),
+        F.expr(
+            "substring(max(concat(lpad(cast(n as string), 10, '0'), ':', event_type)), 12)"
+        ).alias("sensitive"),
+    )
+    sets_ = sig.groupBy("signature").agg(
+        F.countDistinct("sensitive").alias("l"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return (
+        sets_.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_sets"),
+            F.sum("k").cast("long").alias("n_users"),
+        )
+        .orderBy("l")
+    )
+
+
+A_L_DIVERSITY_SQL = """
+WITH per_type AS (
+  SELECT user_id, COALESCE(event_type, '(null)') AS event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), sig AS (
+  SELECT user_id,
+         list_aggregate(
+           list_sort(list(event_type || ':' ||
+             CAST(CAST(pow(2.0, floor(log2(n))) AS BIGINT) AS VARCHAR))),
+           'string_agg', '|') AS signature,
+         substring(MAX(lpad(CAST(n AS VARCHAR), 10, '0') || ':' || event_type), 12)
+           AS sensitive
+  FROM per_type GROUP BY user_id
+), sets_ AS (
+  SELECT signature,
+         COUNT(DISTINCT sensitive) AS l,
+         COUNT(*) AS k
+  FROM sig GROUP BY signature
+)
+SELECT l, COUNT(*) AS n_sets, CAST(SUM(k) AS BIGINT) AS n_users
+FROM sets_ GROUP BY l ORDER BY l
+"""
+
+ANALYTICS_QUERIES["a_l_diversity"] = a_l_diversity
+ANALYTICS_ORACLES["a_l_diversity"] = _guard_events(A_L_DIVERSITY_SQL)

@@ -241,6 +241,54 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def m_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit: per physical-partition-key row counts
+    with each partition's ratio to the mean — the report a 100 TB
+    lake reads before choosing partition columns, AQE skew-join
+    thresholds, or a repartition of a hot table (a 10× ratio on one
+    month means every shuffle keyed by that column has a straggler
+    task 10× the median). Key here: ship-month of ``lineitem``, the
+    fact table's natural time-partitioning.
+
+    Plan: ONE hash aggregate over the fact table (only the 8-byte
+    date column moves), then the ratio computes in a global window
+    over the ~84-row *aggregate* — the single-partition exchange is
+    over partition COUNTS, never rows, so the shape is flat at any
+    scale. Exactness: n_rows·n_parts stays far inside the double
+    mantissa (2^53) at any real partition count, and the one division
+    is the same IEEE op in both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part_month")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()
+    return counts.select(
+        "part_month",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double")
+            * F.count(F.lit(1)).over(w)
+            / F.sum("n_rows").over(w).cast("double"),
+            6,
+        ).alias("ratio_to_mean"),
+    ).orderBy("part_month")
+
+
+M_PARTITION_SKEW_SQL = """
+WITH counts AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+         COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT part_month,
+       n_rows,
+       round(CAST(n_rows AS DOUBLE) * COUNT(*) OVER ()
+             / CAST(SUM(n_rows) OVER () AS DOUBLE), 6) AS ratio_to_mean
+FROM counts ORDER BY part_month
+"""
+
+
 def _guard_events(sql: str) -> str:
     from securities_data_pipeline_spark.functions.gates import guard_events_sql
 
@@ -252,6 +300,7 @@ MAINTENANCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_incremental_rollup": m_incremental_rollup,
     "m_scd2_intervals": m_scd2_intervals,
     "m_cdc_apply": m_cdc_apply,
+    "m_partition_skew_report": m_partition_skew_report,
 }
 
 MAINTENANCE_ORACLES: dict[str, str] = {
@@ -259,4 +308,5 @@ MAINTENANCE_ORACLES: dict[str, str] = {
     "m_incremental_rollup": M_INCREMENTAL_SQL,
     "m_scd2_intervals": _guard_events(M_SCD2_SQL),
     "m_cdc_apply": _guard_events(M_CDC_APPLY_SQL),
+    "m_partition_skew_report": M_PARTITION_SKEW_SQL,
 }

@@ -688,6 +688,101 @@ SECURITIES_QUERIES["sec_sharpe"] = sec_sharpe
 SECURITIES_ORACLES["sec_sharpe"] = SEC_SHARPE_SQL
 
 
+def sec_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol annualized Sortino ratio — the Sharpe screen's
+    downside-risk twin: the denominator penalizes only NEGATIVE
+    log-returns (downside deviation over the full period count), so a
+    symbol with volatile gains but steady losses screens differently
+    than under symmetric vol. Reference surface: the dbt analytics
+    layer's per-symbol aggregates (dw_transformer/models/core);
+    extension aggregate in the sec_* family.
+
+    Same float-determinism recipe as ``sec_sharpe`` (exact-decimal
+    moments, scalar double math at the end): returns quantize to
+    DECIMAL(18,6), Σr sums exactly, and the downside second moment
+    accumulates Σ(min(r,0))² as DECIMAL(38,12) — the CASE runs on the
+    exact decimal so both engines gate the same rows. Zero-downside
+    symbols are excluded, not divided by (ANSI DIVIDE_BY_ZERO parity
+    with the flat-series rule in sharpe). One symbol shuffle for the
+    bar rollup + one map-side-combined moment aggregate.
+    """
+    from pyspark.sql import Window
+
+    ev = ticks(spark, sf_dir)
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(F.max("value").alias("close"))
+    wlag = Window.partitionBy("symbol").orderBy("date_stamp")
+    ret = F.round(F.log(F.col("close") / F.lag("close").over(wlag)), 6).cast(
+        "decimal(18,6)"
+    )
+    rets = bars.select("symbol", ret.alias("r")).where(F.col("r").isNotNull())
+    zero = F.lit(0).cast("decimal(38,12)")
+    mom = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("r").alias("s1"),
+        F.sum(
+            F.when(
+                F.col("r") < 0, (F.col("r") * F.col("r")).cast("decimal(38,12)")
+            ).otherwise(zero)
+        ).alias("s2d"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("s1").cast("double") / n
+    dvar = F.col("s2d").cast("double") / (n - 1)
+    return (
+        mom.where(F.col("n_days") >= 2)
+        .withColumn("__dvar", dvar)
+        .where(F.col("__dvar") > 0)
+        .select(
+            "symbol",
+            "n_days",
+            F.round(mean, 6).alias("mean_ret"),
+            F.round(F.sqrt(F.col("__dvar")), 6).alias("downside_vol"),
+            F.round(mean / F.sqrt(F.col("__dvar")) * F.sqrt(F.lit(252.0)), 6)
+            .alias("sortino_ann"),
+        )
+    )
+
+
+SEC_SORTINO_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         MAX(value) AS close
+  FROM events
+  GROUP BY 1, 2
+), rets AS (
+  SELECT symbol,
+         CAST(round(ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY date_stamp)), 6)
+              AS DECIMAL(18,6)) AS r
+  FROM bars
+), mom AS (
+  SELECT symbol,
+         COUNT(*) AS n_days,
+         SUM(r) AS s1,
+         SUM(CASE WHEN r < 0 THEN CAST(r * r AS DECIMAL(38,12))
+                  ELSE CAST(0 AS DECIMAL(38,12)) END) AS s2d
+  FROM rets WHERE r IS NOT NULL
+  GROUP BY symbol
+)
+SELECT symbol,
+       n_days,
+       round(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_ret,
+       round(sqrt(CAST(s2d AS DOUBLE) / (n_days - 1)), 6) AS downside_vol,
+       round(CAST(s1 AS DOUBLE) / n_days
+             / sqrt(CAST(s2d AS DOUBLE) / (n_days - 1))
+             * sqrt(252.0), 6) AS sortino_ann
+FROM mom
+WHERE n_days >= 2
+  AND CAST(s2d AS DOUBLE) / (n_days - 1) > 0
+"""
+
+SECURITIES_QUERIES["sec_sortino"] = sec_sortino
+SECURITIES_ORACLES["sec_sortino"] = SEC_SORTINO_SQL
+
+
 def sec_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly VWAP per symbol — the execution-quality benchmark every
     trading stack computes: Σ(price·volume)/Σ(volume) over the week.

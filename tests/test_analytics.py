@@ -494,3 +494,101 @@ def test_int64_overflow_is_loud(spark):
     )
     with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
         df.collect()
+
+
+def test_sec_sortino_downside_only_denominator(spark, tmp_path):
+    """Sortino penalizes only negative returns: a symbol that only
+    gains has zero downside deviation and must be EXCLUDED (ANSI
+    divide-by-zero parity with the sharpe flat-series rule), while a
+    mixed symbol's denominator uses just its loss days."""
+    import datetime as dt
+    import math
+
+    from securities_data_pipeline_spark.plans.securities_demo import sec_sortino
+
+    rows, eid = [], 0
+    # user 1: monotonically rising -> no negative returns
+    # user 2: rise then fall -> one negative return
+    for d, (v1, v2) in enumerate(
+        [(50.0, 50.0), (55.0, 60.0), (60.0, 45.0), (70.0, 54.0)], start=1
+    ):
+        ts = dt.datetime(2024, 1, d, 12, 0)
+        rows.append((eid, ts, 1, "view", v1, "{}")); eid += 1
+        rows.append((eid, ts, 2, "view", v2, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.symbol: r for r in sec_sortino(spark, str(tmp_path)).collect()}
+    assert "U1" not in out  # gains-only: zero downside, excluded not crashed
+    r2 = out["U2"]
+    rets = [
+        round(math.log(60.0 / 50.0), 6),
+        round(math.log(45.0 / 60.0), 6),
+        round(math.log(54.0 / 45.0), 6),
+    ]
+    dvar = sum(r * r for r in rets if r < 0) / (len(rets) - 1)
+    assert r2.n_days == 3
+    assert abs(r2.downside_vol - round(math.sqrt(dvar), 6)) < 1e-6
+    exp_sortino = round(
+        (sum(rets) / 3) / math.sqrt(dvar) * math.sqrt(252.0), 6
+    )
+    assert abs(r2.sortino_ann - exp_sortino) < 1e-6
+
+
+def test_a_l_diversity_separates_homogeneous_sets(spark, tmp_path):
+    """The homogeneity attack case: two anonymity sets of identical k,
+    one whose members share a dominant behavior (l=1 — disclosed) and
+    one whose members differ (l=2). The k-anonymity audit alone rates
+    both sets k=2; l-diversity must tell them apart."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.plans.analytics import a_l_diversity
+
+    rows, eid = [], 0
+
+    def emit(user, etype, n):
+        nonlocal eid
+        for i in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + i, 12, 0), user, etype, 1.0, "{}")
+            )
+            eid += 1
+
+    emit(1, "view", 2)                      # sig view:2, dominant view
+    emit(2, "view", 2)                      # same set, same dominant -> l=1
+    emit(3, "view", 3); emit(3, "click", 2) # sig click:2|view:2, dominant view
+    emit(4, "view", 2); emit(4, "click", 3) # same sig, dominant click -> l=2
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.l: (r.n_sets, r.n_users) for r in a_l_diversity(spark, str(tmp_path)).collect()}
+    assert out == {1: (1, 2), 2: (1, 2)}
+
+
+def test_partition_skew_report_flags_hot_month(spark, tmp_path):
+    """The hot partition's ratio is its count over the mean — the
+    number an ops runbook thresholds on before repartitioning."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.plans.maintenance import (
+        m_partition_skew_report,
+    )
+
+    rows = [(dt.datetime(2024, 1, 1 + i, 6, 0),) for i in range(4)]  # hot
+    rows += [(dt.datetime(2024, 2, 1, 6, 0),), (dt.datetime(2024, 3, 1, 6, 0),)]
+    spark.createDataFrame(rows, "l_shipdate timestamp").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    out = [
+        (r.part_month, r.n_rows, r.ratio_to_mean)
+        for r in m_partition_skew_report(spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        ("2024-01", 4, 2.0),
+        ("2024-02", 1, 0.5),
+        ("2024-03", 1, 0.5),
+    ]
