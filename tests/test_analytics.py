@@ -592,3 +592,21 @@ def test_partition_skew_report_flags_hot_month(spark, tmp_path):
         ("2024-02", 1, 0.5),
         ("2024-03", 1, 0.5),
     ]
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark):
+    """Both audits group users by the SAME generalized signature, so
+    their histograms must account for identical set and user totals on
+    the real corpus — and no set can be more diverse than it is large
+    (max l <= max k)."""
+    from securities_data_pipeline_spark.plans.analytics import (
+        a_k_anonymity,
+        a_l_diversity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    krows = a_k_anonymity(spark, sf).collect()
+    lrows = a_l_diversity(spark, sf).collect()
+    assert sum(r.n_users for r in krows) == sum(r.n_users for r in lrows)
+    assert sum(r.n_sets for r in krows) == sum(r.n_sets for r in lrows)
+    assert max(r.l for r in lrows) <= max(r.k for r in krows)

@@ -249,3 +249,49 @@ def test_capped_equals_exact_when_cap_exceeds_degrees(spark):
         for r in common_neighbor_links_capped(scored, max_nbrs=100).collect()
     ]
     assert capped == exact == [("1", "4", 2, 1.0)]
+
+
+def test_capped_cn_never_exceeds_exact_cn(spark):
+    """Property on a dense deterministic graph (the near-dup graph of
+    the small test corpora is too sparse to exercise the cap — 0-1
+    predicted links): the capped graph is a subgraph of the exact one,
+    so for any pair present in both outputs the capped common-neighbor
+    count can never exceed the exact count — the sacrifice only
+    removes wedges, never invents them — and the capped jaccard
+    denominator uses the CAPPED degrees."""
+    from securities_data_pipeline_spark.operators.dedup import (
+        common_neighbor_links,
+        common_neighbor_links_capped,
+    )
+
+    n = 30
+    raw = sorted(
+        {
+            (min(i, j), max(i, j))
+            for i in range(n)
+            for j in (i + 1, i + 2, i + 3, (i * 7 + 5) % n)
+            if i != j
+        }
+    )
+    edges = spark.createDataFrame(
+        [(f"{a:02d}", f"{b:02d}") for a, b in raw], ["doc_a", "doc_b"]
+    )
+    scored = spark.createDataFrame(
+        [(f"{a:02d}", f"{b:02d}", (a * b) % 7) for a, b in raw],
+        ["doc_a", "doc_b", "priority"],
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.cn
+        for r in common_neighbor_links(edges, topk=10000).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.cn
+        for r in common_neighbor_links_capped(
+            scored, topk=10000, max_nbrs=2
+        ).collect()
+    }
+    assert exact and capped, (len(exact), len(capped))
+    assert len(capped) < len(exact)  # cap 2 on a degree>=4 graph bites
+    for pair, cn in capped.items():
+        assert pair in exact, f"capped invented non-edge {pair}"
+        assert cn <= exact[pair], (pair, cn, exact[pair])
