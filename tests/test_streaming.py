@@ -657,3 +657,95 @@ def test_stream_mm_features_garbage_midstream_restart_exactly_once(spark, tmp_pa
     got_quar = {r.doc_id for r in spark.read.parquet(quar_path).collect()}
     assert got_quar == {100, 105}
     assert spark.read.parquet(quar_path).count() == 2
+
+
+def test_stateful_state_survives_restart_and_midbatch_replay(spark, tmp_path):
+    """State-store recovery evidence for the applyInPandasWithState
+    face: per-user running (count, sum) state must (a) survive a clean
+    restart — a second file's events increment ON TOP of the first
+    file's accumulated state, not from zero — and (b) absorb a
+    MID-BATCH replay (offset commit deleted after the sink write): the
+    replayed batch must re-run against the state version it originally
+    saw, not the post-batch version, or counts double."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from securities_data_pipeline_spark.load import merge_upsert
+
+    landing = str(tmp_path / "landing")
+    sink_path = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "user_id long, value double"
+
+    def land(rows, fname):
+        stage = str(tmp_path / f"_stage_{fname}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(f"{stage}/{part}", f"{landing}/{fname}")
+        shutil.rmtree(stage)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(landing)
+        )
+        stats = stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+        def sink(batch_df, _bid):
+            merge_upsert(spark, batch_df, sink_path, ["user_id"])
+
+        q = (
+            stats.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land([(1, 1.0), (1, 2.0), (2, 8.0)], "f1.parquet")
+    run_once()
+    got1 = {r.user_id: (r.n_events, r.sum_value)
+            for r in spark.read.parquet(sink_path).collect()}
+    assert got1 == {1: (2, 3.0), 2: (1, 8.0)}
+
+    # MID-BATCH replay: sink written, offset commit deleted — the
+    # replay must load the state version from BEFORE the batch
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+    got_replay = {r.user_id: (r.n_events, r.sum_value)
+                  for r in spark.read.parquet(sink_path).collect()}
+    assert got_replay == got1  # state did NOT double-count the replay
+
+    # clean restart with new data: state increments on top
+    land([(1, 4.0), (3, 5.0)], "f2.parquet")
+    run_once()
+    got2 = {r.user_id: (r.n_events, r.sum_value)
+            for r in spark.read.parquet(sink_path).collect()}
+    assert got2 == {1: (3, 7.0), 2: (1, 8.0), 3: (1, 5.0)}
