@@ -32,9 +32,10 @@ _NEW_OR_CHANGED = (
     # r7 item 3)
     "dedup_link_prediction_capped",
     # the privacy audit's homogeneity-attack stage (l of each
-    # k-anonymity set), the downside-risk screen, and the
-    # partition-skew ops report
+    # k-anonymity set), the downside-risk screen, the partition-skew
+    # ops report, and the IVF index-health report
     "a_l_diversity", "sec_sortino", "m_partition_skew_report",
+    "sim_ivf_balance",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

@@ -255,6 +255,7 @@ HEADLINE = [
     "a_l_diversity",
     "sec_sortino",
     "m_partition_skew_report",
+    "sim_ivf_balance",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

@@ -1653,3 +1653,61 @@ WHERE rank = 1 OR rank BETWEEN {HN_SKIP + 1} AND {HN_SKIP + HN_K}
 
 SIMILARITY_QUERIES["sim_hard_negatives"] = sim_hard_negatives
 SIMILARITY_ORACLES["sim_hard_negatives"] = guard_emb_sql(SIM_HARD_NEG_SQL)
+
+
+def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: per-centroid assignment counts with
+    each bucket's ratio to the mean — the audit an ANN serving stack
+    reads before retraining its coarse quantizer. Probe cost is
+    bucket-size-bound (a query scans its n_probes buckets), so one hot
+    bucket means every query probing it pays its size: at 100 TB a
+    10× ratio on one centroid is the signal to re-train or split (the
+    `m_partition_skew_report` of the learned partitioning — same stat,
+    learned key). Plan: the shared `assign_buckets` broadcast-argmax
+    (k×d centroid literals against the scan, never a vector shuffle),
+    ONE hash aggregate on centroid_id, and the ratio in a global
+    window over the ≤``N_CENTROIDS_CAP``-row aggregate.
+
+    No reference counterpart (extension operator; the ANN family's ops
+    face alongside sim_ivf_topk/sim_ivf_recall)."""
+    emb = emb_table(spark, sf_dir)
+    counts = assign_buckets(emb).groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "centroid_id",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double")
+            * F.count(F.lit(1)).over(w)
+            / F.sum("n_vectors").over(w).cast("double"),
+            6,
+        ).alias("ratio_to_mean"),
+    ).orderBy("centroid_id")
+
+
+SIM_IVF_BALANCE_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {CENTROID_STRIDE * N_CENTROIDS_CAP}
+), assigned AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cosine('c.cvec', 'e.embedding')} DESC, c.centroid_id ASC
+         ) AS r
+  FROM embeddings e CROSS JOIN cents c
+), counts AS (
+  SELECT centroid_id, COUNT(*) AS n_vectors
+  FROM assigned WHERE r = 1 GROUP BY centroid_id
+)
+SELECT centroid_id,
+       n_vectors,
+       round(CAST(n_vectors AS DOUBLE) * COUNT(*) OVER ()
+             / CAST(SUM(n_vectors) OVER () AS DOUBLE), 6) AS ratio_to_mean
+FROM counts ORDER BY centroid_id
+"""
+
+SIMILARITY_QUERIES["sim_ivf_balance"] = sim_ivf_balance
+SIMILARITY_ORACLES["sim_ivf_balance"] = guard_emb_sql(SIM_IVF_BALANCE_SQL)

@@ -610,3 +610,19 @@ def test_l_diversity_consistent_with_k_anonymity(spark):
     assert sum(r.n_users for r in krows) == sum(r.n_users for r in lrows)
     assert sum(r.n_sets for r in krows) == sum(r.n_sets for r in lrows)
     assert max(r.l for r in lrows) <= max(r.k for r in krows)
+
+
+def test_ivf_balance_accounts_for_every_vector(spark):
+    """The balance report's bucket counts must sum to the gated corpus
+    size (every admitted vector is assigned exactly once), and ratios
+    must average 1 over buckets."""
+    from securities_data_pipeline_spark.operators.similarity import (
+        emb_table,
+        sim_ivf_balance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sim_ivf_balance(spark, sf).collect()
+    assert sum(r.n_vectors for r in rows) == emb_table(spark, sf).count()
+    mean_ratio = sum(r.ratio_to_mean for r in rows) / len(rows)
+    assert abs(mean_ratio - 1.0) < 1e-4

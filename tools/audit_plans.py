@@ -72,6 +72,7 @@ BNLJ_OK = {
     "mm_feature_knn",  # broadcast decoded-query vectors x corpus, the exact tier
     "sim_range_search",  # broadcast queries × corpus scan, τ filter
     "sim_ivf_topk",
+    "sim_ivf_balance",  # same assign_buckets broadcast-argmax as sim_ivf_topk
     "sim_ivf_recall",  # composes the two allowlisted plans above
     "sim_lsh_recall",  # exact side is sim_bruteforce_topk (allowlisted)
     "sim_pq_recall",  # exact side is sim_bruteforce_topk (allowlisted)
