@@ -36,6 +36,10 @@ _NEW_OR_CHANGED = (
     # ops report, and the IVF index-health report
     "a_l_diversity", "sec_sortino", "m_partition_skew_report",
     "sim_ivf_balance",
+    # distributed BPE merge training (iterative; fully lazy unrolled
+    # plan with 1-row broadcast winners; logreg-GD-style unrolled
+    # oracle + pure-Python trainer pin)
+    "t_bpe_train",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

@@ -256,6 +256,7 @@ HEADLINE = [
     "sec_sortino",
     "m_partition_skew_report",
     "sim_ivf_balance",
+    "t_bpe_train",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

@@ -1381,3 +1381,153 @@ TEXT_ORACLES: dict[str, str] = {
     "t_quality_linear": _sql_quality_linear(),
     "t_bm25_topk": _sql_bm25(),
 }
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (iterative, fully distributed)
+
+N_BPE_MERGES = 6
+
+
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge TRAINING (Sennrich et al. 2016): learn the
+    first ``N_BPE_MERGES`` merge rules from the corpus — the step
+    ``t_token_bpe`` (which APPLIES a fixed merge-ish regex) and
+    ``t_vocab`` (which seeds the trainer) lead up to. Training runs on
+    the DISTINCT-WORD table with frequencies (the standard trick: state
+    is vocabulary-sized, never corpus-sized), each word spelled as
+    space-joined characters plus the ``_`` end-of-word symbol. Per
+    round: weighted adjacent-symbol-pair counts → the argmax pair
+    (count desc, pair asc — deterministic) → merge applied to every
+    word. Output: the merge table (rank, pair, merged symbol, count) —
+    the artifact a tokenizer ships.
+
+    Fully distributed and LAZY: each round's winner is a 1-row
+    aggregate joined back via broadcast crossJoin (the allowlisted
+    1-row-BNLJ pattern — nothing collects to the driver, unlike the
+    centroid/codebook bounded-state ops), and the merge applies as one
+    literal string replace inside whole-stage codegen. Each round's
+    word state localCheckpoints (lazily) so round r+1 does not replan
+    rounds 1..r — the logreg-GD unrolling lesson.
+
+    Semantics pinned on BOTH engines: merge application is ONE
+    non-overlapping left-to-right replace of `` s1 s2 `` per round
+    (boundary spaces; the trailing space consumed by a match prevents
+    the next overlapping match). For runs of 4+ identical symbols this
+    merges the first site per scan rather than every alternate site —
+    a conservative single-pass application (later rounds catch the
+    remaining sites); both engines apply the identical rule, and pair
+    COUNTING is position-exact. Words are restricted to ``^[a-z]+$``
+    (byte-level alphabets are a container away; the a-z filter keeps
+    the alphabet disjoint from the separator and end symbols on both
+    engines).
+
+    No reference counterpart (extension operator; the tokenizer-
+    training tier of the text family).
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        token_stream(docs)
+        .where(F.col("token").rlike("^[a-z]+$"))
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = words.select(
+        F.concat(
+            F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit("_")
+        ).alias("repr"),
+        "freq",
+    ).localCheckpoint(eager=False)
+
+    pair_structs = F.expr(
+        "transform(slice(split(repr, ' '), 1, size(split(repr, ' ')) - 1),"
+        " (s, i) -> struct(s AS s1, element_at(split(repr, ' '), i + 2) AS s2))"
+    )
+    winners = None
+    for rank in range(1, N_BPE_MERGES + 1):
+        cnts = (
+            w.select(F.explode(pair_structs).alias("p"), "freq")
+            .select(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"), "freq")
+            .groupBy("s1", "s2")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        win = cnts.orderBy(
+            F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc()
+        ).limit(1)
+        row = win.select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("s1").alias("left_sym"),
+            F.col("s2").alias("right_sym"),
+            F.concat("s1", "s2").alias("merged"),
+            F.col("cnt").alias("pair_count"),
+        )
+        winners = row if winners is None else winners.unionByName(row)
+        w = (
+            w.crossJoin(
+                F.broadcast(
+                    win.select(F.col("s1").alias("ws1"), F.col("s2").alias("ws2"))
+                )
+            )
+            .select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("repr"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("ws1"), F.lit(" "), F.col("ws2"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("ws1"), F.col("ws2"), F.lit(" ")),
+                    )
+                ).alias("repr"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return winners.orderBy("merge_rank")
+
+
+def _sql_bpe_train(n_merges: int = N_BPE_MERGES) -> str:
+    """Unrolled-CTE twin of the merge-training loop (the logreg-GD
+    oracle pattern): per round, position-joined adjacent pairs, an
+    argmax, and the boundary-space replace threaded into the next
+    round's word state."""
+    parts = [
+        f"""WITH toks AS (
+  SELECT unnest({_sql_words()}) AS token FROM documents
+), wrd AS (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE regexp_matches(token, '^[a-z]+$') GROUP BY token
+), w0 AS (
+  SELECT regexp_replace(word, '(.)', '\\1 ', 'g') || '_' AS repr, freq FROM wrd
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f""", s{r} AS (
+  SELECT repr, freq,
+         unnest(string_split(repr, ' ')) AS sym,
+         generate_subscripts(string_split(repr, ' '), 1) AS pos
+  FROM {prev}
+), c{r} AS (
+  SELECT a.sym AS s1, b.sym AS s2, CAST(SUM(a.freq) AS BIGINT) AS cnt
+  FROM s{r} a JOIN s{r} b ON a.repr = b.repr AND b.pos = a.pos + 1
+  GROUP BY a.sym, b.sym
+), win{r} AS (
+  SELECT s1, s2, cnt FROM c{r} ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1
+), w{r} AS (
+  SELECT trim(replace(' ' || w.repr || ' ',
+                      ' ' || v.s1 || ' ' || v.s2 || ' ',
+                      ' ' || v.s1 || v.s2 || ' ')) AS repr,
+         w.freq
+  FROM {prev} w, win{r} v
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, s1 AS left_sym, s2 AS right_sym,"
+        f" s1 || s2 AS merged, cnt AS pair_count FROM win{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"\n{selects} ORDER BY merge_rank")
+    return "".join(parts)
+
+
+TEXT_QUERIES["t_bpe_train"] = t_bpe_train
+TEXT_ORACLES["t_bpe_train"] = _sql_bpe_train()

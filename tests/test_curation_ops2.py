@@ -118,3 +118,52 @@ def test_hashed_linear_score_deterministic_and_bounded(spark):
     for r in got:
         assert -1.0 <= r[2] <= 1.0
         assert round(r[2], 6) == r[2]  # exactly 6 dp
+
+
+def test_bpe_train_matches_pure_python_trainer(spark):
+    """t_bpe_train's merge table must equal a from-scratch Python BPE
+    trainer over the same word-frequency table, applying the operator's
+    documented semantics exactly: weighted position-exact pair counts,
+    argmax by (count desc, pair asc), one non-overlapping left-to-right
+    boundary-space replace per round."""
+    import re
+    from collections import Counter
+
+    from securities_data_pipeline_spark.operators.textops import (
+        N_BPE_MERGES,
+        t_bpe_train,
+        table,
+        token_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    freqs = Counter()
+    for r in token_stream(table(spark, sf, "documents")).collect():
+        if re.fullmatch(r"[a-z]+", r.token):
+            freqs[r.token] += 1
+
+    state = {w: " ".join(w) + " _" for w in freqs}
+    expected = []
+    for rank in range(1, N_BPE_MERGES + 1):
+        counts = Counter()
+        for w, rep in state.items():
+            syms = rep.split(" ")
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += freqs[w]
+        if not counts:
+            break
+        (s1, s2), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, s1, s2, s1 + s2, cnt))
+        pat, rep_ = f" {s1} {s2} ", f" {s1}{s2} "
+        state = {
+            w: (" " + r + " ").replace(pat, rep_).strip()
+            for w, r in state.items()
+        }
+
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in t_bpe_train(spark, sf).collect()
+    ]
+    assert got == expected
