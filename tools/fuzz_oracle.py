@@ -74,6 +74,10 @@ DOC_QUERIES = [
     "dedup_incremental",
     "dedup_triangle_stats",
     "dedup_link_prediction",
+    "dedup_link_prediction_capped",  # r8: the per-node neighbor-cap tier
+    "dedup_simhash_wide",  # r7: 60-bit / 4-band production geometry
+    "dedup_simhash_wide_capped",  # r7: width + cap 64, the registered default
+    "t_bpe_train",  # r8: iterative merge training (incl. empty-alphabet edge)
     "t_bm25_topk",
     "t_split_leakage_free",
     "t_quality_logreg",
