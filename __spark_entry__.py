@@ -40,6 +40,8 @@ _NEW_OR_CHANGED = (
     # plan with 1-row broadcast winners; logreg-GD-style unrolled
     # oracle + pure-Python trainer pin)
     "t_bpe_train",
+    # per-user longest consecutive-day streak (gaps-and-islands)
+    "w9_user_streaks",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

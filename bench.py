@@ -257,6 +257,7 @@ HEADLINE = [
     "m_partition_skew_report",
     "sim_ivf_balance",
     "t_bpe_train",
+    "w9_user_streaks",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

@@ -481,3 +481,76 @@ FROM sets_ GROUP BY l ORDER BY l
 
 ANALYTICS_QUERIES["a_l_diversity"] = a_l_diversity
 ANALYTICS_ORACLES["a_l_diversity"] = _guard_events(A_L_DIVERSITY_SQL)
+
+
+def w9_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the canonical
+    gaps-and-islands shape (engagement/retention's "streak" metric,
+    and the window idiom every warehouse interview asks for): distinct
+    active days per user, island key = epoch_day − row_number (constant
+    within a consecutive run), one aggregate per island, then the
+    per-user argmax with a deterministic tie-break (longest streak,
+    earliest start).
+
+    Plan: ONE shuffle on user_id feeds both the distinct and the
+    row_number window (same partitioning), islands aggregate
+    map-side-combined on (user_id, anchor), and the final argmax is a
+    second tiny window over island rows (≤ active-days rows, never
+    events). The island key is integer arithmetic (epoch-day − rn) —
+    identical on both engines, no interval-type semantics involved.
+    Reads through ``event_ok``: a NULL event time is not attributable
+    activity.
+    """
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    islands = days.withColumn(
+        "anchor", epoch_day - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("start_day").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("user_id", "streak_len", "start_day", "end_day")
+        .orderBy("user_id")
+    )
+
+
+W9_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), islands AS (
+  SELECT user_id, day,
+         datediff('day', DATE '1970-01-01', day)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor,
+         CAST(COUNT(*) AS BIGINT) AS streak_len,
+         MIN(day) AS start_day,
+         MAX(day) AS end_day
+  FROM islands GROUP BY user_id, anchor
+), picked AS (
+  SELECT user_id, streak_len, start_day, end_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY streak_len DESC, start_day ASC) AS rn
+  FROM streaks
+)
+SELECT user_id, streak_len, start_day, end_day
+FROM picked WHERE rn = 1 ORDER BY user_id
+"""
+
+ANALYTICS_QUERIES["w9_user_streaks"] = w9_user_streaks
+ANALYTICS_ORACLES["w9_user_streaks"] = _guard_events(W9_STREAKS_SQL)

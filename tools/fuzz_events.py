@@ -53,6 +53,8 @@ EVENT_QUERIES = [
     "m_scd2_intervals",
     "m_cdc_apply",
     "a_k_anonymity",
+    "a_l_diversity",  # r8: homogeneity-attack stage of the privacy audit
+    "w9_user_streaks",  # r8: gaps-and-islands on pathological event times
     "sec_stg_ffill",
     "sec_calendar_spine",
     "sec_weekly_bars",
@@ -68,6 +70,7 @@ EVENT_QUERIES = [
     "sec_rolling_vol",
     "sec_rolling_beta",
     "sec_sharpe",
+    "sec_sortino",  # r8: downside moment gated on the quantized return
     # streaming faces: watermark semantics against NULL/extreme event
     # times must agree with the batch oracle
     "s_stream_daily_rollup",

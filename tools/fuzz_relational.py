@@ -62,6 +62,7 @@ RELATIONAL_QUERIES = [
     "f_pivot_segments", "f_unpivot_measures",
     "p5_null_recode", "p8_deterministic_sample", "p9_bernoulli_sample",
     "s5_scan_prune", "m_incremental_rollup", "m_zorder_cluster",
+    "m_partition_skew_report",  # r8: ratio math on degenerate partitions
     "g_topn_per_group_scalable",
 ]
 
