@@ -42,6 +42,8 @@ _NEW_OR_CHANGED = (
     "t_bpe_train",
     # per-user longest consecutive-day streak (gaps-and-islands)
     "w9_user_streaks",
+    # PMI co-occurrence over the capped top vocabulary
+    "t_pmi_cooccurrence",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

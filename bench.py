@@ -258,6 +258,7 @@ HEADLINE = [
     "sim_ivf_balance",
     "t_bpe_train",
     "w9_user_streaks",
+    "t_pmi_cooccurrence",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

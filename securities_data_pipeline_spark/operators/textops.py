@@ -1531,3 +1531,132 @@ def _sql_bpe_train(n_merges: int = N_BPE_MERGES) -> str:
 
 TEXT_QUERIES["t_bpe_train"] = t_bpe_train
 TEXT_ORACLES["t_bpe_train"] = _sql_bpe_train()
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence over the top vocabulary
+
+PMI_VOCAB = 30  # co-occurrence is O(PMI_VOCAB²/2) per doc — the cap IS the plan
+PMI_MIN_COOC = 3  # pairs must co-occur in ≥ this many docs (PMI noise floor)
+PMI_TOP = 50
+
+
+def t_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information co-occurrence over the top
+    ``PMI_VOCAB`` vocabulary tokens: which frequent words appear in
+    the SAME documents far more often than independence predicts —
+    the corpus-statistics view (collocations, topic seeds, template
+    detection) that complements the adjacency-only bigram LM.
+
+    pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with document-level
+    probabilities (c_ab·n) / (c_a·c_b), n = corpus size.
+
+    Scale shape: the vocabulary cap bounds the quadratic — per-doc
+    membership is ≤ PMI_VOCAB distinct rows, so the doc_id self-join
+    expands to ≤ C(30,2) = 435 pair rows per doc and the pair
+    aggregate shuffles (token_a, token_b) pairs only. The vocab itself
+    is a broadcast semi-join against the token stream; marginals and
+    corpus size are 1-row/30-row broadcast factors. All-integer counts
+    convert to double once, the ln argument is assembled in the
+    identical operation order in both engines, and the output rounds
+    to 6 dp before the deterministic (pmi desc, token_a, token_b)
+    top-``PMI_TOP`` cut.
+
+    No reference counterpart (extension operator; text-analysis
+    family's corpus-statistics tier).
+    """
+    docs = table(spark, sf_dir, "documents")
+    vocab = ranked_head(
+        token_stream(docs)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences")),
+        PMI_VOCAB,
+        "token_id",
+    ).select("token")
+    membership = (
+        docs.select("doc_id", F.explode(words_col()).alias("token"))
+        .where(F.col("token") != "")
+        .join(F.broadcast(vocab), "token")
+        .select("doc_id", "token")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds marginals AND the pair join
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("n"))
+    marg = membership.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = membership.select("doc_id", F.col("token").alias("token_a"))
+    b = membership.select("doc_id", F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_COOC)
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .join(
+            F.broadcast(marg.select(F.col("token").alias("token_a"), F.col("c").alias("c_a"))),
+            "token_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("token").alias("token_b"), F.col("c").alias("c_b"))),
+            "token_b",
+        )
+        .select(
+            "token_a",
+            "token_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n").cast("double"))
+                    / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(
+        F.col("pmi").desc(), F.col("token_a").asc(), F.col("token_b").asc()
+    ).limit(PMI_TOP)
+
+
+T_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_words()}) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n_occurrences FROM toks WHERE token <> '' GROUP BY token
+), vocab AS (
+  SELECT token FROM (
+    SELECT token,
+           ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS token_id
+    FROM counts
+  ) WHERE token_id <= {PMI_VOCAB}
+), membership AS (
+  SELECT DISTINCT t.doc_id, t.token
+  FROM toks t JOIN vocab v ON t.token = v.token
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), marg AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM membership GROUP BY token
+), pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM membership a JOIN membership b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING COUNT(*) >= {PMI_MIN_COOC}
+)
+SELECT token_a, token_b, c_ab,
+       round(ln((CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE))
+                / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE))), 6) AS pmi
+FROM pairs, nd
+JOIN marg ma ON ma.token = token_a
+JOIN marg mb ON mb.token = token_b
+ORDER BY pmi DESC, token_a ASC, token_b ASC
+LIMIT {PMI_TOP}
+"""
+
+TEXT_QUERIES["t_pmi_cooccurrence"] = t_pmi_cooccurrence
+TEXT_ORACLES["t_pmi_cooccurrence"] = T_PMI_SQL

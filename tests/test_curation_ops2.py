@@ -167,3 +167,40 @@ def test_bpe_train_matches_pure_python_trainer(spark):
         for r in t_bpe_train(spark, sf).collect()
     ]
     assert got == expected
+
+
+def test_pmi_cooccurrence_hand_math(spark, tmp_path):
+    """PMI against hand arithmetic: tokens arranged so the attracted
+    pair co-occurs more than independence predicts (pmi > 0) and the
+    repelled pair less (pmi < 0), with exact ln values."""
+    import math
+
+    from securities_data_pipeline_spark.operators.textops import (
+        t_pmi_cooccurrence,
+    )
+
+    docs = [
+        (0, "aa xx yy f0"),
+        (1, "aa xx yy f1"),
+        (2, "aa bb xx yy f2"),
+        (3, "aa bb xx f3"),
+        (4, "aa bb f4"),
+        (5, "bb f5"),
+        (6, "bb f6"),
+        (7, "f7"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.token_a, r.token_b): (r.c_ab, r.pmi)
+        for r in t_pmi_cooccurrence(spark, str(tmp_path)).collect()
+    }
+    n = len(docs)
+    # xx: 4 docs, yy: 3 docs, co-occur 3 > independence 12/8 -> attracted
+    assert out[("xx", "yy")] == (3, round(math.log(3 * n / (4 * 3)), 6))
+    # bb: 5, xx: 4, co-occur 2 -> below PMI_MIN_COOC=3, absent
+    assert ("bb", "xx") not in out
+    # aa: 5, bb: 5, co-occur 3 < independence 25/8 -> repelled (pmi < 0)
+    assert out[("aa", "bb")] == (3, round(math.log(3 * n / (5 * 5)), 6))
+    assert out[("aa", "bb")][1] < 0 < out[("xx", "yy")][1]

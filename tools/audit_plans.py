@@ -79,6 +79,7 @@ BNLJ_OK = {
     "sim_mmr_rerank",  # pool selection is the brute-force broadcast scan
     "t_idf_top_terms",
     "t_tfidf_doc_terms",  # same 1-row n_docs crossJoin as t_idf_top_terms
+    "t_pmi_cooccurrence",  # same 1-row n_docs crossJoin as t_idf_top_terms
     "t_unigram_logprob",
     "t_bigram_logprob",  # same 1-row vocab-size crossJoin as the unigram op
     "t_dsir_weights",  # same 1-row normalizer crossJoin as the unigram op
