@@ -749,3 +749,125 @@ def test_stateful_state_survives_restart_and_midbatch_replay(spark, tmp_path):
     got2 = {r.user_id: (r.n_events, r.sum_value)
             for r in spark.read.parquet(sink_path).collect()}
     assert got2 == {1: (3, 7.0), 2: (1, 8.0), 3: (1, 5.0)}
+
+
+def test_chained_daily_weekly_restart_emits_each_week_once(spark, tmp_path):
+    """Restart face #4: CHAINED stateful window aggregates (daily →
+    weekly, Spark 3.5+ append-mode chaining). Two stages of
+    watermark-bounded window state must survive a clean restart AND a
+    mid-batch replay: weeks finalized before the kill must not
+    re-emit doubled, weeks spanning the kill must finalize exactly
+    once after resume, and the final sink must equal the batch twin
+    (same F.window chain, weeks with end <= max ts) over all files."""
+    import shutil
+
+    from securities_data_pipeline_spark.load import merge_upsert
+
+    landing = str(tmp_path / "landing")
+    sink_path = str(tmp_path / "weekly")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "ts timestamp, event_type string"
+
+    def land(rows, fname):
+        stage = str(tmp_path / f"_stage_{fname}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(f"{stage}/{part}", f"{landing}/{fname}")
+        shutil.rmtree(stage)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(landing)
+        )
+        daily = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 day").alias("day_w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        weekly = daily.groupBy(
+            F.window(F.col("day_w"), "7 days").alias("week_w"), "event_type"
+        ).agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        flat = weekly.select(
+            F.to_date(F.col("week_w.start")).alias("week_start"),
+            "event_type",
+            "n_events",
+            "n_days",
+        )
+
+        def sink(batch_df, _bid):
+            merge_upsert(
+                spark, batch_df, sink_path, ["week_start", "event_type"]
+            )
+
+        q = (
+            flat.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def day(d, h=12):
+        return dt.datetime(2024, 1, d, h, 0)
+
+    # file1: a full epoch-aligned week of views + the start of the next
+    f1 = [(day(4 + i), "view") for i in range(7)] + [(day(11), "click")]
+    # file2: more of week 2, then a far-future sentinel that finalizes
+    # every real week (its own week never finalizes and must not emit)
+    f2 = [(day(12), "click"), (day(13), "view"),
+          (dt.datetime(2024, 2, 15, 12, 0), "sentinel")]
+
+    land(f1, "f1.parquet")
+    run_once()
+    # MID-BATCH crash: sink written, offset commit deleted
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    if commits:  # replay the newest committed batch
+        os.remove(f"{ckpt}/commits/{commits[-1]}")
+        crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+    run_once()
+    mid = (
+        spark.read.parquet(sink_path).count()
+        if os.path.isdir(sink_path)
+        else 0
+    )
+
+    land(f2, "f2.parquet")
+    run_once()
+
+    got = {
+        (str(r.week_start), r.event_type): (r.n_events, r.n_days)
+        for r in spark.read.parquet(sink_path).collect()
+    }
+    # batch twin: the same chained F.window over the full static union
+    all_df = spark.createDataFrame(f1 + f2, schema)
+    mx = all_df.agg(F.max("ts")).collect()[0][0]
+    weekly_b = (
+        all_df.groupBy(F.window("ts", "1 day").alias("day_w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy(F.window(F.col("day_w"), "7 days").alias("week_w"), "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )
+    expected = {
+        (str(r.week_w.start.date()), r.event_type): (r.n_events, r.n_days)
+        for r in weekly_b.collect()
+        if r.week_w.end <= mx
+    }
+    assert got == expected  # exactly the finalized weeks, each once
+    assert expected, "test data produced no finalized weeks"
+    assert "sentinel" not in {k[1] for k in got}  # open week never emits
+    # and the replayed batch did not double anything mid-run
+    assert mid <= len(expected)
