@@ -1547,13 +1547,16 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
             F.sum(F.expr("deg * (deg - 1) DIV 2")), F.lit(0).cast("long")
         ).alias("n_wedges")
     )
+    # deg is O(nodes) — at corpus scale a forced broadcast would OOM the
+    # driver, so no hint: AQE picks broadcast when deg is actually small
+    # and sort-merge on the 8-byte key otherwise (VERDICT r8 item 1).
     e = (
         pairs.join(
-            F.broadcast(deg.select(F.col("node").alias("_na"), F.col("deg").alias("dega"))),
+            deg.select(F.col("node").alias("_na"), F.col("deg").alias("dega")),
             F.col("doc_a") == F.col("_na"),
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("_nb"), F.col("deg").alias("degb"))),
+            deg.select(F.col("node").alias("_nb"), F.col("deg").alias("degb")),
             F.col("doc_b") == F.col("_nb"),
         )
     )
@@ -1692,13 +1695,17 @@ def common_neighbor_links(pairs: DataFrame, topk: int = CN_TOPK) -> DataFrame:
         (cn.a == pairs.doc_a) & (cn.b == pairs.doc_b),
         "left_anti",
     )
+    # deg has one row per candidate-graph node — O(corpus) at target
+    # scale — so no broadcast hint: AQE chooses broadcast at small SF
+    # and a sort-merge join on the already-shuffled node key at scale
+    # (VERDICT r8 item 1).
     out = (
         non_edges.join(
-            F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))),
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
             "a",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))),
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
             "b",
         )
         .select(
@@ -1833,17 +1840,17 @@ def common_neighbor_links_capped(
         (cn.a == pairs.doc_a) & (cn.b == pairs.doc_b),
         "left_anti",
     )
+    # deg is O(nodes) even after the neighbor cap (the cap bounds rows
+    # PER node, not the node count) — no broadcast hint; AQE picks the
+    # strategy and the capped adjacency is already shuffled by node, so
+    # a sort-merge degree join is cheap at scale (VERDICT r8 item 1).
     out = (
         non_edges.join(
-            F.broadcast(
-                deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-            ),
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
             "a",
         )
         .join(
-            F.broadcast(
-                deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-            ),
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
             "b",
         )
         .select(

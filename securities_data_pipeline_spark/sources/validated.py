@@ -66,6 +66,28 @@ GC_GRACE_SEC = 3600
 
 _staging_seq = itertools.count()
 
+#: gate-mode observability (VERDICT r8 item 2): one stderr line per
+#: (table, store key, mode) per process, so a bench record captured by
+#: the driver self-documents WHICH gate mode its timings ran under —
+#: "hit" (store already materialized: the 15-25% per-read gate cost is
+#: absent), "materialize" (this session paid the one-time write), or
+#: "per-read" (read mode / fallback: every scan re-runs the gate).
+_observed_modes: set[tuple[str, str, str]] = set()
+_observed_lock = threading.Lock()
+
+
+def _observe(name: str, key: str, mode: str) -> None:
+    tag = (name, key, mode)
+    with _observed_lock:
+        if tag in _observed_modes:
+            return
+        _observed_modes.add(tag)
+    print(
+        f"# clean-store {name}-{key}: {mode}",
+        file=sys.stderr,
+        flush=True,
+    )
+
 
 def _gate_column(name: str):
     if name == "events":
@@ -195,6 +217,28 @@ def _gc_grace_sec() -> float:
         return GC_GRACE_SEC
 
 
+def _tree_max_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the dir itself included).
+    A staging dir's TOP-LEVEL mtime does not advance while Spark is
+    writing parquet into its clean/ and quarantine/ SUBdirs (ADVICE
+    r8) — judging abandonment by it alone lets a concurrent session's
+    GC delete a >grace-long materialization mid-write. The max over
+    the tree moves with every part-file Spark lands."""
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return 0.0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for fn in filenames:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(dirpath, fn))
+                )
+            except OSError:
+                continue
+    return newest
+
+
 def _gc_stale_stores(
     name: str, keep: str, max_keep: int = 4, grace_sec: float | None = None
 ) -> None:
@@ -207,8 +251,20 @@ def _gc_stale_stores(
     concurrent session's lazy DataFrame (parquet resolves files at
     action time), and deleting it would fail that in-flight query at
     action time rather than harmlessly forcing a re-materialization.
+
+    The grace window is NOT unconditional (ADVICE r8): a harness that
+    rewrites its raw table every few seconds mints a fresh key each
+    time and could otherwise grow the root without bound for a full
+    grace hour. Past a hard ceiling of ``4 * max_keep`` committed
+    sibling stores, the oldest are pruned regardless of age — by then
+    at least ``4 * max_keep - 1`` newer materializations separate any
+    surviving reader from the doomed store, so the
+    young-lazy-DataFrame hazard the grace window protects against is
+    long gone for those tail entries.
+
     Abandoned ``.tmp.`` staging dirs (a crashed writer) age out under
-    the same grace window."""
+    the same grace window, judged by the NEWEST mtime in their tree
+    (``_tree_max_mtime``) so an in-flight write is never "abandoned"."""
     if grace_sec is None:
         grace_sec = _gc_grace_sec()
     root = clean_root()
@@ -224,11 +280,17 @@ def _gc_stale_stores(
         (staging if ".tmp." in d else sibs).append(os.path.join(root, d))
     sibs = [d for d in sibs if os.path.abspath(d) != os.path.abspath(keep)]
     sibs.sort(key=lambda d: os.path.getmtime(d), reverse=True)
-    for stale in sibs[max_keep:] + staging:
-        try:
-            if now - os.path.getmtime(stale) < grace_sec:
+    hard_cap = 4 * max_keep
+    for i, stale in enumerate(sibs[max_keep:], start=max_keep):
+        if i < hard_cap:  # inside the soft band: grace applies
+            try:
+                if now - os.path.getmtime(stale) < grace_sec:
+                    continue
+            except OSError:
                 continue
-        except OSError:
+        shutil.rmtree(stale, ignore_errors=True)
+    for stale in staging:
+        if now - _tree_max_mtime(stale) < grace_sec:
             continue
         shutil.rmtree(stale, ignore_errors=True)
 
@@ -251,13 +313,16 @@ def validated_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         pin_event_session_confs(spark)
     if os.environ.get(_MODE_ENV, "write") == "read":
+        _observe(name, "env", "per-read (GATE_MODE=read)")
         return table(spark, sf_dir, name).where(_gate_column(name))
     try:
         dest = _store_dir(sf_dir, name)
+        key = os.path.basename(dest).split("-")[-1]
         if not os.path.isdir(os.path.join(dest, "clean")):
             _ensure_root()
             try:
                 _materialize(spark, sf_dir, name, dest)
+                _observe(name, key, "materialize")
             except OSError:
                 raise
             except Exception as ex:
@@ -266,19 +331,19 @@ def validated_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # via the Hadoop FS layer): _materialize already
                 # removed its staging dir; degrade to the per-read
                 # gate instead of failing the query.
-                print(
-                    f"# validated_table({name}): materialize failed, "
-                    f"per-read fallback: {ex}",
-                    file=sys.stderr,
-                )
+                _observe(name, key, f"per-read (materialize failed: {ex})")
                 return table(spark, sf_dir, name).where(_gate_column(name))
+        else:
+            _observe(name, key, "hit")
         if not _owned_by_me(dest):
             # a pre-existing store under a shared/explicit root that
             # this uid did not write — never trust another user's rows
             # as validated data
+            _observe(name, key, "per-read (store not owned by this uid)")
             return table(spark, sf_dir, name).where(_gate_column(name))
         return spark.read.parquet(os.path.join(dest, "clean"))
-    except OSError:
+    except OSError as ex:
+        _observe(name, "na", f"per-read (OS error: {ex})")
         return table(spark, sf_dir, name).where(_gate_column(name))
 
 

@@ -304,3 +304,72 @@ def test_concurrent_materialization_one_winner_no_torn_reads(spark, scratch):
     dest = os.path.join(root, stores[0])
     assert os.path.isdir(os.path.join(dest, "clean"))
     assert os.path.isdir(os.path.join(dest, "quarantine"))
+
+
+def test_gc_hard_cap_prunes_runaway_root_within_grace(tmp_path, monkeypatch):
+    """ADVICE r8: the grace window must not be unconditional — a
+    harness rewriting its raw table every few seconds mints a fresh
+    store key per rewrite and would otherwise grow the root unboundedly
+    for a full grace hour. Past 4*max_keep committed siblings the
+    oldest are pruned REGARDLESS of age. Pure-filesystem test: stores
+    are synthesized dirs, GC is called directly with the default grace
+    (1h), all stores seconds old."""
+    root = tmp_path / "clean"
+    monkeypatch.setenv("SPARK_GRAFT_CLEAN_DIR", str(root))
+    monkeypatch.delenv("SPARK_GRAFT_CLEAN_GC_GRACE_SEC", raising=False)
+    root.mkdir()
+    import time as _t
+
+    dirs = []
+    for i in range(30):
+        d = root / f"events-k{i:02d}"
+        (d / "clean").mkdir(parents=True)
+        # stagger mtimes so "newest" is well-defined (newest = last)
+        past = _t.time() - (30 - i)
+        os.utime(d, (past, past))
+        dirs.append(d)
+    keep = str(dirs[-1])
+    V._gc_stale_stores("events", keep=keep)
+    left = sorted(d for d in os.listdir(root) if d.startswith("events-"))
+    # keep + max_keep graced + (hard_cap - max_keep) young-but-capped
+    # survivors = at most 4*max_keep + 1 = 17
+    assert len(left) <= 17, left
+    assert os.path.basename(keep) in left
+    # the survivors are the NEWEST ones — the pruned tail is the oldest
+    assert "events-k00" not in left and "events-k05" not in left
+    assert "events-k29" in left and "events-k28" in left
+
+
+def test_gc_staging_alive_by_subtree_mtime(tmp_path, monkeypatch):
+    """ADVICE r8: a staging dir's top-level mtime does not advance
+    while Spark writes parquet into clean/ and quarantine/ SUBdirs, so
+    abandonment must be judged by the newest mtime anywhere in the
+    tree. A staging whose top dir is grace-old but whose part file is
+    fresh (an in-flight long materialization) must survive GC; one
+    whose whole tree is old must be reaped."""
+    root = tmp_path / "clean"
+    monkeypatch.setenv("SPARK_GRAFT_CLEAN_DIR", str(root))
+    monkeypatch.setenv("SPARK_GRAFT_CLEAN_GC_GRACE_SEC", "3600")
+    root.mkdir()
+    import time as _t
+
+    old = _t.time() - 7200
+    # in-flight: top-level dir old, but a part file written just now
+    live = root / "events-kaaa.tmp.123.456.0"
+    (live / "clean").mkdir(parents=True)
+    (live / "clean" / "part-00000.parquet").write_bytes(b"x")
+    os.utime(live / "clean", (old, old))
+    os.utime(live, (old, old))  # top dir looks abandoned...
+    # ...but the part file is fresh (default now mtime) — keep it
+    # abandoned: every path in the tree is grace-old
+    dead = root / "events-kbbb.tmp.789.012.0"
+    (dead / "clean").mkdir(parents=True)
+    (dead / "clean" / "part-00000.parquet").write_bytes(b"x")
+    for p in [dead / "clean" / "part-00000.parquet", dead / "clean", dead]:
+        os.utime(p, (old, old))
+    keep = root / "events-kccc"
+    (keep / "clean").mkdir(parents=True)
+    V._gc_stale_stores("events", keep=str(keep))
+    left = os.listdir(root)
+    assert live.name in left, "in-flight staging must survive GC"
+    assert dead.name not in left, "fully-aged staging must be reaped"
