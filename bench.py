@@ -253,6 +253,9 @@ HEADLINE = [
     "dedup_simhash_wide_capped",
     "dedup_link_prediction_capped",
     "a_l_diversity",
+    "a_t_closeness",
+    "sim_kmeans_train",
+    "s_stream_k_anonymity",
     "sec_sortino",
     "m_partition_skew_report",
     "sim_ivf_balance",

@@ -1711,3 +1711,200 @@ FROM counts ORDER BY centroid_id
 
 SIMILARITY_QUERIES["sim_ivf_balance"] = sim_ivf_balance
 SIMILARITY_ORACLES["sim_ivf_balance"] = guard_emb_sql(SIM_IVF_BALANCE_SQL)
+
+
+KMEANS_ROUNDS = 3  # Lloyd iterations; convergence data in SCALE.md
+
+
+def _kmeans_roster(cents: DataFrame):
+    """Pack the K-row centroid table into ONE sorted struct-array row
+    (centroid_id ascending — array_sort on the id-first struct), the
+    bounded k×d state that broadcasts however large the corpus is."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "cvec"))
+        ).alias("cents")
+    )
+
+
+def _kmeans_assign(emb: DataFrame, roster) -> DataFrame:
+    """E-step as an IN-ROW argmax: every vector scans the broadcast
+    roster array inside one codegen'd ``F.aggregate`` — no n×K row
+    explosion and no per-vector window shuffle (the scale improvement
+    over the window formulation ``assign_buckets`` uses; at corpus
+    scale the E-step is then a pure map over the scan). Ties break to
+    the LOWEST centroid id: the fold keeps the first strictly-greater
+    sim over the id-ascending array — exactly ``ORDER BY sim DESC,
+    centroid_id ASC`` row 1."""
+    zero = F.struct(
+        F.lit(-2.0).cast("double").alias("sim"),
+        F.lit(-1).cast("long").alias("cid"),
+    )
+
+    def step(acc, c):
+        s = cosine(c["cvec"], F.col("embedding"))
+        return F.when(
+            s > acc["sim"],
+            F.struct(
+                s.alias("sim"), c["centroid_id"].cast("long").alias("cid")
+            ),
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("cents"), zero, step)
+    return emb.crossJoin(F.broadcast(roster)).select(
+        "vec_id",
+        "embedding",
+        best["cid"].alias("centroid_id"),
+        best["sim"].alias("sim"),
+    )
+
+
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means TRAINING over the gated embeddings
+    corpus — the retrain step ``sim_ivf_balance``'s hot-bucket signal
+    calls for, seeded from the serving roster it would replace (the
+    deterministic ``_centroid_filter`` centroids sim_ivf_topk probes).
+
+    Per round: E-step = in-row argmax against the one-row broadcast
+    roster (``_kmeans_assign``); M-step = per-cluster per-dimension
+    mean in exact DECIMAL(27,10) sums (the ``label_centroids``
+    discipline — float groupBy sums are accumulation-order-
+    nondeterministic, decimal sums are associative, so centroids are
+    bit-stable across partitionings AND engines), reassembled into an
+    ordered array; a cluster that loses every member keeps its
+    previous centroid (left-join fallback on the K-row roster). Round
+    state localCheckpoints lazily so round r+1 never replans rounds
+    1..r (the t_bpe_train / logreg-GD unrolling lesson). Output: the
+    trained roster after ``KMEANS_ROUNDS`` rounds with each cluster's
+    final membership and mean cosine cohesion (clusters empty under
+    the FINAL roster are dropped by the inner stats join, on both
+    engines).
+
+    Scale shape: state is k×d ≤ 20×64 doubles forever; per round the
+    corpus is touched by one map (E-step) and one (centroid, dim)
+    aggregate whose map-side combine bounds shuffle traffic at
+    partitions×K×d rows — never a vector shuffle. No reference
+    counterpart (extension operator; the ANN family's training tier).
+    """
+    emb = emb_table(spark, sf_dir)
+    cents = emb.where(_centroid_filter()).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    for _ in range(KMEANS_ROUNDS):
+        assigned = _kmeans_assign(emb, _kmeans_roster(cents))
+        dims = assigned.select(
+            "centroid_id", F.posexplode("embedding").alias("pos", "x")
+        )
+        means = dims.groupBy("centroid_id", "pos").agg(
+            F.round(
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(27,10)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        newc = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+            )
+        )
+        cents = (
+            cents.select("centroid_id", F.col("cvec").alias("prev"))
+            .join(newc, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("cvec", "prev").alias("cvec")
+            )
+            .localCheckpoint(eager=False)
+        )
+    final = _kmeans_assign(emb, _kmeans_roster(cents))
+    stats = final.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.col("sim").cast("decimal(27,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sim"),
+    )
+    return (
+        cents.join(stats, "centroid_id")
+        .select("centroid_id", "n_members", "mean_sim", "cvec")
+        .orderBy("centroid_id")
+    )
+
+
+def _sql_kmeans_train(rounds: int = KMEANS_ROUNDS) -> str:
+    """Unrolled-CTE twin of the Lloyd loop (the t_bpe_train oracle
+    pattern): per round a window-ranked assignment (same tie rule as
+    the Spark fold), a DECIMAL per-dimension mean, ordered-list
+    reassembly, and the empty-cluster fallback threaded into the next
+    round's roster."""
+    parts = [
+        f"""WITH c0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings
+  WHERE vec_id % {CENTROID_STRIDE} = 0
+    AND vec_id < {CENTROID_STRIDE * N_CENTROIDS_CAP}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f""", a{r} AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cosine('c.cvec', 'e.embedding')} DESC,
+                    c.centroid_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN {prev} c
+), d{r} AS (
+  SELECT centroid_id,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM a{r} WHERE rn = 1
+), m{r} AS (
+  SELECT centroid_id, pos,
+         round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,10)))
+                    AS DOUBLE) / COUNT(*), 6) AS m
+  FROM d{r} GROUP BY centroid_id, pos
+), n{r} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS cvec
+  FROM m{r} GROUP BY centroid_id
+), c{r} AS (
+  SELECT c.centroid_id, COALESCE(n.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN n{r} n USING (centroid_id)
+)"""
+        )
+    parts.append(
+        f""", af AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_sql_cosine('c.cvec', 'e.embedding')} AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cosine('c.cvec', 'e.embedding')} DESC,
+                    c.centroid_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN c{rounds} c
+), stats AS (
+  SELECT centroid_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         round(CAST(SUM(CAST(sim AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_sim
+  FROM af WHERE rn = 1 GROUP BY centroid_id
+)
+SELECT c.centroid_id, s.n_members, s.mean_sim, c.cvec
+FROM c{rounds} c JOIN stats s USING (centroid_id)
+ORDER BY c.centroid_id"""
+    )
+    return "".join(parts)
+
+
+SIMILARITY_QUERIES["sim_kmeans_train"] = sim_kmeans_train
+SIMILARITY_ORACLES["sim_kmeans_train"] = guard_emb_sql(_sql_kmeans_train())

@@ -554,3 +554,145 @@ FROM picked WHERE rn = 1 ORDER BY user_id
 
 ANALYTICS_QUERIES["w9_user_streaks"] = w9_user_streaks
 ANALYTICS_ORACLES["w9_user_streaks"] = _guard_events(W9_STREAKS_SQL)
+
+
+def a_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit, stage 3 — t-closeness of the anonymity sets the
+    k-anonymity audit builds (Li, Li & Venkatasubramanian, ICDE'07):
+    l-diversity still leaks when a set's sensitive values are diverse
+    but SKEWED relative to the corpus (the skewness attack — a set
+    where 'error' is the dominant behavior of 90% of members discloses
+    plenty even at l>1). A release has t-closeness when every
+    equivalence class's sensitive-attribute distribution is within
+    distance t of the GLOBAL distribution; for the categorical
+    attribute here (each user's dominant event type, exactly as in
+    ``a_l_diversity``) the distance is total variation:
+    TV(c) = ½ Σ_v |P_c(v) − P_global(v)|.
+
+    Cross-engine float discipline: the per-value term is computed as
+    an EXACT integer-family quantity first —
+    |cnt_cv·N − g_v·k_c| in DECIMAL(38,0) (cnt/g/k/N are counts; the
+    products reach users² ≈ 10^18 at corpus scale, past int64 once
+    multiplied) — summed exactly per class, and only the FINAL
+    ``num / (2·k·N)`` touches doubles, so Spark and DuckDB round the
+    single division identically regardless of their sum orders.
+
+    Plan: the k-anonymity signature aggregation (two hash aggs over
+    (user, type) then user rows), then one (signature, sensitive)
+    count — ``localCheckpoint``'d because it feeds the global
+    distribution, the per-class k, and the distance join — and the
+    class×value grid built by cross-joining the per-class k table
+    with the GLOBAL value distribution (O(event-type-cardinality)
+    rows — genuinely tiny, a legitimate broadcast, unlike the
+    O(nodes) degree table this round un-hinted). Output: the audit
+    histogram over 0.05-wide t buckets with the exact max t per
+    bucket — sets in high buckets fail the release threshold.
+    """
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
+    etype = F.coalesce(F.col("event_type"), F.lit("(null)"))
+    per_type = ev.groupBy("user_id", etype.alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bucket = F.pow(F.lit(2.0), F.floor(F.log2("n"))).cast("long")
+    sig = per_type.groupBy("user_id").agg(
+        F.concat_ws(
+            "|",
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(":", "event_type", bucket.cast("string"))
+                )
+            ),
+        ).alias("signature"),
+        F.expr(
+            "substring(max(concat(lpad(cast(n as string), 10, '0'), ':', event_type)), 12)"
+        ).alias("sensitive"),
+    )
+    cls_val = (
+        sig.groupBy("signature", "sensitive")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds glob, cls, and the grid
+    )
+    glob = cls_val.groupBy("sensitive").agg(
+        F.sum("cnt").cast("long").alias("g")
+    )
+    tot = glob.agg(F.sum("g").cast("long").alias("n_total"))
+    cls = cls_val.groupBy("signature").agg(
+        F.sum("cnt").cast("long").alias("k")
+    )
+    grid = cls.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+    joined = grid.join(cls_val, ["signature", "sensitive"], "left").select(
+        "signature",
+        "k",
+        "n_total",
+        F.abs(
+            F.coalesce(F.col("cnt"), F.lit(0))
+            .cast("decimal(38,0)") * F.col("n_total")
+            - F.col("g").cast("decimal(38,0)") * F.col("k")
+        ).alias("term"),
+    )
+    tc = joined.groupBy("signature", "k", "n_total").agg(
+        F.sum("term").alias("num")
+    ).select(
+        "k",
+        (
+            F.col("num").cast("double")
+            / (F.lit(2.0) * F.col("k") * F.col("n_total"))
+        ).alias("t"),
+    )
+    return (
+        tc.groupBy(F.floor(F.col("t") * 20).cast("long").alias("t_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sets"),
+            F.sum("k").cast("long").alias("n_users"),
+            F.round(F.max("t"), 6).alias("max_t"),
+        )
+        .orderBy("t_bucket")
+    )
+
+
+A_T_CLOSENESS_SQL = """
+WITH per_type AS (
+  SELECT user_id, COALESCE(event_type, '(null)') AS event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), sig AS (
+  SELECT user_id,
+         list_aggregate(
+           list_sort(list(event_type || ':' ||
+             CAST(CAST(pow(2.0, floor(log2(n))) AS BIGINT) AS VARCHAR))),
+           'string_agg', '|') AS signature,
+         substring(MAX(lpad(CAST(n AS VARCHAR), 10, '0') || ':' || event_type), 12)
+           AS sensitive
+  FROM per_type GROUP BY user_id
+), cls_val AS (
+  SELECT signature, sensitive, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM sig GROUP BY 1, 2
+), gdist AS (
+  SELECT sensitive, CAST(SUM(cnt) AS BIGINT) AS g FROM cls_val GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n_total FROM gdist
+), cls AS (
+  SELECT signature, CAST(SUM(cnt) AS BIGINT) AS k FROM cls_val GROUP BY 1
+), joined AS (
+  SELECT c.signature, c.k, t.n_total,
+         ABS(CAST(COALESCE(v.cnt, 0) AS DECIMAL(38,0)) * t.n_total
+             - CAST(gl.g AS DECIMAL(38,0)) * c.k) AS term
+  FROM cls c CROSS JOIN gdist gl CROSS JOIN tot t
+  LEFT JOIN cls_val v
+    ON v.signature = c.signature AND v.sensitive = gl.sensitive
+), tc AS (
+  SELECT k,
+         CAST(SUM(term) AS DOUBLE) / (2.0 * k * n_total) AS t
+  FROM joined GROUP BY signature, k, n_total
+)
+SELECT CAST(FLOOR(t * 20) AS BIGINT) AS t_bucket,
+       COUNT(*) AS n_sets,
+       CAST(SUM(k) AS BIGINT) AS n_users,
+       ROUND(MAX(t), 6) AS max_t
+FROM tc GROUP BY 1 ORDER BY 1
+"""
+
+ANALYTICS_QUERIES["a_t_closeness"] = a_t_closeness
+ANALYTICS_ORACLES["a_t_closeness"] = _guard_events(A_T_CLOSENESS_SQL)

@@ -1302,3 +1302,98 @@ def _guard_stream_oracles() -> None:
 
 
 _guard_stream_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Streaming privacy face (VERDICT r8 item 6): incremental k-anonymity
+
+def s_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming k-anonymity audit — the batch privacy triad's
+    ingest-time face (``plans/analytics.py a_k_anonymity``): per-user
+    per-type counts accumulate as ``applyInPandasWithState`` state
+    across micro-batches, each update emits the user's CURRENT
+    generalized signature (types with power-of-two count buckets —
+    byte-identical formatting to the batch op: ``type:2^floor(log2 n)``
+    sorted ascending, NULL type as the ``(null)`` sentinel), and the
+    anonymity-set histogram folds over the final signatures. A release
+    gate can therefore watch k-distribution drift per micro-batch
+    instead of auditing after the fact.
+
+    State is per-user and vocabulary-sized (one (type, count) pair per
+    distinct event type the user emitted — never event-sized), exactly
+    the bound the batch op's signature aggregate carries. Oracle: the
+    batch histogram (final state ≡ batch aggregate, the
+    s_stream_user_stats_stateful equivalence), via the SAME SQL the
+    batch op registers.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            types, counts = state.get
+            acc = dict(zip(list(types), [int(c) for c in counts]))
+        else:
+            acc = {}
+        for pdf in pdfs:
+            vc = pdf["event_type"].fillna("(null)").value_counts()
+            for t, c in vc.items():
+                acc[str(t)] = acc.get(str(t), 0) + int(c)
+        state.update((list(acc.keys()), list(acc.values())))
+        sig = "|".join(
+            sorted(
+                f"{t}:{2 ** int(math.floor(math.log2(c)))}"
+                for t, c in acc.items()
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [sum(acc.values())],
+                "signature": [sig],
+            }
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, signature string",
+        stateStructType="types array<string>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(result, "update")
+    # update mode re-emits per micro-batch; n_events is strictly
+    # monotone per user, so max_by picks each user's FINAL signature
+    final_sig = out.groupBy("user_id").agg(
+        F.max_by("signature", "n_events").alias("signature")
+    )
+    sets_ = final_sig.groupBy("signature").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        sets_.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_sets"),
+            F.sum("k").cast("long").alias("n_users"),
+        )
+        .orderBy("k")
+    )
+
+
+def _guarded_stream_k_anon_sql() -> str:
+    # the batch op's oracle verbatim (the streaming final state must
+    # equal the batch histogram), with the stream's admission gate
+    from securities_data_pipeline_spark.functions.gates import guard_events_sql
+    from securities_data_pipeline_spark.plans.analytics import (
+        A_K_ANONYMITY_SQL,
+    )
+
+    return guard_events_sql(A_K_ANONYMITY_SQL)
+
+
+STREAMING_QUERIES["s_stream_k_anonymity"] = s_stream_k_anonymity
+STREAMING_ORACLES["s_stream_k_anonymity"] = _guarded_stream_k_anon_sql()

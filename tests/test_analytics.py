@@ -626,3 +626,64 @@ def test_ivf_balance_accounts_for_every_vector(spark):
     assert sum(r.n_vectors for r in rows) == emb_table(spark, sf).count()
     mean_ratio = sum(r.ratio_to_mean for r in rows) / len(rows)
     assert abs(mean_ratio - 1.0) < 1e-4
+
+
+def test_a_t_closeness_flags_skewed_sets(spark, tmp_path):
+    """The skewness attack case (Li et al.): a set whose sensitive
+    distribution MATCHES the corpus (t=0) vs two sets that are
+    perfectly diverse by count but fully skewed (t=0.5). l-diversity
+    rates the skewed sets safe at l>=1; t-closeness must not.
+    Hand-math: global dominant = {view:3, click:3} -> P=(0.5,0.5);
+    set A {view,click} -> TV=0; sets B {view,view} / C {click,click}
+    -> TV = 0.5*(|1-0.5|+|0-0.5|) = 0.5."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.plans.analytics import a_t_closeness
+
+    rows, eid = [], 0
+
+    def emit(user, etype, n):
+        nonlocal eid
+        for i in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + i, 12, 0), user, etype, 1.0, "{}")
+            )
+            eid += 1
+
+    # set A: sig click:2|view:2, dominants view / click  -> matches corpus
+    emit(1, "view", 3); emit(1, "click", 2)
+    emit(2, "view", 2); emit(2, "click", 3)
+    # set B: sig click:2|view:4, both dominant view      -> fully skewed
+    emit(3, "view", 5); emit(3, "click", 2)
+    emit(4, "view", 4); emit(4, "click", 2)
+    # set C: sig click:4|view:2, both dominant click     -> fully skewed
+    emit(5, "click", 5); emit(5, "view", 2)
+    emit(6, "click", 4); emit(6, "view", 2)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.t_bucket: (r.n_sets, r.n_users, r.max_t)
+        for r in a_t_closeness(spark, str(tmp_path)).collect()
+    }
+    assert out == {0: (1, 2, 0.0), 10: (2, 4, 0.5)}
+
+
+def test_t_closeness_consistent_with_k_anonymity(spark):
+    """Same signature grouping as the k/l audits: identical set and
+    user totals on the real corpus, and TV distance is bounded in
+    [0, 1] so every bucket index sits in [0, 20]."""
+    from securities_data_pipeline_spark.plans.analytics import (
+        a_k_anonymity,
+        a_t_closeness,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    krows = a_k_anonymity(spark, sf).collect()
+    trows = a_t_closeness(spark, sf).collect()
+    assert sum(r.n_users for r in krows) == sum(r.n_users for r in trows)
+    assert sum(r.n_sets for r in krows) == sum(r.n_sets for r in trows)
+    assert all(0 <= r.t_bucket <= 20 for r in trows)
+    assert all(0.0 <= r.max_t <= 1.0 for r in trows)

@@ -800,3 +800,121 @@ def test_wide_simhash_banding_is_exact_for_radius_3(spark):
     # soundness: nothing beyond the radius survives the verify filter
     far = {nid for nid, v in rows if bin(v ^ base).count("1") > HAMMING_WIDE_MAX}
     assert not any(a == 0 and b in far for a, b in got)
+
+
+def test_kmeans_train_matches_pure_python_lloyd(spark):
+    """sim_kmeans_train must equal a from-scratch Python Lloyd trainer
+    over the same gated corpus, replicating the operator's documented
+    semantics exactly: cosine rounded to 6 dp, first-strictly-greater
+    argmax over the id-ascending roster (= sim DESC, id ASC row 1),
+    DECIMAL(27,10) per-dimension sums with HALF_UP quantization, and
+    the empty-cluster keep-previous fallback."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from securities_data_pipeline_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        KMEANS_ROUNDS,
+        N_CENTROIDS_CAP,
+        emb_table,
+        sim_kmeans_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb_table(spark, sf).select("vec_id", "embedding").collect()
+    ]
+
+    def r6(v):
+        return float(Decimal(v).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def d10(v):
+        return Decimal(v).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        import math
+
+        return r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+    cents = {
+        vid: list(vec)
+        for vid, vec in rows
+        if vid % CENTROID_STRIDE == 0
+        and vid < CENTROID_STRIDE * N_CENTROIDS_CAP
+    }
+
+    def assign(roster):
+        out = {}
+        for vid, vec in rows:
+            best_sim, best_id = -2.0, -1
+            for cid in sorted(roster):
+                s = cos(roster[cid], vec)
+                if s > best_sim:
+                    best_sim, best_id = s, cid
+            out[vid] = (best_id, best_sim)
+        return out
+
+    for _ in range(KMEANS_ROUNDS):
+        a = assign(cents)
+        members = {}
+        for vid, vec in rows:
+            members.setdefault(a[vid][0], []).append(vec)
+        new = {}
+        for cid, prev in cents.items():
+            vecs = members.get(cid)
+            if not vecs:
+                new[cid] = prev  # empty cluster keeps its centroid
+                continue
+            dim = len(vecs[0])
+            new[cid] = [
+                r6(
+                    float(sum(d10(v[p]) for v in vecs))
+                    / len(vecs)
+                )
+                for p in range(dim)
+            ]
+        cents = new
+    fin = assign(cents)
+    stats = {}
+    for vid in fin:
+        cid, s = fin[vid]
+        stats.setdefault(cid, []).append(s)
+    expected = [
+        (
+            cid,
+            len(sims),
+            r6(float(sum(d10(s) for s in sims)) / len(sims)),
+            cents[cid],
+        )
+        for cid, sims in sorted(stats.items())
+    ]
+
+    got = [
+        (r.centroid_id, r.n_members, r.mean_sim, [float(x) for x in r.cvec])
+        for r in sim_kmeans_train(spark, sf).collect()
+    ]
+    assert got == expected
+
+
+def test_kmeans_train_covers_gated_corpus(spark):
+    """Every admitted vector is assigned exactly once under the final
+    roster: membership sums to the gated corpus size, and cohesion is
+    a valid cosine in [-1, 1]."""
+    from securities_data_pipeline_spark.operators.similarity import (
+        emb_table,
+        sim_kmeans_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = sim_kmeans_train(spark, sf).collect()
+    assert sum(r.n_members for r in out) == emb_table(spark, sf).count()
+    assert all(-1.0 <= r.mean_sim <= 1.0 for r in out)

@@ -39,6 +39,7 @@ PY_OK = {
     "mm_frame_sample",
     "mm_resize",
     "s_stream_user_stats_stateful",
+    "s_stream_k_anonymity",  # applyInPandasWithState signature state IS the op
     # custom stateful streaming processor (transformWithState v2 or its
     # applyInPandasWithState v1 twin) — the Python state op IS the point
     "s_stream_topk_transform_state",
@@ -86,6 +87,8 @@ BNLJ_OK = {
     "sec_rolling_beta",
     "q22_global_sales_opportunity",  # 1-row positive-balance avg scalar
     "dedup_triangle_stats",  # 1-row wedge-total × 1-row triangle-count
+    "a_t_closeness",  # class-k × tiny global value-distribution grid
+    "sim_kmeans_train",  # 1-row roster crossJoin per Lloyd round (in-row argmax)
     "t_bm25_topk",  # same 1-row (n_docs, total_dl) crossJoin as t_idf
 }
 

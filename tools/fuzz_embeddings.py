@@ -52,6 +52,7 @@ EMB_QUERIES = [
     "f_array_stats",
     "s_stream_ivf_assign",  # streaming ingest face: gated assign vs raw oracle
     "sim_hard_negatives",
+    "sim_kmeans_train",  # r9: Lloyd training; garbage vectors must not poison centroids
 ]
 
 DIM = 64

@@ -54,6 +54,8 @@ EVENT_QUERIES = [
     "m_cdc_apply",
     "a_k_anonymity",
     "a_l_diversity",  # r8: homogeneity-attack stage of the privacy audit
+    "a_t_closeness",  # r9: skewness-attack stage (TV distance to global)
+    "s_stream_k_anonymity",  # r9: streaming privacy face (signature state)
     "w9_user_streaks",  # r8: gaps-and-islands on pathological event times
     "sec_stg_ffill",
     "sec_calendar_spine",

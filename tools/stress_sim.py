@@ -81,6 +81,7 @@ def main() -> int:
     from securities_data_pipeline_spark.operators.similarity import (
         dedup_embedding_cosine,
         sim_ivf_topk,
+        sim_kmeans_train,
         sim_lsh_topk,
         sim_pq_rerank_topk,
     )
@@ -94,6 +95,7 @@ def main() -> int:
                "prep_sec": round(prep_s, 2), "queries": {}}
     for name, fn in [
         ("sim_ivf_topk", sim_ivf_topk),
+        ("sim_kmeans_train", sim_kmeans_train),
         ("sim_lsh_topk", sim_lsh_topk),
         ("sim_pq_rerank_topk", sim_pq_rerank_topk),
         ("sim_ivfpq_rerank_topk", sim_ivfpq_rerank_topk),
