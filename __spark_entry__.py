@@ -40,6 +40,10 @@ _NEW_OR_CHANGED = (
     # streaming privacy face: incremental k-anonymity with the
     # family's mid-batch-replay restart proof
     "s_stream_k_anonymity",
+    # cohort funnel latency with the exact distributed-median pattern
+    "w10_conversion_cohorts",
+    # distributed PQ codebook training (subspace Lloyd, one plan)
+    "sim_pq_train",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

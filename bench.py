@@ -256,6 +256,8 @@ HEADLINE = [
     "a_t_closeness",
     "sim_kmeans_train",
     "s_stream_k_anonymity",
+    "w10_conversion_cohorts",
+    "sim_pq_train",
     "sec_sortino",
     "m_partition_skew_report",
     "sim_ivf_balance",

@@ -1908,3 +1908,238 @@ ORDER BY c.centroid_id"""
 
 SIMILARITY_QUERIES["sim_kmeans_train"] = sim_kmeans_train
 SIMILARITY_ORACLES["sim_kmeans_train"] = guard_emb_sql(_sql_kmeans_train())
+
+
+PQ_TRAIN_ROUNDS = 2  # Lloyd rounds per subspace; same budget logic as
+                     # KMEANS_ROUNDS (churn curve is scale-invariant)
+
+
+def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PQ codebook TRAINING — Lloyd's k-means run in every
+    subspace at once, the offline step the serving codebook
+    (``_pq_codebook``'s normalized donor stand-in) approximates. Jégou
+    et al.'s product quantizer trains M independent K-word codebooks
+    on the M subvector projections; here that is ONE plan: subvector
+    rows key on (vec_id, m), the per-m rosters pack into M rows of
+    K×dsub state that join back by subspace id (a broadcast equi-join,
+    not a crossJoin — the roster table has PQ_M rows), and the E-step
+    is the same in-row argmin fold as ``sim_kmeans_train`` (first
+    strictly-smaller distance over the c-ascending roster ≡ ORDER BY
+    dist ASC, c ASC). M-step means are exact DECIMAL(27,10) sums per
+    (m, c, dim); a codeword that loses every member keeps its previous
+    value. Output: the trained codebooks with final per-code
+    membership and mean squared L2 distortion — the artifact +
+    training report a PQ index ships.
+
+    Scale shape: subvector rows carry the same total payload as the
+    corpus (n×M rows of dsub doubles), state is M×K×dsub doubles
+    forever, shuffle traffic per round is bounded by partitions×M×K×
+    dsub through map-side combine. Distances fold left-to-right in
+    index order on both engines; distortion sums quantize to
+    DECIMAL(18,9) before aggregation (the t_unigram_logprob rule), so
+    the report is bit-stable across partitionings and engines.
+    """
+    emb = emb_table(spark, sf_dir)
+    norme = spread(emb).select("vec_id", F.expr(NV_EXPR).alias("nv"))
+    sub = norme.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        F.slice("nv", m * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    sub = sub.localCheckpoint(eager=False)  # feeds every round's E-step
+
+    wdon = Window.orderBy("vec_id")
+    cb = (
+        emb.orderBy(pq_donor_pref().asc(), F.col("vec_id").asc())
+        .limit(PQ_K)
+        .select("vec_id", F.expr(NV_EXPR).alias("nv"))
+        .withColumn("c", (F.row_number().over(wdon) - 1).cast("int"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("int").alias("m"),
+                            F.col("c"),
+                            F.slice("nv", m * PQ_DSUB + 1, PQ_DSUB).alias(
+                                "cw"
+                            ),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.m", "s.c", "s.cw")
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(cb_df: DataFrame) -> DataFrame:
+        roster = cb_df.groupBy("m").agg(
+            F.array_sort(F.collect_list(F.struct("c", "cw"))).alias("ks")
+        )
+        zero = F.struct(
+            F.lit(float("inf")).cast("double").alias("dist"),
+            F.lit(-1).cast("int").alias("c"),
+        )
+
+        def step(acc, e):
+            d = sqdist(e["cw"], F.col("sv"))
+            return F.when(
+                d < acc["dist"],
+                F.struct(d.alias("dist"), e["c"].alias("c")),
+            ).otherwise(acc)
+
+        best = F.aggregate(F.col("ks"), zero, step)
+        return sub.join(F.broadcast(roster), "m").select(
+            "vec_id",
+            "m",
+            "sv",
+            best["c"].alias("c"),
+            best["dist"].alias("dist"),
+        )
+
+    for _ in range(PQ_TRAIN_ROUNDS):
+        assigned = assign(cb)
+        dims = assigned.select(
+            "m", "c", F.posexplode("sv").alias("pos", "x")
+        )
+        means = dims.groupBy("m", "c", "pos").agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(27,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+        newc = (
+            means.groupBy("m", "c")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pm")
+            )
+            .select(
+                "m",
+                "c",
+                F.transform(F.col("pm"), lambda s: s["v"]).alias("cw"),
+            )
+        )
+        cb = (
+            cb.select("m", "c", F.col("cw").alias("prev"))
+            .join(newc, ["m", "c"], "left")
+            .select("m", "c", F.coalesce("cw", "prev").alias("cw"))
+            .localCheckpoint(eager=False)
+        )
+    final = assign(cb)
+    stats = final.groupBy("m", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(
+                F.round(F.col("dist"), 9).cast("decimal(18,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sqdist"),
+    )
+    return (
+        cb.join(stats, ["m", "c"])
+        .select("m", "c", "n_members", "mean_sqdist", "cw")
+        .orderBy("m", "c")
+    )
+
+
+_PQ_TRAIN_SUBDIST = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+)
+
+
+def _sql_pq_train(rounds: int = PQ_TRAIN_ROUNDS) -> str:
+    """Unrolled-CTE twin of the subspace-Lloyd loop: the donor init of
+    the serving PQ oracle, then per round a window-ranked assignment
+    joined BY subspace, DECIMAL per-dimension means, ordered-list
+    reassembly, and the empty-code fallback."""
+    head = f"""WITH norme AS (
+  SELECT vec_id, {_PQ_NORM_SQL} AS nv FROM embeddings
+), subs AS (
+  SELECT unnest(range({PQ_M})) AS m
+), sub AS (
+  SELECT e.vec_id, s.m,
+         list_slice(e.nv, s.m * {PQ_DSUB} + 1, s.m * {PQ_DSUB} + {PQ_DSUB}) AS sv
+  FROM norme e CROSS JOIN subs s
+), donors AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, cv FROM (
+    SELECT vec_id, nv AS cv FROM norme
+    ORDER BY {SQL_PQ_DONOR_PREF}, vec_id
+    LIMIT {PQ_K}
+  )
+), cb0 AS (
+  SELECT s.m, d.c,
+         list_slice(d.cv, s.m * {PQ_DSUB} + 1, s.m * {PQ_DSUB} + {PQ_DSUB}) AS cw
+  FROM donors d CROSS JOIN subs s
+)"""
+    parts = [head]
+    dist = _PQ_TRAIN_SUBDIST.format(a="u.sv", b="k.cw")
+    for r in range(1, rounds + 1):
+        prev = f"cb{r - 1}"
+        parts.append(
+            f""", e{r} AS (
+  SELECT u.vec_id, u.m, u.sv, k.c, {dist} AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.vec_id, u.m
+           ORDER BY {dist} ASC, k.c ASC
+         ) AS rn
+  FROM sub u JOIN {prev} k USING (m)
+), d{r} AS (
+  SELECT m, c, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+  FROM e{r} WHERE rn = 1
+), m{r} AS (
+  SELECT m, c, pos,
+         round(CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*), 6) AS v
+  FROM d{r} GROUP BY m, c, pos
+), n{r} AS (
+  SELECT m, c, list(v ORDER BY pos) AS cw FROM m{r} GROUP BY m, c
+), cb{r} AS (
+  SELECT k.m, k.c, COALESCE(n.cw, k.cw) AS cw
+  FROM {prev} k LEFT JOIN n{r} n ON n.m = k.m AND n.c = k.c
+)"""
+        )
+    parts.append(
+        f""", ef AS (
+  SELECT u.vec_id, u.m, k.c, {dist} AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.vec_id, u.m
+           ORDER BY {dist} ASC, k.c ASC
+         ) AS rn
+  FROM sub u JOIN cb{rounds} k USING (m)
+), stats AS (
+  SELECT m, c,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         round(CAST(SUM(CAST(round(dist, 9) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_sqdist
+  FROM ef WHERE rn = 1 GROUP BY m, c
+)
+SELECT k.m, k.c, s.n_members, s.mean_sqdist, k.cw
+FROM cb{rounds} k JOIN stats s ON s.m = k.m AND s.c = k.c
+ORDER BY k.m, k.c"""
+    )
+    return "".join(parts)
+
+
+SIMILARITY_QUERIES["sim_pq_train"] = sim_pq_train
+SIMILARITY_ORACLES["sim_pq_train"] = guard_emb_sql(_sql_pq_train())

@@ -696,3 +696,136 @@ FROM tc GROUP BY 1 ORDER BY 1
 
 ANALYTICS_QUERIES["a_t_closeness"] = a_t_closeness
 ANALYTICS_ORACLES["a_t_closeness"] = _guard_events(A_T_CLOSENESS_SQL)
+
+
+def w10_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort conversion report: per signup-month cohort, how many
+    users signed up, how many ever purchased AFTER signing up, the
+    conversion rate, and the EXACT median signup→first-purchase
+    latency — the retention-dashboard statistic next to
+    ``g_funnel_conversion``'s per-user lag rows and
+    ``g_cohort_retention``'s activity matrix.
+
+    The median is computed exactly with rank arithmetic, not an
+    approximate or engine-specific percentile: per cohort, latencies
+    rank by (latency, user_id), the middle one or two rows are
+    selected by integer division on the partition count, and their
+    mean is exact (integer seconds → x.0 / x.5 doubles) — identical on
+    both engines, unlike percentile/quantile_cont interpolation whose
+    definitions drift across SQL dialects. Latency itself is the
+    microsecond-exact integer subtraction (``unix_micros`` ↔
+    ``epoch_us``) ``g_funnel_conversion`` documents, floored to whole
+    seconds with integer division.
+
+    Plan: signups aggregate to one row per user BEFORE the purchase
+    probe joins behind it (|users| × purchase rows, never event×event);
+    both stages shuffle on user_id, the cohort aggregate and the
+    median window ride a (cohort)-shuffle of per-USER rows — cohorts
+    are month-sized, so the rank window partitions are
+    users-per-month, a bounded per-reducer load at any corpus size.
+    """
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
+    sign = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        sign.join(
+            pur,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("conv_ts"))
+    )
+    base = conv.select(
+        "user_id",
+        F.date_format("signup_ts", "yyyy-MM").alias("cohort"),
+        F.expr(
+            "(unix_micros(conv_ts) - unix_micros(signup_ts)) DIV 1000000"
+        ).alias("lat_sec"),
+    )
+    tot = base.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.count("lat_sec").cast("long").alias("n_converted"),
+    )
+    wrank = Window.partitionBy("cohort").orderBy("lat_sec", "user_id")
+    wall = Window.partitionBy("cohort")
+    ranked = (
+        base.where(F.col("lat_sec").isNotNull())
+        .withColumn("rn", F.row_number().over(wrank))
+        .withColumn("cnt", F.count(F.lit(1)).over(wall))
+    )
+    med = (
+        ranked.where(
+            (F.col("rn") >= F.expr("(cnt + 1) DIV 2"))
+            & (F.col("rn") <= F.expr("cnt DIV 2 + 1"))
+        )
+        .groupBy("cohort")
+        .agg(
+            (
+                F.sum("lat_sec").cast("double") / F.count(F.lit(1))
+            ).alias("median_latency_sec")
+        )
+    )
+    return (
+        tot.join(med, "cohort", "left")
+        .select(
+            "cohort",
+            "n_signups",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_signups"), 6
+            ).alias("conv_rate"),
+            "median_latency_sec",
+        )
+        .orderBy("cohort")
+    )
+
+
+W10_CONVERSION_SQL = """
+WITH sign AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id, s.signup_ts, MIN(p.ts) AS conv_ts
+  FROM sign s LEFT JOIN events p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND p.ts >= s.signup_ts
+  GROUP BY s.user_id, s.signup_ts
+), base AS (
+  SELECT user_id, strftime(signup_ts, '%Y-%m') AS cohort,
+         (epoch_us(conv_ts) - epoch_us(signup_ts)) // 1000000 AS lat_sec
+  FROM conv
+), tot AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_signups,
+         CAST(COUNT(lat_sec) AS BIGINT) AS n_converted
+  FROM base GROUP BY cohort
+), ranked AS (
+  SELECT cohort, lat_sec,
+         ROW_NUMBER() OVER (PARTITION BY cohort
+                            ORDER BY lat_sec, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cohort) AS cnt
+  FROM base WHERE lat_sec IS NOT NULL
+), med AS (
+  SELECT cohort,
+         CAST(SUM(lat_sec) AS DOUBLE) / COUNT(*) AS median_latency_sec
+  FROM ranked
+  WHERE rn >= (cnt + 1) // 2 AND rn <= cnt // 2 + 1
+  GROUP BY cohort
+)
+SELECT t.cohort, t.n_signups, t.n_converted,
+       round(CAST(t.n_converted AS DOUBLE) / t.n_signups, 6) AS conv_rate,
+       m.median_latency_sec
+FROM tot t LEFT JOIN med m USING (cohort) ORDER BY t.cohort
+"""
+
+ANALYTICS_QUERIES["w10_conversion_cohorts"] = w10_conversion_cohorts
+ANALYTICS_ORACLES["w10_conversion_cohorts"] = _guard_events(W10_CONVERSION_SQL)

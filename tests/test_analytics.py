@@ -687,3 +687,51 @@ def test_t_closeness_consistent_with_k_anonymity(spark):
     assert sum(r.n_sets for r in krows) == sum(r.n_sets for r in trows)
     assert all(0 <= r.t_bucket <= 20 for r in trows)
     assert all(0.0 <= r.max_t <= 1.0 for r in trows)
+
+
+def test_w10_conversion_cohorts_hand_math(spark, tmp_path):
+    """Exact-median + cohort arithmetic pin: two cohorts, one with an
+    even number of converters (median = mean of the two middle
+    latencies -> x.5), one with a never-converting user and a purchase
+    BEFORE signup (must not count as conversion)."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.plans.analytics import (
+        w10_conversion_cohorts,
+    )
+
+    rows, eid = [], 0
+
+    def emit(user, etype, ts):
+        nonlocal eid
+        rows.append((eid, ts, user, etype, 1.0, "{}"))
+        eid += 1
+
+    jan = dt.datetime(2024, 1, 10, 0, 0)
+    feb = dt.datetime(2024, 2, 5, 0, 0)
+    # Jan cohort: u1 converts in 10s, u2 in 20s, u3 in 31s, u4 in 45s
+    # -> even count 4, median = (20+31)/2 = 25.5
+    for u, lat in [(1, 10), (2, 20), (3, 31), (4, 45)]:
+        emit(u, "signup", jan)
+        emit(u, "purchase", jan + dt.timedelta(seconds=lat))
+    # Feb cohort: u5 converts in 7s; u6 never converts; u7's only
+    # purchase PREDATES signup (not a conversion)
+    emit(5, "signup", feb)
+    emit(5, "purchase", feb + dt.timedelta(seconds=7))
+    emit(6, "signup", feb)
+    emit(7, "purchase", feb - dt.timedelta(seconds=60))
+    emit(7, "signup", feb)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.cohort: (r.n_signups, r.n_converted, r.conv_rate,
+                   r.median_latency_sec)
+        for r in w10_conversion_cohorts(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "2024-01": (4, 4, 1.0, 25.5),
+        "2024-02": (3, 1, round(1 / 3, 6), 7.0),
+    }

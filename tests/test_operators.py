@@ -918,3 +918,117 @@ def test_kmeans_train_covers_gated_corpus(spark):
     out = sim_kmeans_train(spark, sf).collect()
     assert sum(r.n_members for r in out) == emb_table(spark, sf).count()
     assert all(-1.0 <= r.mean_sim <= 1.0 for r in out)
+
+
+def test_pq_train_matches_pure_python_subspace_lloyd(spark):
+    """sim_pq_train must equal a from-scratch Python product-quantizer
+    trainer over the same gated corpus: L2-normalized vectors, donor
+    init (pq_donor_pref order, code = vec_id rank), per-subspace
+    first-strictly-smaller argmin (= dist ASC, c ASC), DECIMAL(27,10)
+    HALF_UP per-dimension means, keep-previous empty-code fallback,
+    and the DECIMAL(18,9) distortion aggregation."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from securities_data_pipeline_spark.operators.similarity import (
+        PQ_DSUB,
+        PQ_K,
+        PQ_M,
+        PQ_TRAIN_ROUNDS,
+        _l2_normalize,
+        emb_table,
+        pq_donor_pref,
+        sim_pq_train,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = emb_table(spark, sf)
+    rows = [
+        (int(r.vec_id), _l2_normalize([float(x) for x in r.embedding]))
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    donor_ids = [
+        int(r.vec_id)
+        for r in emb.orderBy(pq_donor_pref().asc(), F.col("vec_id").asc())
+        .limit(PQ_K)
+        .select("vec_id")
+        .collect()
+    ]
+    nv = dict(rows)
+
+    def r6(v):
+        return float(Decimal(v).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def dq(v, q):
+        return Decimal(v).quantize(Decimal(q), ROUND_HALF_UP)
+
+    def sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    # init: donor subvectors, c = rank of donor vec_id
+    cb = {}
+    for c, vid in enumerate(sorted(donor_ids)):
+        for m in range(PQ_M):
+            cb[(m, c)] = nv[vid][m * PQ_DSUB : (m + 1) * PQ_DSUB]
+
+    def assign(codebook):
+        out = {}
+        for vid, vec in rows:
+            for m in range(PQ_M):
+                sv = vec[m * PQ_DSUB : (m + 1) * PQ_DSUB]
+                best_d, best_c = math.inf, -1
+                for c in range(PQ_K):
+                    d = sqdist(sv, codebook[(m, c)])
+                    if d < best_d:
+                        best_d, best_c = d, c
+                out[(vid, m)] = (best_c, best_d)
+        return out
+
+    for _ in range(PQ_TRAIN_ROUNDS):
+        a = assign(cb)
+        members = {}
+        for vid, vec in rows:
+            for m in range(PQ_M):
+                c = a[(vid, m)][0]
+                members.setdefault((m, c), []).append(
+                    vec[m * PQ_DSUB : (m + 1) * PQ_DSUB]
+                )
+        new = {}
+        for key, prev in cb.items():
+            svs = members.get(key)
+            if not svs:
+                new[key] = prev
+                continue
+            new[key] = [
+                r6(
+                    float(sum(dq(s[p], "1e-10") for s in svs)) / len(svs)
+                )
+                for p in range(PQ_DSUB)
+            ]
+        cb = new
+    fin = assign(cb)
+    stats = {}
+    for (vid, m), (c, d) in fin.items():
+        stats.setdefault((m, c), []).append(d)
+    # distortion: quantize each dist to 1e-9, exact sum, double
+    # divide, round 6 — the operator's DECIMAL(18,9) aggregation
+    expected = [
+        (
+            m,
+            c,
+            len(ds),
+            r6(float(sum(dq(d, "1e-9") for d in ds)) / len(ds)),
+            cb[(m, c)],
+        )
+        for (m, c), ds in sorted(stats.items())
+    ]
+
+    got = [
+        (r.m, r.c, r.n_members, r.mean_sqdist, [float(x) for x in r.cw])
+        for r in sim_pq_train(spark, sf).collect()
+    ]
+    assert got == expected

@@ -53,6 +53,7 @@ EMB_QUERIES = [
     "s_stream_ivf_assign",  # streaming ingest face: gated assign vs raw oracle
     "sim_hard_negatives",
     "sim_kmeans_train",  # r9: Lloyd training; garbage vectors must not poison centroids
+    "sim_pq_train",  # r9: subspace-Lloyd codebook training on gated corpus
 ]
 
 DIM = 64

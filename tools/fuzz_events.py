@@ -56,6 +56,7 @@ EVENT_QUERIES = [
     "a_l_diversity",  # r8: homogeneity-attack stage of the privacy audit
     "a_t_closeness",  # r9: skewness-attack stage (TV distance to global)
     "s_stream_k_anonymity",  # r9: streaming privacy face (signature state)
+    "w10_conversion_cohorts",  # r9: cohort funnel latency, exact median
     "w9_user_streaks",  # r8: gaps-and-islands on pathological event times
     "sec_stg_ffill",
     "sec_calendar_spine",
