@@ -44,6 +44,8 @@ _NEW_OR_CHANGED = (
     "w10_conversion_cohorts",
     # distributed PQ codebook training (subspace Lloyd, one plan)
     "sim_pq_train",
+    # anchor-capped SemDeDup production twin (pair budget |cluster|*T)
+    "dedup_semdedup_capped",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

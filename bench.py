@@ -258,6 +258,7 @@ HEADLINE = [
     "s_stream_k_anonymity",
     "w10_conversion_cohorts",
     "sim_pq_train",
+    "dedup_semdedup_capped",
     "sec_sortino",
     "m_partition_skew_report",
     "sim_ivf_balance",
@@ -278,6 +279,9 @@ CALIBRATION = {
     "dedup_simhash_wide",
     "mm_near_dedup",
     "dedup_link_prediction",
+    # within-cluster quadratic by design at the fixed demo K; the
+    # anchor-capped twin is the production tier (round 9)
+    "dedup_semdedup",
 }
 
 

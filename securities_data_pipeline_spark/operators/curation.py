@@ -1238,3 +1238,106 @@ CURATION_ORACLES: dict[str, str] = {
     "t_dsir_weights": _sql_dsir_weights(),
     "t_quality_logreg": _sql_logreg(),
 }
+
+
+#: anchor budget for the capped SemDeDup tier: each cluster's
+#: SEMDEDUP_ANCHORS lowest-id members are the only comparison LEFT
+#: sides, so the pair stream is |cluster|×T instead of |cluster|²/2 —
+#: linear in cluster size, the same per-node truncation contract as
+#: dedup_link_prediction_capped's top-8 adjacency. T=128 measured on
+#: the NEAR-RANDOM sf0.1 corpus (the cap's worst case — diffuse
+#: matches): 86% of the exact tier's prune mass (692/809); the sweep
+#: T=16/32/64/128 → 18/33/56/86% is in SCALE.md, and the budget stays
+#: linear at any T
+SEMDEDUP_ANCHORS = 128
+
+
+def dedup_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a bounded pair budget — the production twin of
+    ``dedup_semdedup``, whose within-cluster quadratic is by design at
+    the fixed demo K (the K dial keeps cluster sizes constant at real
+    scale, but a release pipeline also wants a HARD bound when the
+    data defeats the dial — one mega-cluster of near-identical
+    boilerplate is exactly where SemDeDup fires most). Each cluster's
+    ``SEMDEDUP_ANCHORS`` lowest-id members become the only comparison
+    anchors: a vector is pruned iff it matches (cosine ≥ τ) a
+    lower-id ANCHOR of its cluster. Pair volume is |cluster|×T —
+    linear. Sacrifice semantics, measured honestly in SCALE.md on the
+    near-random test corpus (the cap's WORST case — matches are
+    diffuse, so anchor coverage is probabilistic): T=128 recovers 86%
+    of the exact tier's prune mass at sf0.1; duplicates whose every
+    lower-id match ranks past the anchor budget survive. On clustered
+    real corpora dup mass concentrates on early kept representatives
+    and coverage is correspondingly higher.
+
+    Same output contract as the exact tier: (vec_id, cluster, pruned).
+    Plan: the shared Lloyd assignment, ONE row_number window on the
+    cluster key to pick anchors, one anchors×members equi-join on
+    cluster id (anchors side is T×K rows — broadcastable at any
+    corpus size), keep-lowest-id resolution unchanged.
+    """
+    from pyspark.sql import Window
+
+    from securities_data_pipeline_spark.operators.similarity import cosine, spread
+
+    assigned = spread(_kmeans_assigned(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    wc = Window.partitionBy("cid").orderBy("vec_id")
+    anchors = (
+        assigned.withColumn("rk", F.row_number().over(wc))
+        .where(F.col("rk") <= SEMDEDUP_ANCHORS)
+        .select(
+            F.col("vec_id").alias("va"),
+            F.col("v").alias("xa"),
+            F.col("cid").alias("ca"),
+        )
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("xb"), F.col("cid").alias("cb")
+    )
+    pruned = (
+        anchors.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
+        .where(cosine(F.col("xa"), F.col("xb")) >= SEMDEDUP_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("_p", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", F.col("cid").alias("cluster"))
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id", "cluster", F.coalesce("_p", F.lit(False)).alias("pruned")
+        )
+    )
+
+
+def _sql_semdedup_capped(
+    tau: float = SEMDEDUP_TAU, t: int = SEMDEDUP_ANCHORS
+) -> str:
+    from securities_data_pipeline_spark.operators.similarity import _sql_cosine
+
+    return f"""
+WITH assign AS MATERIALIZED (
+{_sql_kmeans()}
+), av AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id)
+), anch AS (
+  SELECT vec_id, cluster, embedding FROM (
+    SELECT vec_id, cluster, embedding,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk
+    FROM av
+  ) WHERE rk <= {t}
+), pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM anch a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {tau!r}
+)
+SELECT av.vec_id, av.cluster, (p.vec_id IS NOT NULL) AS pruned
+FROM av LEFT JOIN pruned p ON p.vec_id = av.vec_id
+"""
+
+
+CURATION_QUERIES["dedup_semdedup_capped"] = dedup_semdedup_capped
+CURATION_ORACLES["dedup_semdedup_capped"] = _guard_emb(_sql_semdedup_capped())

@@ -54,6 +54,7 @@ def test_calibration_split_is_consistent():
         "dedup_simhash_wide": "dedup_simhash_wide_capped",
         "mm_near_dedup": "mm_near_dedup_capped",
         "dedup_link_prediction": "dedup_link_prediction_capped",
+        "dedup_semdedup": "dedup_semdedup_capped",
     }
     assert set(twins) == bench.CALIBRATION
     for twin in twins.values():

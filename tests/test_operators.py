@@ -1032,3 +1032,40 @@ def test_pq_train_matches_pure_python_subspace_lloyd(spark):
         for r in sim_pq_train(spark, sf).collect()
     ]
     assert got == expected
+
+
+def test_semdedup_capped_is_anchor_restriction_of_exact(spark):
+    """The capped tier's semantics are a pure RESTRICTION of the exact
+    tier: every capped-pruned vector is also exact-pruned (no false
+    prunes — anchors are a subset of the exact tier's left sides),
+    clusters are identical, and any vector whose cluster rank is
+    within the anchor budget agrees exactly (its lower-id comparison
+    set is identical in both tiers). At this SF clusters (~60 of 500
+    vectors at K=8) fit inside the T=128 budget, so capped == exact
+    everywhere here; the sacrifice engages at sf0.1+ (SCALE.md)."""
+    from securities_data_pipeline_spark.operators.curation import (
+        SEMDEDUP_ANCHORS,
+        dedup_semdedup,
+        dedup_semdedup_capped,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.vec_id: (r.cluster, r.pruned)
+             for r in dedup_semdedup(spark, sf).collect()}
+    capped = {r.vec_id: (r.cluster, r.pruned)
+              for r in dedup_semdedup_capped(spark, sf).collect()}
+    assert set(exact) == set(capped)  # same corpus coverage
+    assert all(exact[v][0] == capped[v][0] for v in exact)  # same clusters
+    # no false prunes: capped-pruned ⊆ exact-pruned
+    assert all(exact[v][1] for v, (_, p) in capped.items() if p)
+    # the anchors themselves can only be pruned by EARLIER anchors,
+    # and anything pruned by an anchor is caught: vectors whose
+    # cluster rank is within the anchor budget must agree exactly
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for v, (c, _) in exact.items():
+        by_cluster[c].append(v)
+    for c, vs in by_cluster.items():
+        for v in sorted(vs)[:SEMDEDUP_ANCHORS]:
+            assert capped[v][1] == exact[v][1], (c, v)

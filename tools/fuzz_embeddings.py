@@ -49,6 +49,7 @@ EMB_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_resolve",
     "dedup_semdedup",
+    "dedup_semdedup_capped",  # r9: anchor-capped production twin
     "f_array_stats",
     "s_stream_ivf_assign",  # streaming ingest face: gated assign vs raw oracle
     "sim_hard_negatives",

@@ -85,7 +85,10 @@ def main() -> int:
         sim_lsh_topk,
         sim_pq_rerank_topk,
     )
-    from securities_data_pipeline_spark.operators.curation import dedup_semdedup
+    from securities_data_pipeline_spark.operators.curation import (
+        dedup_semdedup,
+        dedup_semdedup_capped,
+    )
     from securities_data_pipeline_spark.operators.similarity_ivfpq import (
         sim_ivfpq_rerank_topk,
     )
@@ -105,6 +108,7 @@ def main() -> int:
         # DESIGN here — the stress row documents the decay the K dial
         # (K ~ n/target_cluster_size in production) exists to prevent
         ("dedup_semdedup", dedup_semdedup),
+        ("dedup_semdedup_capped", dedup_semdedup_capped),
     ]:
         t = time.time()
         rows = fn(spark, scratch).count()
