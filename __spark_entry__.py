@@ -46,6 +46,9 @@ _NEW_OR_CHANGED = (
     "sim_pq_train",
     # anchor-capped SemDeDup production twin (pair budget |cluster|*T)
     "dedup_semdedup_capped",
+    # the S6 error channel as an auditable query (reject rates per
+    # gated table — the engine-checkable face of the clean store)
+    "m_quarantine_report",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

@@ -259,6 +259,7 @@ HEADLINE = [
     "w10_conversion_cohorts",
     "sim_pq_train",
     "dedup_semdedup_capped",
+    "m_quarantine_report",
     "sec_sortino",
     "m_partition_skew_report",
     "sim_ivf_balance",

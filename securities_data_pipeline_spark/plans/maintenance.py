@@ -310,3 +310,86 @@ MAINTENANCE_ORACLES: dict[str, str] = {
     "m_cdc_apply": _guard_events(M_CDC_APPLY_SQL),
     "m_partition_skew_report": M_PARTITION_SKEW_SQL,
 }
+
+
+def m_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-gate audit: per gated table, how many raw rows the
+    write-time gate admits vs quarantines, and the reject rate — the
+    ops view of the S6 error channel (reference side output:
+    py_pipeline/extract.py:122,134-137). By construction these counts
+    equal the clean/quarantine split ``sources/validated.py``
+    materializes (the gates ARE the split predicate), so the report is
+    the engine-checkable face of the store the new observability
+    lines narrate on stderr: a reject-rate step change between runs
+    is the first signal a producer upstream broke.
+
+    Plan: one aggregate per gated table over RAW scans (deliberately
+    ungated — counting the rejects is the point, the ``f_array_stats``
+    exception), column-pruned to just the gate inputs; the union is
+    two 1-row aggregates. Flat at any scale.
+    """
+    from securities_data_pipeline_spark.functions.gates import event_ok
+    from securities_data_pipeline_spark.operators.similarity import (
+        embedding_ok,
+    )
+
+    def split_counts(df: DataFrame, gate, name: str) -> DataFrame:
+        admitted = F.coalesce(gate, F.lit(False))
+        return df.agg(
+            F.sum(F.when(admitted, 1).otherwise(0)).cast("long").alias(
+                "n_clean"
+            ),
+            F.sum(F.when(admitted, 0).otherwise(1)).cast("long").alias(
+                "n_quarantined"
+            ),
+        ).select(F.lit(name).alias("table_name"), "n_clean", "n_quarantined")
+
+    ev = split_counts(table(spark, sf_dir, "events"), event_ok(), "events")
+    em = split_counts(
+        table(spark, sf_dir, "embeddings"),
+        embedding_ok(F.col("embedding")),
+        "embeddings",
+    )
+    total = F.col("n_clean") + F.col("n_quarantined")
+    return (
+        ev.unionByName(em)
+        .select(
+            "table_name",
+            "n_clean",
+            "n_quarantined",
+            F.when(
+                total > 0,
+                F.round(F.col("n_quarantined").cast("double") / total, 6),
+            ).alias("reject_rate"),
+        )
+        .orderBy("table_name")
+    )
+
+
+def _sql_quarantine_report() -> str:
+    from securities_data_pipeline_spark.functions.gates import SQL_EVENT_OK
+    from securities_data_pipeline_spark.operators.similarity import SQL_EMB_OK
+
+    def one(tbl: str, pred: str) -> str:
+        return f"""
+  SELECT '{tbl}' AS table_name,
+         CAST(SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         CAST(SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
+  FROM {tbl}"""
+
+    return f"""
+WITH u AS ({one('events', SQL_EVENT_OK)}
+  UNION ALL{one('embeddings', SQL_EMB_OK)}
+)
+SELECT table_name, n_clean, n_quarantined,
+       CASE WHEN n_clean + n_quarantined > 0 THEN
+         round(CAST(n_quarantined AS DOUBLE) / (n_clean + n_quarantined), 6)
+       END AS reject_rate
+FROM u ORDER BY table_name
+"""
+
+
+MAINTENANCE_QUERIES["m_quarantine_report"] = m_quarantine_report
+# deliberately NOT guard-wrapped: the report reads raw tables — the
+# reject side IS the result (the f_array_stats exception)
+MAINTENANCE_ORACLES["m_quarantine_report"] = _sql_quarantine_report()

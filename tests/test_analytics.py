@@ -735,3 +735,42 @@ def test_w10_conversion_cohorts_hand_math(spark, tmp_path):
         "2024-01": (4, 4, 1.0, 25.5),
         "2024-02": (3, 1, round(1 / 3, 6), 7.0),
     }
+
+
+def test_quarantine_report_counts_planted_garbage(spark, tmp_path):
+    """The reject counts must equal the planted garbage exactly, and
+    match the clean-store split by construction: 2 good + 4 bad events
+    (NULL ts, watermark poison, NaN, out-of-bound) -> reject_rate 4/6;
+    3 good + 2 bad embeddings (NULL, wrong dim)."""
+    import datetime as dt
+    import math
+
+    from securities_data_pipeline_spark.plans.maintenance import (
+        m_quarantine_report,
+    )
+
+    ev = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2), 2, "error", None, "{}"),  # NULL value ok
+        (3, None, 3, "view", 1.0, "{}"),                        # NULL ts
+        (4, dt.datetime(2200, 1, 1), 4, "view", 1.0, "{}"),     # poison
+        (5, dt.datetime(2024, 1, 3), 5, "view", math.nan, "{}"),
+        (6, dt.datetime(2024, 1, 4), 6, "view", 1.0e9, "{}"),   # bound
+    ]
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    good_vec = [0.1] * 64
+    em = [(0, good_vec, 0), (1, good_vec, 1), (2, good_vec, 0),
+          (3, None, 1), (4, [0.1] * 3, 0)]
+    spark.createDataFrame(
+        em, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.table_name: (r.n_clean, r.n_quarantined, r.reject_rate)
+           for r in m_quarantine_report(spark, str(tmp_path)).collect()}
+    assert out == {
+        "events": (2, 4, round(4 / 6, 6)),
+        "embeddings": (3, 2, 0.4),
+    }

@@ -1069,3 +1069,36 @@ def test_semdedup_capped_is_anchor_restriction_of_exact(spark):
     for c, vs in by_cluster.items():
         for v in sorted(vs)[:SEMDEDUP_ANCHORS]:
             assert capped[v][1] == exact[v][1], (c, v)
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kmeans_train_plan_has_no_window_and_one_scan(spark):
+    """The training ops' scale contract, asserted on the physical
+    plan: the E-step is an in-row argmax (ZERO Window nodes — the
+    assign_buckets window shape would shuffle n×K rows per round),
+    per-round localCheckpoints truncate lineage to ONE parquet scan,
+    and the only nested-loop join is the 1-row roster crossJoin."""
+    from securities_data_pipeline_spark.operators.similarity import (
+        sim_kmeans_train,
+    )
+
+    plan = _physical_plan(sim_kmeans_train(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Window") == 0, plan
+    assert plan.count("Scan parquet") <= 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_pq_train_plan_has_no_window_or_bnlj(spark):
+    """sim_pq_train joins its per-subspace rosters BY KEY (m) — a
+    broadcast hash join, never a nested-loop — and the argmin is the
+    same in-row fold (zero Window nodes in the training loop)."""
+    from securities_data_pipeline_spark.operators.similarity import (
+        sim_pq_train,
+    )
+
+    plan = _physical_plan(sim_pq_train(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
+    assert plan.count("Window") <= 1, plan  # only the donor-rank window

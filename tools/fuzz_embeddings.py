@@ -50,6 +50,7 @@ EMB_QUERIES = [
     "dedup_embedding_resolve",
     "dedup_semdedup",
     "dedup_semdedup_capped",  # r9: anchor-capped production twin
+    "m_quarantine_report",  # r9: reject-rate audit over the raw scan
     "f_array_stats",
     "s_stream_ivf_assign",  # streaming ingest face: gated assign vs raw oracle
     "sim_hard_negatives",
@@ -130,9 +131,20 @@ def main() -> int:
     )
     path = os.path.join(scratch, "embeddings.parquet")
     emb.coalesce(2).write.mode("overwrite").parquet(path)
+    # clean sf0.001 events beside the adversarial vectors (the
+    # fuzz_events dim-copy convention): m_quarantine_report reads BOTH
+    # gated tables, and its adversarial-embeddings face runs here
+    ev_src = "/root/testdata/sf0.001/events.parquet"
+    ev_dst = os.path.join(scratch, "events.parquet")
+    if os.path.exists(ev_src) and not os.path.exists(ev_dst):
+        (shutil.copytree if os.path.isdir(ev_src) else shutil.copy)(
+            ev_src, ev_dst
+        )
 
     con = duckdb.connect()
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'")
+    if os.path.exists(ev_dst):
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{ev_dst}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures, errors = [], []

@@ -57,6 +57,7 @@ EVENT_QUERIES = [
     "a_t_closeness",  # r9: skewness-attack stage (TV distance to global)
     "s_stream_k_anonymity",  # r9: streaming privacy face (signature state)
     "w10_conversion_cohorts",  # r9: cohort funnel latency, exact median
+    "m_quarantine_report",  # r9: gate-audit counts must absorb garbage by definition
     "w9_user_streaks",  # r8: gaps-and-islands on pathological event times
     "sec_stg_ffill",
     "sec_calendar_spine",
