@@ -1790,6 +1790,14 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.where(_centroid_filter()).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
+    # M-step shape A/B'd same-session at sf0.1 (median-of-3, warmed):
+    # this posexplode→(id, dim) agg→ordered reassembly runs the
+    # 3-round loop in 8.5 s; the "one wide aggregate" alternative (64
+    # per-dimension decimal means in a single groupBy, no explode) is
+    # 13.2 s — the 64-expression aggregate tree costs more in codegen
+    # and per-round analysis than the extra small shuffle saves. Row
+    # inflation is n×64 one-value rows, bounded by map-side combine to
+    # K×64 per partition — the label_centroids contract.
     for _ in range(KMEANS_ROUNDS):
         assigned = _kmeans_assign(emb, _kmeans_roster(cents))
         dims = assigned.select(

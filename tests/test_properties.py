@@ -422,3 +422,86 @@ def test_triangle_stats_matches_bruteforce_on_random_graphs(spark, raw):
         assert abs(r.transitivity - 3.0 * want_tris / want_wedges) < 1e-12
     else:
         assert r.transitivity is None
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (round 9): randomized behavior vs a brute-force reference
+
+_TC_TYPES = st.sampled_from(["a", "b", "c", None])
+_TC_USER = st.lists(
+    st.tuples(_TC_TYPES, st.integers(1, 5)), min_size=1, max_size=3
+)
+_TC_CORPUS = st.lists(_TC_USER, min_size=1, max_size=7)
+
+
+def _tc_reference(users):
+    """Brute-force t-closeness histogram in plain Python, mirroring
+    the operator's documented semantics exactly."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    sigs = {}
+    for uid, typed in enumerate(users, start=1):
+        counts = {}
+        for t, n in typed:
+            key = "(null)" if t is None else t
+            counts[key] = counts.get(key, 0) + n
+        bucket = {
+            t: 2 ** int(math.floor(math.log2(n))) for t, n in counts.items()
+        }
+        sig = "|".join(sorted(f"{t}:{bucket[t]}" for t in counts))
+        dominant = max(
+            counts, key=lambda t: (counts[t], t)
+        )  # count first, type tiebreak = max of '0-padded:type'
+        sigs[uid] = (sig, dominant)
+    classes = {}
+    for uid, (sig, dom) in sigs.items():
+        classes.setdefault(sig, []).append(dom)
+    glob = {}
+    for _, dom in sigs.values():
+        glob[dom] = glob.get(dom, 0) + 1
+    n_total = len(sigs)
+    hist = {}
+    for sig, doms in classes.items():
+        k = len(doms)
+        num = 0
+        for v, g in glob.items():
+            cnt = sum(1 for d in doms if d == v)
+            num += abs(cnt * n_total - g * k)
+        t = num / (2.0 * k * n_total)
+        b = int(math.floor(t * 20))
+        ns, nu, mx = hist.get(b, (0, 0, -1.0))
+        hist[b] = (ns + 1, nu + k, max(mx, t))
+    return {
+        b: (ns, nu, float(Decimal(mx).quantize(Decimal("1e-6"), ROUND_HALF_UP)))
+        for b, (ns, nu, mx) in hist.items()
+    }
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(users=_TC_CORPUS)
+def test_t_closeness_matches_bruteforce(spark, tmp_path_factory, users):
+    import datetime as dt
+
+    from securities_data_pipeline_spark.plans.analytics import a_t_closeness
+
+    tmp = tmp_path_factory.mktemp("tc")
+    rows, eid = [], 0
+    for uid, typed in enumerate(users, start=1):
+        for t, n in typed:
+            for i in range(n):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1, 0, 0, eid % 60), uid, t,
+                     1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {
+        r.t_bucket: (r.n_sets, r.n_users, r.max_t)
+        for r in a_t_closeness(spark, str(tmp)).collect()
+    }
+    assert got == _tc_reference(users)
