@@ -260,6 +260,9 @@ HEADLINE = [
     "sim_pq_train",
     "dedup_semdedup_capped",
     "m_quarantine_report",
+    "a_markov_transition",
+    "w11_peak_concurrency",
+    "s_stream_quarantine_rate",
     "sec_sortino",
     "m_partition_skew_report",
     "sim_ivf_balance",

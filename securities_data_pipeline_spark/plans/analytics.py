@@ -829,3 +829,180 @@ FROM tot t LEFT JOIN med m USING (cohort) ORDER BY t.cohort
 
 ANALYTICS_QUERIES["w10_conversion_cohorts"] = w10_conversion_cohorts
 ANALYTICS_ORACLES["w10_conversion_cohorts"] = _guard_events(W10_CONVERSION_SQL)
+
+
+def a_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's
+    time-ordered event sequence: P(next = to | current = from) — the
+    sequence-modeling view (journey analysis, next-event prediction
+    baselines, anomaly scoring of improbable transitions) the bigram
+    LM gives text and this gives the clickstream. Transitions never
+    cross users; NULL types group as the ``(null)`` sentinel; ties on
+    ts break by event_id so the sequence is deterministic.
+
+    Plan: ONE shuffle on user_id for the lead() window (the natural
+    clustering key), then a (from, to) hash aggregate of 2-string
+    rows with map-side combine, and the row-probability normalizer is
+    a window over the ≤|types|² aggregate — flat at any corpus size.
+    The probability is one int/int double division, rounded 6 — exact
+    and identical on both engines.
+
+    Reads through ``event_ok``: NULL-time events have no place on a
+    sequence axis.
+    """
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
+    etype = F.coalesce(F.col("event_type"), F.lit("(null)"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        etype.alias("from_type"),
+        F.lead(etype).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"),
+            6,
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+A_MARKOV_SQL = """
+WITH seq AS (
+  SELECT COALESCE(event_type, '(null)') AS from_type,
+         LEAD(COALESCE(event_type, '(null)')) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM counts ORDER BY from_type, to_type
+"""
+
+ANALYTICS_QUERIES["a_markov_transition"] = a_markov_transition
+ANALYTICS_ORACLES["a_markov_transition"] = _guard_events(A_MARKOV_SQL)
+
+
+#: session gap for the concurrency sweep — the w4 sessionization value
+CONCURRENCY_GAP_MIN = 30
+
+
+def w11_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number
+    (connection pools, rate limits, autoscaling floors) read off the
+    session intervals with a SWEEP LINE: every session contributes a
+    +1 boundary at its start and a −1 at its end, the running sum of
+    deltas in boundary order is the instantaneous concurrency, and the
+    per-day max is the peak. Sessions are the w4 gap rule (a >30-min
+    silence starts a new session) and attribute to their START day;
+    at a boundary tie the −1 sorts first (ts, delta, user_id), so
+    touching sessions never double-count.
+
+    Plan: one user_id shuffle builds sessions (lag + cumulative flag —
+    the w4 shape), then ONE shuffle on the session's day partitions
+    the sweep: the running-sum window is per-day, so no global
+    single-partition ordering exists anywhere and per-reducer load is
+    one day's boundaries at any corpus size.
+    """
+    from securities_data_pipeline_spark.functions.gates import events_gated
+
+    ev = events_gated(spark, sf_dir)
+    wuser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = CONCURRENCY_GAP_MIN * 60 * 1_000_000
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wuser))
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        marked.withColumn("sess_id", F.sum("new_sess").over(wcum))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    bounds = sess.select(
+        F.to_date("start_ts").alias("day"),
+        F.col("start_ts").alias("bts"),
+        F.lit(1).alias("delta"),
+        "user_id",
+    ).unionByName(
+        sess.select(
+            F.to_date("start_ts").alias("day"),
+            F.col("end_ts").alias("bts"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+        )
+    )
+    wsweep = Window.partitionBy("day").orderBy(
+        "bts", "delta", "user_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    swept = bounds.withColumn("conc", F.sum("delta").over(wsweep))
+    return (
+        swept.groupBy("day")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+            F.max("conc").cast("long").alias("peak_concurrent"),
+        )
+        .orderBy("day")
+    )
+
+
+W11_CONCURRENCY_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))
+              > {CONCURRENCY_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END
+           AS new_sess
+  FROM events
+), cum AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+), sess AS (
+  SELECT user_id, sess_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+  FROM cum GROUP BY user_id, sess_id
+), bounds AS (
+  SELECT CAST(start_ts AS DATE) AS day, start_ts AS bts, 1 AS delta, user_id
+  FROM sess
+  UNION ALL
+  SELECT CAST(start_ts AS DATE) AS day, end_ts AS bts, -1 AS delta, user_id
+  FROM sess
+), swept AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY bts, delta, user_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM bounds
+)
+SELECT day,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+FROM swept GROUP BY day ORDER BY day
+"""
+
+ANALYTICS_QUERIES["w11_peak_concurrency"] = w11_peak_concurrency
+ANALYTICS_ORACLES["w11_peak_concurrency"] = _guard_events(W11_CONCURRENCY_SQL)

@@ -83,6 +83,32 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream).where(event_ok())
 
 
+def events_stream_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-gate stream: same source + ts normalization as
+    ``events_stream`` but WITHOUT the admission filter — the read the
+    streaming gate AUDIT needs (counting rejects is its job, the
+    ``m_quarantine_report`` exception). Every analytic stream keeps
+    reading through ``events_stream``; this raw face exists only for
+    the audit surface."""
+    from securities_data_pipeline_spark.sources.tables import (
+        normalize_event_ts,
+        pin_event_session_confs,
+    )
+
+    pin_event_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(batch_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    return normalize_event_ts(stream)
+
+
 def run_to_memory(
     df: DataFrame,
     output_mode: str,
@@ -1397,3 +1423,60 @@ def _guarded_stream_k_anon_sql() -> str:
 
 STREAMING_QUERIES["s_stream_k_anonymity"] = s_stream_k_anonymity
 STREAMING_ORACLES["s_stream_k_anonymity"] = _guarded_stream_k_anon_sql()
+
+
+def s_stream_quarantine_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of the gate audit (``m_quarantine_report``):
+    admitted vs quarantined event counts accumulated over the stream —
+    the reject-rate a production ingest alerts on per micro-batch (a
+    step change means a producer upstream broke, caught at ingest
+    instead of at audit time). Reads the PRE-gate stream (counting
+    rejects is the point); a complete-mode global aggregate carries
+    two counters of state, bounded forever.
+
+    Oracle: the events row of the batch gate audit — final stream
+    state ≡ batch counts over the same file, deliberately unguarded.
+    """
+    from securities_data_pipeline_spark.functions.gates import event_ok
+
+    raw = events_stream_raw(spark, sf_dir)
+    admitted = F.coalesce(event_ok(), F.lit(False))
+    agg = raw.agg(
+        F.sum(F.when(admitted, 1).otherwise(0)).cast("long").alias("n_clean"),
+        F.sum(F.when(admitted, 0).otherwise(1)).cast("long").alias(
+            "n_quarantined"
+        ),
+    )
+    out = run_to_memory(agg, "complete")
+    total = F.col("n_clean") + F.col("n_quarantined")
+    return out.select(
+        "n_clean",
+        "n_quarantined",
+        F.when(
+            total > 0,
+            F.round(F.col("n_quarantined").cast("double") / total, 6),
+        ).alias("reject_rate"),
+    )
+
+
+def _sql_stream_quarantine_rate() -> str:
+    # deliberately NOT guard-wrapped (the raw scan IS the semantics);
+    # registered after _guard_stream_oracles() on purpose
+    from securities_data_pipeline_spark.functions.gates import SQL_EVENT_OK
+
+    return f"""
+WITH u AS (
+  SELECT CAST(SUM(CASE WHEN COALESCE({SQL_EVENT_OK}, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         CAST(SUM(CASE WHEN COALESCE({SQL_EVENT_OK}, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
+  FROM events
+)
+SELECT n_clean, n_quarantined,
+       CASE WHEN n_clean + n_quarantined > 0 THEN
+         round(CAST(n_quarantined AS DOUBLE) / (n_clean + n_quarantined), 6)
+       END AS reject_rate
+FROM u
+"""
+
+
+STREAMING_QUERIES["s_stream_quarantine_rate"] = s_stream_quarantine_rate
+STREAMING_ORACLES["s_stream_quarantine_rate"] = _sql_stream_quarantine_rate()

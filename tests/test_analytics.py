@@ -774,3 +774,98 @@ def test_quarantine_report_counts_planted_garbage(spark, tmp_path):
         "events": (2, 4, round(4 / 6, 6)),
         "embeddings": (3, 2, 0.4),
     }
+
+
+def test_markov_transition_hand_math(spark, tmp_path):
+    """Transitions follow (ts, event_id) order per user, never cross
+    users, group NULL types as the sentinel, and row-normalize:
+    u1: view->click->view (tie on ts broken by event_id), u2:
+    (null)->view. P(click|view)=0.5, P(view|view)=0.0 absent,
+    P(view|click)=1.0, P(view|(null))=1.0."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.plans.analytics import (
+        a_markov_transition,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t, 1, "view", 1.0, "{}"),
+        # tie on ts: event_id 2 sorts before 3 -> view->click->view
+        (2, t + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (3, t + dt.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        (4, t, 2, None, 1.0, "{}"),
+        (5, t + dt.timedelta(minutes=5), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {(r.from_type, r.to_type): (r.n, r.p)
+           for r in a_markov_transition(spark, str(tmp_path)).collect()}
+    assert out == {
+        ("view", "click"): (1, 1.0),
+        ("click", "view"): (1, 1.0),
+        ("(null)", "view"): (1, 1.0),
+    }
+
+
+def test_peak_concurrency_sweep_and_touch_rule(spark, tmp_path):
+    """Two overlapping sessions peak at 2; a third session STARTING at
+    the exact instant another ends must not raise the peak (the -1
+    boundary sorts before the +1 at a tie) — the classic sweep-line
+    touch rule."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.plans.analytics import (
+        w11_peak_concurrency,
+    )
+
+    d = dt.datetime(2024, 3, 1, 10, 0)
+    rows, eid = [], 0
+
+    def emit(user, *minutes):
+        nonlocal eid
+        for m in minutes:
+            rows.append((eid, d + dt.timedelta(minutes=m), user, "view",
+                         1.0, "{}"))
+            eid += 1
+
+    emit(1, 0, 10)      # session 10:00-10:10
+    emit(2, 5, 15)      # overlaps u1 -> concurrency 2
+    emit(3, 10, 20)     # starts exactly as u1 ends -> still 2
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = [(str(r.day), r.n_sessions, r.peak_concurrent)
+           for r in w11_peak_concurrency(spark, str(tmp_path)).collect()]
+    assert out == [("2024-03-01", 3, 2)]
+
+
+def test_stream_quarantine_rate_counts_planted_garbage(spark, tmp_path):
+    """The streaming gate audit's final state equals the planted
+    garbage split: 2 good + 3 bad events -> reject_rate 0.6."""
+    import datetime as dt
+    import math
+
+    from securities_data_pipeline_spark.streaming.ingest import (
+        s_stream_quarantine_rate,
+    )
+
+    ev = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2), 2, "error", None, "{}"),
+        (3, None, 3, "view", 1.0, "{}"),
+        (4, dt.datetime(2200, 1, 1), 4, "view", 1.0, "{}"),
+        (5, dt.datetime(2024, 1, 3), 5, "view", math.nan, "{}"),
+    ]
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = s_stream_quarantine_rate(spark, str(tmp_path)).collect()[0]
+    assert (r.n_clean, r.n_quarantined, r.reject_rate) == (2, 3, 0.6)

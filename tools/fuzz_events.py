@@ -58,6 +58,9 @@ EVENT_QUERIES = [
     "s_stream_k_anonymity",  # r9: streaming privacy face (signature state)
     "w10_conversion_cohorts",  # r9: cohort funnel latency, exact median
     "m_quarantine_report",  # r9: gate-audit counts must absorb garbage by definition
+    "a_markov_transition",  # r9: sequence bigrams under ties/null types
+    "w11_peak_concurrency",  # r9: sweep-line under tie bursts
+    "s_stream_quarantine_rate",  # r9: streaming gate audit on garbage
     "w9_user_streaks",  # r8: gaps-and-islands on pathological event times
     "sec_stg_ffill",
     "sec_calendar_spine",
