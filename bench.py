@@ -263,6 +263,9 @@ HEADLINE = [
     "a_markov_transition",
     "w11_peak_concurrency",
     "s_stream_quarantine_rate",
+    "j_asof_nearest_order",
+    "sec_max_drawdown",
+    "t_zipf_fit",
     "sec_sortino",
     "m_partition_skew_report",
     "sim_ivf_balance",

@@ -449,3 +449,132 @@ ASOF_ORACLES: dict[str, str] = {
     "j_range_bin": J_RANGE_BIN_SQL,
     "w4_session_windows": _guard_events(W4_SESSION_SQL),
 }
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest as-of join — pandas ``merge_asof(direction='nearest')``
+    parity: for each left row, the right row minimizing
+    ``|right_time − left_time|`` per key; an exact distance tie
+    prefers the BACKWARD match (then the backward rule's greatest
+    ``tiebreak``), matching pandas' nearest-tie behavior.
+
+    ONE union-sort pass computes both directions: the spine sorts
+    (key, time, side) once and two frames over the SAME window spec —
+    trailing ``last`` and leading ``first`` — evaluate in a single
+    Window node (one shuffle, one sort, zero row explosion). With
+    right-before-left at equal times, an equal-time right row is
+    inside the trailing frame and distance 0 wins every tie, so the
+    leading frame's exclusion of it is immaterial.
+    """
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload_cols collide with left columns {sorted(clash)}; "
+            "rename one side before the as-of join"
+        )
+    cols = (
+        payload_cols
+        if right_time in payload_cols
+        else [right_time, *payload_cols]
+    )
+    payload = F.struct(*[F.col(c) for c in cols]).alias("__p")
+    r = right.where(F.col(right_time).isNotNull()).select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),  # right before left at equal times
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+        payload,
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).alias("__tb"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__tb")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = r.unionByName(l).select(
+        "*",
+        F.last("__p", ignorenulls=True).over(wb).alias("__back"),
+        F.first("__p", ignorenulls=True).over(wf).alias("__fwd"),
+    )
+    t_us = F.unix_micros(F.col("__t").cast("timestamp"))
+    d_back = t_us - F.unix_micros(F.col("__back")[right_time].cast("timestamp"))
+    d_fwd = F.unix_micros(F.col("__fwd")[right_time].cast("timestamp")) - t_us
+    nearest = (
+        F.when(F.col("__t").isNull(), F.lit(None).cast(r.schema["__p"].dataType))
+        .when(F.col("__back").isNull(), F.col("__fwd"))
+        .when(F.col("__fwd").isNull(), F.col("__back"))
+        .when(d_back <= d_fwd, F.col("__back"))  # tie -> backward
+        .otherwise(F.col("__fwd"))
+    )
+    return filled.where(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[nearest[c].alias(c) for c in payload_cols],
+    )
+
+
+def j_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the user's order NEAREST in time (either
+    direction; exact ties prefer the at-or-before order) — the third
+    as-of mode next to latest (backward) and next (forward), the
+    pandas ``direction='nearest'`` face."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return asof_join_nearest(
+        ev.withColumnRenamed("user_id", "k"),
+        orders.withColumnRenamed("o_custkey", "k"),
+        on="k",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    ).select(
+        "event_id", F.col("k").alias("user_id"), "ts", "o_orderkey", "o_orderdate"
+    )
+
+
+J_ASOF_NEAREST_SQL = """
+WITH cand AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY ABS(epoch_us(o.o_orderdate) - epoch_us(e.ts)) ASC,
+                    (o.o_orderdate <= e.ts) DESC,
+                    CASE WHEN o.o_orderdate <= e.ts
+                         THEN -o.o_orderkey ELSE o.o_orderkey END ASC
+         ) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND e.ts IS NOT NULL
+)
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM cand WHERE rn = 1
+"""
+# NB: unlike the backward/forward oracles, nearest has no time
+# predicate in the join, so the "NULL left time matches nothing"
+# contract (shared by all as-of modes) must be stated explicitly
+# (`e.ts IS NOT NULL` in the join condition — fuzz-found: a NULL-ts
+# event otherwise joins every order and ranks by NULL distance).
+
+ASOF_QUERIES["j_asof_nearest_order"] = j_asof_nearest_order
+ASOF_ORACLES["j_asof_nearest_order"] = J_ASOF_NEAREST_SQL

@@ -1660,3 +1660,109 @@ LIMIT {PMI_TOP}
 
 TEXT_QUERIES["t_pmi_cooccurrence"] = t_pmi_cooccurrence
 TEXT_ORACLES["t_pmi_cooccurrence"] = T_PMI_SQL
+
+
+ZIPF_TOP = 1000  # fit over the top-N ranks — the cap IS the plan
+
+
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope /
+    intercept / R² of ln(freq) against ln(rank) for the top
+    ``ZIPF_TOP`` tokens — the corpus-health statistic that flags
+    template-heavy or synthetic text (natural language sits near slope
+    −1; boilerplate floods flatten the head, token soup steepens the
+    tail). Seeds quality dashboards next to the repetition and
+    fluency filters.
+
+    Plan: ONE exploded token aggregate (map-side combine — only
+    distinct (token, count) pairs shuffle), the deterministic
+    ``ranked_head`` top-N (TakeOrderedAndProject, never a full sort),
+    and the regression on ≤1000 rows via the a8_corr_moments
+    discipline: ln values round to 9 dp and quantize to DECIMAL(18,9),
+    moments sum exactly (products as DECIMAL(38,18)), and the
+    near-cancelling closed-form differences are computed on exact
+    decimals before the one double conversion — bit-identical across
+    engines and partitionings. The cap bounds the moment input, so
+    the whole statistic is corpus-size-independent past the
+    frequency aggregate.
+    """
+    counts = (
+        token_stream(table(spark, sf_dir, "documents"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    ranked = ranked_head(counts, ZIPF_TOP, "rank")
+    d9 = "decimal(18,9)"
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast(d9)
+    y = F.round(F.log(F.col("n_occurrences").cast("double")), 9).cast(d9)
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast("decimal(38,18)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,18)")).alias("syy"),
+        F.sum((x * y).cast("decimal(38,18)")).alias("sxy"),
+    )
+    # closed form in DOUBLE from the exact decimal sums: each sum
+    # converts once (deterministically — same decimal, same nearest
+    # double on both engines) and the combination runs in the same op
+    # order, so parity holds; unlike a8_corr_moments the Zipf fit is
+    # nowhere near the cancellation regime (slope ≈ −1, R² ≈ 0.9 on
+    # natural text), and full-precision decimal products here overflow
+    # DuckDB's 38-digit multiply.
+    nd = F.col("n_terms").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") - sxd * syd
+    var_x = nd * F.col("sxx").cast("double") - sxd * sxd
+    var_y = nd * F.col("syy").cast("double") - syd * syd
+    slope = cov_n / var_x
+    return m.select(
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+T_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_sql_words()}) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n_occurrences
+  FROM toks WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+  FROM counts
+  ORDER BY n_occurrences DESC, token ASC LIMIT {ZIPF_TOP}
+), vals AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(CAST(n_occurrences AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM ranked
+), m AS (
+  SELECT COUNT(*) AS n_terms, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,18))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy
+  FROM vals
+), c AS (
+  SELECT n_terms,
+         CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+         CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT CAST(n_terms AS BIGINT) AS n_terms,
+       round(cov_n / var_x, 6) AS zipf_slope,
+       round((syd - cov_n / var_x * sxd) / CAST(n_terms AS DOUBLE), 6)
+         AS intercept,
+       round(cov_n * cov_n / (var_x * var_y), 6) AS r2
+FROM c
+"""
+
+TEXT_QUERIES["t_zipf_fit"] = t_zipf_fit
+TEXT_ORACLES["t_zipf_fit"] = T_ZIPF_SQL

@@ -1323,6 +1323,88 @@ SECURITIES_QUERIES["sec_stochastic"] = sec_stochastic
 SECURITIES_ORACLES["sec_stochastic"] = _sql_stochastic()
 
 
+
+
+def sec_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol maximum drawdown — the risk metric every performance
+    report pairs with Sharpe/Sortino: the worst peak-to-trough decline
+    of the daily close series, with the trough date. Extension
+    aggregate in the sec_* family (reference surface: the dbt
+    analytics layer's per-symbol aggregates).
+
+    Float discipline: the running peak is a window MAX (order-
+    independent, no accumulation), the drawdown is ONE double division
+    per row (close/peak − 1, identical IEEE op both engines; the tick
+    gate guarantees close > 0 so the division is total), and the
+    argmin picks by (drawdown asc, date asc) row_number — fully
+    deterministic, no float sums anywhere. One symbol shuffle for the
+    bar rollup; the peak/argmin windows reuse the same partitioning.
+    """
+    from pyspark.sql import Window
+
+    ev = ticks(spark, sf_dir)
+    bars = ev.groupBy(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.to_date("ts").alias("date_stamp"),
+    ).agg(F.max("value").alias("close"))
+    wpeak = (
+        Window.partitionBy("symbol")
+        .orderBy("date_stamp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = (F.col("close") / F.max("close").over(wpeak) - 1).alias("dd")
+    scored = bars.select("symbol", "date_stamp", dd)
+    wpick = Window.partitionBy("symbol").orderBy(
+        F.col("dd").asc(), F.col("date_stamp").asc()
+    )
+    wall = Window.partitionBy("symbol")
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .withColumn("n_days", F.count(F.lit(1)).over(wall))
+        .where(F.col("rn") == 1)
+        .select(
+            "symbol",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("dd", 6).alias("max_drawdown"),
+            F.col("date_stamp").alias("trough_date"),
+        )
+        .orderBy("symbol")
+    )
+
+
+SEC_MAX_DRAWDOWN_SQL = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         CAST(ts AS DATE) AS date_stamp,
+         MAX(value) AS close
+  FROM events
+  GROUP BY 1, 2
+), scored AS (
+  SELECT symbol, date_stamp,
+         close / MAX(close) OVER (PARTITION BY symbol ORDER BY date_stamp
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS dd
+  FROM bars
+), picked AS (
+  SELECT symbol, date_stamp, dd,
+         ROW_NUMBER() OVER (PARTITION BY symbol
+                            ORDER BY dd ASC, date_stamp ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY symbol) AS n_days
+  FROM scored
+)
+SELECT symbol, CAST(n_days AS BIGINT) AS n_days,
+       round(dd, 6) AS max_drawdown,
+       date_stamp AS trough_date
+FROM picked WHERE rn = 1 ORDER BY symbol
+"""
+
+
+SECURITIES_QUERIES["sec_max_drawdown"] = sec_max_drawdown
+SECURITIES_ORACLES["sec_max_drawdown"] = SEC_MAX_DRAWDOWN_SQL
+
+
+
+
+
 # every securities query reads events through the ``tick_ok`` admission
 # gate (functions/gates.py, fuzz-derived: one NaN/±inf/1e308 "price"
 # aborted the whole family at the ANSI decimal/cents casts) — wrap every

@@ -869,3 +869,88 @@ def test_stream_quarantine_rate_counts_planted_garbage(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     r = s_stream_quarantine_rate(spark, str(tmp_path)).collect()[0]
     assert (r.n_clean, r.n_quarantined, r.reject_rate) == (2, 3, 0.6)
+
+
+def test_max_drawdown_hand_math(spark, tmp_path):
+    """Planted path 100,120,90,110,60: running peak 120 from day 2,
+    worst trough 60/120-1 = -0.5 on day 5. A monotone-up symbol has
+    max_drawdown 0.0 with the earliest date as trough (dd=0
+    everywhere, date tiebreak)."""
+    import datetime as dt
+
+    from securities_data_pipeline_spark.plans.securities_demo import (
+        sec_max_drawdown,
+    )
+
+    rows, eid = [], 0
+    for d, (v1, v2) in enumerate(
+        [(100.0, 10.0), (120.0, 11.0), (90.0, 12.0), (110.0, 13.0),
+         (60.0, 14.0)], start=1
+    ):
+        ts = dt.datetime(2024, 2, d, 12, 0)
+        rows.append((eid, ts, 1, "view", v1, "{}")); eid += 1
+        rows.append((eid, ts, 2, "view", v2, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.symbol: (r.n_days, r.max_drawdown, str(r.trough_date))
+           for r in sec_max_drawdown(spark, str(tmp_path)).collect()}
+    assert out == {
+        "U1": (5, -0.5, "2024-02-05"),
+        "U2": (5, 0.0, "2024-02-01"),
+    }
+
+
+def test_zipf_fit_matches_pure_python_regression(spark):
+    """t_zipf_fit must equal a plain-Python least-squares over the
+    same (ln rank, ln freq) pairs built from the operator's own
+    ranked vocabulary, with the documented 9-dp quantization."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from securities_data_pipeline_spark.operators.textops import (
+        ZIPF_TOP,
+        ranked_head,
+        t_zipf_fit,
+        table,
+        token_stream,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    counts = (
+        token_stream(table(spark, sf, "documents"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    pairs = [
+        (r.rank, r.n_occurrences)
+        for r in ranked_head(counts, ZIPF_TOP, "rank").collect()
+    ]
+
+    def d9(v):
+        return Decimal(v).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+
+    def r6(v):
+        return float(Decimal(v).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    xs = [d9(round(math.log(rk), 9)) for rk, _ in pairs]
+    ys = [d9(round(math.log(f), 9)) for _, f in pairs]
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    nd, sxd, syd = float(n), float(sx), float(sy)
+    cov = nd * float(sxy) - sxd * syd
+    vx = nd * float(sxx) - sxd * sxd
+    vy = nd * float(syy) - syd * syd
+    slope = cov / vx
+    r = t_zipf_fit(spark, sf).collect()[0]
+    assert r.n_terms == n
+    assert r.zipf_slope == r6(slope)
+    assert r.intercept == r6((syd - slope * sxd) / nd)
+    assert r.r2 == r6(cov * cov / (vx * vy))
+    assert -3.0 < r.zipf_slope < 0.0  # a frequency-ranked corpus decays

@@ -186,3 +186,44 @@ def test_asof_null_times_match_nothing(spark):
         payload_cols=["payload"],
     ).collect()}
     assert fwd == {"has_t": 20, "null_t": None}
+
+
+def test_asof_nearest_prefers_closer_and_breaks_ties_backward(spark, tmp_path):
+    """Nearest mode: the closer order wins in either direction; an
+    exact distance tie prefers the at-or-before order; an event before
+    every order matches forward; a user with no orders keeps nulls."""
+    import datetime as dt
+    import os
+
+    from securities_data_pipeline_spark.operators.asof import (
+        j_asof_nearest_order,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0)
+    ev = [
+        (1, t0, 1, "view", 1.0, "{}"),                      # between orders
+        (2, t0 - dt.timedelta(days=9), 1, "view", 1.0, "{}"),  # before all
+        (3, t0, 2, "view", 1.0, "{}"),                      # exact tie
+        (4, t0, 3, "view", 1.0, "{}"),                      # no orders
+    ]
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+    orders = [
+        # u1: 3 days before vs 2 days after -> the AFTER one is nearer
+        (101, 1, "F", 10.0, t0 - dt.timedelta(days=3), "1-URGENT"),
+        (102, 1, "F", 10.0, t0 + dt.timedelta(days=2), "1-URGENT"),
+        # u2: 1 day before vs 1 day after -> tie -> backward (101x)
+        (201, 2, "F", 10.0, t0 - dt.timedelta(days=1), "1-URGENT"),
+        (202, 2, "F", 10.0, t0 + dt.timedelta(days=1), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "orders.parquet"))
+    out = {r.event_id: r.o_orderkey
+           for r in j_asof_nearest_order(spark, str(tmp_path)).collect()}
+    assert out == {1: 102, 2: 101, 3: 201, 4: None}

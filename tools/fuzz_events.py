@@ -61,6 +61,8 @@ EVENT_QUERIES = [
     "a_markov_transition",  # r9: sequence bigrams under ties/null types
     "w11_peak_concurrency",  # r9: sweep-line under tie bursts
     "s_stream_quarantine_rate",  # r9: streaming gate audit on garbage
+    "j_asof_nearest_order",  # r9: nearest mode under ts ties/garbage
+    "sec_max_drawdown",  # r9: running-peak ratio on adversarial ticks
     "w9_user_streaks",  # r8: gaps-and-islands on pathological event times
     "sec_stg_ffill",
     "sec_calendar_spine",
