@@ -1759,7 +1759,7 @@ def _kmeans_assign(emb: DataFrame, roster) -> DataFrame:
     )
 
 
-def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_train_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means TRAINING over the gated embeddings
     corpus — the retrain step ``sim_ivf_balance``'s hot-bucket signal
     calls for, seeded from the serving roster it would replace (the
@@ -1846,6 +1846,27 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered (driver-facing) face of ``kmeans_train_roster``: the
+    trained roster with each centroid FLATTENED to one row per
+    dimension — ``(centroid_id, n_members, mean_sim, pos, val)``. The
+    driver's correctness canonicalizer sorts result frames in pandas
+    and cannot hash array cells (CORRECTNESS_r09: ``TypeError:
+    unhashable type: 'list'`` — VERDICT r9 item 1), so registered
+    query outputs are scalar-columns-only by contract
+    (``tools/check_oracle.py`` now enforces this in-repo); engine
+    callers that want the ``array<double>`` roster use
+    ``kmeans_train_roster`` directly. Same k×K·d output volume, one
+    extra Generate node, no new shuffle."""
+    roster = kmeans_train_roster(spark, sf_dir)
+    return roster.select(
+        "centroid_id",
+        "n_members",
+        "mean_sim",
+        F.posexplode("cvec").alias("pos", "val"),
+    ).orderBy("centroid_id", "pos")
+
+
 def _sql_kmeans_train(rounds: int = KMEANS_ROUNDS) -> str:
     """Unrolled-CTE twin of the Lloyd loop (the t_bpe_train oracle
     pattern): per round a window-ranked assignment (same tie rule as
@@ -1906,10 +1927,14 @@ def _sql_kmeans_train(rounds: int = KMEANS_ROUNDS) -> str:
          round(CAST(SUM(CAST(sim AS DECIMAL(27,10))) AS DOUBLE)
                / COUNT(*), 6) AS mean_sim
   FROM af WHERE rn = 1 GROUP BY centroid_id
+), fin AS (
+  SELECT c.centroid_id, s.n_members, s.mean_sim, c.cvec
+  FROM c{rounds} c JOIN stats s USING (centroid_id)
 )
-SELECT c.centroid_id, s.n_members, s.mean_sim, c.cvec
-FROM c{rounds} c JOIN stats s USING (centroid_id)
-ORDER BY c.centroid_id"""
+SELECT centroid_id, n_members, mean_sim,
+       CAST(generate_subscripts(cvec, 1) - 1 AS INT) AS pos,
+       unnest(cvec) AS val
+FROM fin ORDER BY centroid_id, pos"""
     )
     return "".join(parts)
 
@@ -1922,7 +1947,7 @@ PQ_TRAIN_ROUNDS = 2  # Lloyd rounds per subspace; same budget logic as
                      # KMEANS_ROUNDS (churn curve is scale-invariant)
 
 
-def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PQ codebook TRAINING — Lloyd's k-means run in every
     subspace at once, the offline step the serving codebook
     (``_pq_codebook``'s normalized donor stand-in) approximates. Jégou
@@ -2069,6 +2094,24 @@ def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered (driver-facing) face of ``pq_train_codebook``: the
+    trained codebooks FLATTENED to one row per codeword dimension —
+    ``(m, c, n_members, mean_sqdist, pos, val)`` — because registered
+    query outputs are scalar-columns-only (the driver canonicalizer
+    cannot hash array cells; VERDICT r9 item 1, same contract as
+    ``sim_kmeans_train``). Engine callers use ``pq_train_codebook``
+    for the ``array<double>`` codewords."""
+    cb = pq_train_codebook(spark, sf_dir)
+    return cb.select(
+        "m",
+        "c",
+        "n_members",
+        "mean_sqdist",
+        F.posexplode("cw").alias("pos", "val"),
+    ).orderBy("m", "c", "pos")
+
+
 _PQ_TRAIN_SUBDIST = (
     "list_aggregate(list_transform(list_zip({a}, {b}), "
     "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
@@ -2141,10 +2184,14 @@ def _sql_pq_train(rounds: int = PQ_TRAIN_ROUNDS) -> str:
          round(CAST(SUM(CAST(round(dist, 9) AS DECIMAL(18,9))) AS DOUBLE)
                / COUNT(*), 6) AS mean_sqdist
   FROM ef WHERE rn = 1 GROUP BY m, c
+), fin AS (
+  SELECT k.m, k.c, s.n_members, s.mean_sqdist, k.cw
+  FROM cb{rounds} k JOIN stats s ON s.m = k.m AND s.c = k.c
 )
-SELECT k.m, k.c, s.n_members, s.mean_sqdist, k.cw
-FROM cb{rounds} k JOIN stats s ON s.m = k.m AND s.c = k.c
-ORDER BY k.m, k.c"""
+SELECT m, c, n_members, mean_sqdist,
+       CAST(generate_subscripts(cw, 1) - 1 AS INT) AS pos,
+       unnest(cw) AS val
+FROM fin ORDER BY m, c, pos"""
     )
     return "".join(parts)
 

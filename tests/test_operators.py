@@ -816,6 +816,7 @@ def test_kmeans_train_matches_pure_python_lloyd(spark):
         KMEANS_ROUNDS,
         N_CENTROIDS_CAP,
         emb_table,
+        kmeans_train_roster,
         sim_kmeans_train,
     )
 
@@ -900,9 +901,22 @@ def test_kmeans_train_matches_pure_python_lloyd(spark):
 
     got = [
         (r.centroid_id, r.n_members, r.mean_sim, [float(x) for x in r.cvec])
-        for r in sim_kmeans_train(spark, sf).collect()
+        for r in kmeans_train_roster(spark, sf).collect()
     ]
     assert got == expected
+
+    # the REGISTERED query is the scalar-only flattening of the same
+    # roster (driver-canonicalizer contract, VERDICT r9 item 1)
+    flat = [
+        (r.centroid_id, r.n_members, r.mean_sim, r.pos, r.val)
+        for r in sim_kmeans_train(spark, sf).collect()
+    ]
+    expected_flat = [
+        (cid, n, ms, pos, v)
+        for cid, n, ms, cvec in expected
+        for pos, v in enumerate(cvec)
+    ]
+    assert flat == expected_flat
 
 
 def test_kmeans_train_covers_gated_corpus(spark):
@@ -911,11 +925,11 @@ def test_kmeans_train_covers_gated_corpus(spark):
     a valid cosine in [-1, 1]."""
     from securities_data_pipeline_spark.operators.similarity import (
         emb_table,
-        sim_kmeans_train,
+        kmeans_train_roster,
     )
 
     sf = "/root/testdata/sf0.001"
-    out = sim_kmeans_train(spark, sf).collect()
+    out = kmeans_train_roster(spark, sf).collect()
     assert sum(r.n_members for r in out) == emb_table(spark, sf).count()
     assert all(-1.0 <= r.mean_sim <= 1.0 for r in out)
 
@@ -938,6 +952,7 @@ def test_pq_train_matches_pure_python_subspace_lloyd(spark):
         _l2_normalize,
         emb_table,
         pq_donor_pref,
+        pq_train_codebook,
         sim_pq_train,
     )
     from pyspark.sql import functions as F
@@ -1029,9 +1044,21 @@ def test_pq_train_matches_pure_python_subspace_lloyd(spark):
 
     got = [
         (r.m, r.c, r.n_members, r.mean_sqdist, [float(x) for x in r.cw])
-        for r in sim_pq_train(spark, sf).collect()
+        for r in pq_train_codebook(spark, sf).collect()
     ]
     assert got == expected
+
+    # registered query = scalar-only flattening (driver contract)
+    flat = [
+        (r.m, r.c, r.n_members, r.mean_sqdist, r.pos, r.val)
+        for r in sim_pq_train(spark, sf).collect()
+    ]
+    expected_flat = [
+        (m, c, n, msd, pos, v)
+        for m, c, n, msd, cw in expected
+        for pos, v in enumerate(cw)
+    ]
+    assert flat == expected_flat
 
 
 def test_semdedup_capped_is_anchor_restriction_of_exact(spark):

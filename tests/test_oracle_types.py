@@ -45,3 +45,31 @@ def test_no_oracle_returns_hugeint(con):
         "oracles produce HUGEINT columns (driver hash will fail; "
         f"wrap in CAST(... AS BIGINT)): {bad}"
     )
+
+
+def test_no_oracle_returns_array_or_nested(con):
+    """VERDICT r9 item 2: the DRIVER's canonicalizer sorts result
+    frames in pandas and dies on array/map/struct cells (``TypeError:
+    unhashable type: 'list'`` — how sim_kmeans_train/sim_pq_train
+    shipped driver-RED while the in-repo gate passed). Registered
+    query outputs are scalar-columns-only by contract; this binds
+    every oracle (no execution) and rejects LIST/STRUCT/MAP output
+    columns, so reverting the r9 pair's flattening fails HERE instead
+    of at the driver. ``tools/check_oracle.py`` enforces the same
+    contract on the Spark side at gate time."""
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        nested = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if any(
+                k in str(t).upper() for k in ("[]", "LIST", "STRUCT", "MAP")
+            )
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, (
+        "oracles produce array/nested columns (the driver canonicalizer "
+        f"cannot sort them — flatten to scalar rows): {bad}"
+    )

@@ -118,6 +118,26 @@ def main() -> int:
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
             continue
         stypes = dict(sdf.dtypes)
+        # DRIVER CONTRACT (VERDICT r9 item 1): the driver's
+        # canonicalizer sorts result frames in pandas, which raises
+        # ``TypeError: unhashable type`` on array/map/struct cells —
+        # sim_kmeans_train/sim_pq_train shipped driver-RED in r9
+        # because this gate stringified cells and passed them. A
+        # registered query output must therefore be scalar columns
+        # only; reject here so the divergence is caught in-repo.
+        nonscalar = [
+            (c, t)
+            for c, t in list(stypes.items()) + list(zip(ocols, otypes))
+            if type_family(t) in ("array", "nested")
+        ]
+        if nonscalar:
+            failures.append(name)
+            print(
+                f"FAIL {name}: non-scalar output columns {nonscalar} — "
+                "the driver canonicalizer cannot sort array/map/struct "
+                "cells (flatten or stringify them)"
+            )
+            continue
         tmism = [
             (c, stypes[c], ot)
             for c, ot in zip(ocols, otypes)
