@@ -2005,9 +2005,14 @@ def dedup_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for bands, rows_ in CURVE_GEOMETRIES:
         pairs = bucket_pairs(banded_signatures(sig, bands))
+        # no forced broadcast on sa/sb: they are one row per DOCUMENT
+        # (O(corpus)), the same anti-pattern class as the r8 degree
+        # table (VERDICT r9 item 2). AQE picks broadcast-hash at test
+        # scale on its own; at corpus scale the signature joins
+        # sort-merge on the doc key like every other dedup join.
         stats = (
-            pairs.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
             .agg(
                 F.count(F.lit(1)).alias("n_candidates"),
                 F.coalesce(

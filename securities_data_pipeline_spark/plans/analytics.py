@@ -906,9 +906,13 @@ def w11_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     +1 boundary at its start and a −1 at its end, the running sum of
     deltas in boundary order is the instantaneous concurrency, and the
     per-day max is the peak. Sessions are the w4 gap rule (a >30-min
-    silence starts a new session) and attribute to their START day;
-    at a boundary tie the −1 sorts first (ts, delta, user_id), so
-    touching sessions never double-count.
+    silence starts a new session) and attribute to their START day.
+    Interval semantics (ADVICE r9): sessions are HALF-OPEN with a
+    minimum 1-microsecond width — the −1 boundary sits at
+    ``greatest(end_ts, start_ts + 1µs)`` — so a single-event session
+    (start == end) still registers as concurrency ≥1 instead of
+    cancelling itself, while at a boundary tie the −1 sorts first
+    (ts, delta, user_id) and touching sessions never double-count.
 
     Plan: one user_id shuffle builds sessions (lag + cumulative flag —
     the w4 shape), then ONE shuffle on the session's day partitions
@@ -951,7 +955,10 @@ def w11_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         sess.select(
             F.to_date("start_ts").alias("day"),
-            F.col("end_ts").alias("bts"),
+            F.greatest(
+                F.col("end_ts"),
+                F.timestamp_micros(F.unix_micros("start_ts") + 1),
+            ).alias("bts"),
             F.lit(-1).alias("delta"),
             "user_id",
         )
@@ -990,7 +997,9 @@ WITH marked AS (
   SELECT CAST(start_ts AS DATE) AS day, start_ts AS bts, 1 AS delta, user_id
   FROM sess
   UNION ALL
-  SELECT CAST(start_ts AS DATE) AS day, end_ts AS bts, -1 AS delta, user_id
+  SELECT CAST(start_ts AS DATE) AS day,
+         greatest(end_ts, start_ts + INTERVAL 1 MICROSECOND) AS bts,
+         -1 AS delta, user_id
   FROM sess
 ), swept AS (
   SELECT day,

@@ -64,6 +64,13 @@ _GC_GRACE_ENV = "SPARK_GRAFT_CLEAN_GC_GRACE_SEC"
 #: (only the NEXT validated_table call re-materializes).
 GC_GRACE_SEC = 3600
 
+#: minimal grace that survives even past the sibling hard cap (ADVICE
+#: r9: unconditional deletion re-opened the action-time hazard for
+#: tail entries). Long enough for an in-flight action's file listing;
+#: short enough that a fast-rewriting harness still sees the root
+#: bounded at ~4*max_keep entries within seconds.
+_HARD_CAP_GRACE_SEC = 10.0
+
 _staging_seq = itertools.count()
 
 #: gate-mode observability (VERDICT r8 item 2): one stderr line per
@@ -256,11 +263,13 @@ def _gc_stale_stores(
     rewrites its raw table every few seconds mints a fresh key each
     time and could otherwise grow the root without bound for a full
     grace hour. Past a hard ceiling of ``4 * max_keep`` committed
-    sibling stores, the oldest are pruned regardless of age — by then
-    at least ``4 * max_keep - 1`` newer materializations separate any
-    surviving reader from the doomed store, so the
-    young-lazy-DataFrame hazard the grace window protects against is
-    long gone for those tail entries.
+    sibling stores, the oldest are pruned on a much shorter leash —
+    but never with ZERO grace (ADVICE r9): a long-running query
+    holding a lazy DataFrame over an old store resolves its parquet
+    files at action time, so even tail entries keep the minimal
+    ``_HARD_CAP_GRACE_SEC`` age bound, long enough for any in-flight
+    action to finish its file listing while still bounding the root
+    to ~hard_cap entries under a fast-rewriting harness.
 
     Abandoned ``.tmp.`` staging dirs (a crashed writer) age out under
     the same grace window, judged by the NEWEST mtime in their tree
@@ -282,12 +291,16 @@ def _gc_stale_stores(
     sibs.sort(key=lambda d: os.path.getmtime(d), reverse=True)
     hard_cap = 4 * max_keep
     for i, stale in enumerate(sibs[max_keep:], start=max_keep):
-        if i < hard_cap:  # inside the soft band: grace applies
-            try:
-                if now - os.path.getmtime(stale) < grace_sec:
-                    continue
-            except OSError:
+        # inside the soft band the full grace applies; past the hard
+        # cap a minimal grace still does (never zero — ADVICE r9)
+        floor = grace_sec if i < hard_cap else min(
+            grace_sec, _HARD_CAP_GRACE_SEC
+        )
+        try:
+            if now - os.path.getmtime(stale) < floor:
                 continue
+        except OSError:
+            continue
         shutil.rmtree(stale, ignore_errors=True)
     for stale in staging:
         if now - _tree_max_mtime(stale) < grace_sec:

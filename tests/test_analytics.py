@@ -815,7 +815,10 @@ def test_peak_concurrency_sweep_and_touch_rule(spark, tmp_path):
     """Two overlapping sessions peak at 2; a third session STARTING at
     the exact instant another ends must not raise the peak (the -1
     boundary sorts before the +1 at a tie) — the classic sweep-line
-    touch rule."""
+    touch rule. A SINGLE-EVENT session (start == end) must still
+    register as concurrency 1 (ADVICE r9: intervals carry a minimum
+    1-microsecond width, so a point session's +1 precedes its own -1
+    instead of cancelling it at the tie)."""
     import datetime as dt
 
     from securities_data_pipeline_spark.plans.analytics import (
@@ -835,6 +838,11 @@ def test_peak_concurrency_sweep_and_touch_rule(spark, tmp_path):
     emit(1, 0, 10)      # session 10:00-10:10
     emit(2, 5, 15)      # overlaps u1 -> concurrency 2
     emit(3, 10, 20)     # starts exactly as u1 ends -> still 2
+    # next day: only single-event (zero-width) sessions — the ADVICE r9
+    # regression case: peak must read 1, not 0
+    d2 = d + dt.timedelta(days=1)
+    rows.append((eid, d2, 4, "view", 1.0, "{}"))
+    rows.append((eid + 1, d2 + dt.timedelta(hours=2), 5, "view", 1.0, "{}"))
     spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -842,7 +850,7 @@ def test_peak_concurrency_sweep_and_touch_rule(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     out = [(str(r.day), r.n_sessions, r.peak_concurrent)
            for r in w11_peak_concurrency(spark, str(tmp_path)).collect()]
-    assert out == [("2024-03-01", 3, 2)]
+    assert out == [("2024-03-01", 3, 2), ("2024-03-02", 2, 1)]
 
 
 def test_stream_quarantine_rate_counts_planted_garbage(spark, tmp_path):

@@ -311,9 +311,12 @@ def test_gc_hard_cap_prunes_runaway_root_within_grace(tmp_path, monkeypatch):
     harness rewriting its raw table every few seconds mints a fresh
     store key per rewrite and would otherwise grow the root unboundedly
     for a full grace hour. Past 4*max_keep committed siblings the
-    oldest are pruned REGARDLESS of age. Pure-filesystem test: stores
-    are synthesized dirs, GC is called directly with the default grace
-    (1h), all stores seconds old."""
+    oldest are pruned on the short _HARD_CAP_GRACE_SEC leash instead
+    of the full hour (but never with zero grace — ADVICE r9, pinned by
+    test_gc_hard_cap_keeps_minimal_grace below). Pure-filesystem test:
+    stores are synthesized dirs, GC is called directly with the
+    default grace (1h), stores aged 1-30s so the capped tail is past
+    the minimal leash."""
     root = tmp_path / "clean"
     monkeypatch.setenv("SPARK_GRAFT_CLEAN_DIR", str(root))
     monkeypatch.delenv("SPARK_GRAFT_CLEAN_GC_GRACE_SEC", raising=False)
@@ -338,6 +341,33 @@ def test_gc_hard_cap_prunes_runaway_root_within_grace(tmp_path, monkeypatch):
     # the survivors are the NEWEST ones — the pruned tail is the oldest
     assert "events-k00" not in left and "events-k05" not in left
     assert "events-k29" in left and "events-k28" in left
+
+
+def test_gc_hard_cap_keeps_minimal_grace(tmp_path, monkeypatch):
+    """ADVICE r9: past the hard cap deletion must NOT be unconditional
+    — a lazy DataFrame over an old store resolves parquet files at
+    action time, so even capped tail entries keep the minimal
+    _HARD_CAP_GRACE_SEC age bound. Synthesizes a runaway root whose
+    tail entries are all YOUNGER than the minimal grace: none may be
+    pruned, however far past the hard cap the root has grown."""
+    root = tmp_path / "clean"
+    monkeypatch.setenv("SPARK_GRAFT_CLEAN_DIR", str(root))
+    monkeypatch.delenv("SPARK_GRAFT_CLEAN_GC_GRACE_SEC", raising=False)
+    root.mkdir()
+    import time as _t
+
+    now = _t.time()
+    for i in range(30):
+        d = root / f"events-k{i:02d}"
+        (d / "clean").mkdir(parents=True)
+        # all stores younger than the minimal grace (fractions of a
+        # second apart so "newest" stays well-defined)
+        past = now - (30 - i) * (V._HARD_CAP_GRACE_SEC / 120.0)
+        os.utime(d, (past, past))
+    keep = str(root / "events-k29")
+    V._gc_stale_stores("events", keep=keep)
+    left = [d for d in os.listdir(root) if d.startswith("events-")]
+    assert len(left) == 30, sorted(left)
 
 
 def test_gc_staging_alive_by_subtree_mtime(tmp_path, monkeypatch):
