@@ -22,33 +22,30 @@ from pyspark.sql import DataFrame, SparkSession
 # (tools/staleness.py holds the same logic as a CLI). Only the
 # new/changed head remains hand-maintained, per round:
 _NEW_OR_CHANGED = (
-    # round 9 head (cap 10, enforced below; the count itself is
-    # len()-derived in the test, never narrated — ADVICE r8 #1).
-    # Plan-changed queries (VERDICT r8 item 1: forced O(nodes) degree
-    # broadcasts dropped — AQE now picks the degree-join strategy):
-    "dedup_link_prediction_capped",
-    "dedup_link_prediction",
-    "dedup_triangle_stats",
-    # the privacy audit's skewness-attack stage (total-variation
-    # distance of each set's sensitive distribution vs the corpus —
-    # completes the k-anonymity / l-diversity / t-closeness triad)
-    "a_t_closeness",
-    # distributed Lloyd's k-means training (the retrain step
-    # sim_ivf_balance's hot-bucket signal calls for; t_bpe_train-style
-    # per-round broadcast state, unrolled-CTE oracle)
+    # round 10 head (cap 7 this round — VERDICT r9 item 3: the two
+    # never-green entries plus the 41 r5-stale tail must fit the
+    # 50-query window; the count itself is len()-derived in the test,
+    # never narrated).
+    # OUTPUT-SHAPE-changed (VERDICT r9 item 1: arrays flattened to
+    # scalar (…, pos, val) rows so the driver canonicalizer can sort
+    # them — these are the registry's only two never-driver-green
+    # entries and must lead):
     "sim_kmeans_train",
-    # streaming privacy face: incremental k-anonymity with the
-    # family's mid-batch-replay restart proof
-    "s_stream_k_anonymity",
-    # cohort funnel latency with the exact distributed-median pattern
-    "w10_conversion_cohorts",
-    # distributed PQ codebook training (subspace Lloyd, one plan)
     "sim_pq_train",
-    # anchor-capped SemDeDup production twin (pair budget |cluster|*T)
-    "dedup_semdedup_capped",
-    # the S6 error channel as an auditable query (reject rates per
-    # gated table — the engine-checkable face of the clean store)
-    "m_quarantine_report",
+    # NEW: IVF retrain integration report — corpus assigned to the
+    # freshly trained roster vs the static serving roster, balance +
+    # recall deltas side by side (VERDICT r9 next-round #7)
+    "sim_ivf_retrain_recall",
+    # NEW: streaming t-closeness — the privacy triad's last batch-only
+    # member gains its ingest-time face, with the family's
+    # mid-batch-replay restart proof (VERDICT r9 next-round #8)
+    "s_stream_t_closeness",
+    # PLAN-changed: forced O(docs) signature broadcasts dropped
+    # (VERDICT r9 item 2 — AQE picks the join strategy now)
+    "dedup_banding_curve",
+    # SEMANTICS-changed: single-event sessions register in the sweep
+    # (minimum 1µs interval width — ADVICE r9 #3)
+    "w11_peak_concurrency",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced
@@ -56,7 +53,8 @@ _NEW_OR_CHANGED = (
 #: ≥4-rounds-stale query, so a late-round head addition that would
 #: push stale queries out of the ~50-query driver window fails CI
 #: instead of silently invalidating the round's coverage claim.
-NEW_OR_CHANGED_CAP = 10
+#: Round 10: lowered 10 → 7 (VERDICT r9 item 3 window math).
+NEW_OR_CHANGED_CAP = 7
 DRIVER_WINDOW = 50
 
 

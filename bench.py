@@ -272,6 +272,9 @@ HEADLINE = [
     "t_bpe_train",
     "w9_user_streaks",
     "t_pmi_cooccurrence",
+    # round-10 additions
+    "s_stream_t_closeness",
+    "sim_ivf_retrain_recall",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

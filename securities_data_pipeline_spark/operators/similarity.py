@@ -1787,10 +1787,35 @@ def kmeans_train_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart (extension operator; the ANN family's training tier).
     """
     emb = emb_table(spark, sf_dir)
+    cents = _kmeans_train_cents(emb)
+    final = _kmeans_assign(emb, _kmeans_roster(cents))
+    stats = final.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.col("sim").cast("decimal(27,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sim"),
+    )
+    return (
+        cents.join(stats, "centroid_id")
+        .select("centroid_id", "n_members", "mean_sim", "cvec")
+        .orderBy("centroid_id")
+    )
+
+
+def _kmeans_train_cents(emb: DataFrame) -> DataFrame:
+    """The Lloyd loop itself: ``KMEANS_ROUNDS`` rounds of in-row-argmax
+    E-step + DECIMAL M-step over the gated corpus ``emb``, returning
+    the FULL trained roster (all K rows, empty clusters kept at their
+    previous centroid) — shared by ``kmeans_train_roster`` (which
+    joins final membership stats) and ``sim_ivf_retrain_recall``
+    (which needs every centroid as a probe target, member or not)."""
     cents = emb.where(_centroid_filter()).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     # M-step shape A/B'd same-session at sf0.1 (median-of-3, warmed):
+    # (documented on kmeans_train_roster)
     # this posexplode→(id, dim) agg→ordered reassembly runs the
     # 3-round loop in 8.5 s; the "one wide aggregate" alternative (64
     # per-dimension decimal means in a single groupBy, no explode) is
@@ -1830,20 +1855,7 @@ def kmeans_train_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    final = _kmeans_assign(emb, _kmeans_roster(cents))
-    stats = final.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.round(
-            F.sum(F.col("sim").cast("decimal(27,10)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mean_sim"),
-    )
-    return (
-        cents.join(stats, "centroid_id")
-        .select("centroid_id", "n_members", "mean_sim", "cvec")
-        .orderBy("centroid_id")
-    )
+    return cents
 
 
 def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1867,12 +1879,13 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("centroid_id", "pos")
 
 
-def _sql_kmeans_train(rounds: int = KMEANS_ROUNDS) -> str:
-    """Unrolled-CTE twin of the Lloyd loop (the t_bpe_train oracle
-    pattern): per round a window-ranked assignment (same tie rule as
-    the Spark fold), a DECIMAL per-dimension mean, ordered-list
-    reassembly, and the empty-cluster fallback threaded into the next
-    round's roster."""
+def _sql_kmeans_cte_parts(rounds: int = KMEANS_ROUNDS) -> list[str]:
+    """The unrolled Lloyd CTE chain ``WITH c0 … c{rounds}`` (the
+    t_bpe_train oracle pattern): per round a window-ranked assignment
+    (same tie rule as the Spark fold), a DECIMAL per-dimension mean,
+    ordered-list reassembly, and the empty-cluster fallback threaded
+    into the next round's roster. Shared by ``_sql_kmeans_train`` and
+    ``_sql_ivf_retrain_recall`` (c0 doubles as the static roster)."""
     parts = [
         f"""WITH c0 AS (
   SELECT vec_id AS centroid_id,
@@ -1911,6 +1924,13 @@ def _sql_kmeans_train(rounds: int = KMEANS_ROUNDS) -> str:
   FROM {prev} c LEFT JOIN n{r} n USING (centroid_id)
 )"""
         )
+    return parts
+
+
+def _sql_kmeans_train(rounds: int = KMEANS_ROUNDS) -> str:
+    """``_sql_kmeans_cte_parts`` plus the final assignment, membership
+    stats, and the flattened scalar-only output select."""
+    parts = _sql_kmeans_cte_parts(rounds)
     parts.append(
         f""", af AS (
   SELECT e.vec_id, c.centroid_id,
@@ -1941,6 +1961,212 @@ FROM fin ORDER BY centroid_id, pos"""
 
 SIMILARITY_QUERIES["sim_kmeans_train"] = sim_kmeans_train
 SIMILARITY_ORACLES["sim_kmeans_train"] = guard_emb_sql(_sql_kmeans_train())
+
+
+def _ivf_roster_report(
+    emb: DataFrame, cents: DataFrame, exact: DataFrame, tag: str
+) -> DataFrame:
+    """One roster's row of the retrain report: assign the corpus to
+    ``cents`` (in-row argmax — the E-step plan), read bucket balance
+    off the assignment, probe ``N_PROBES`` buckets per query, and
+    count how many exact-top-k neighbors the probe retrieves."""
+    assigned = _kmeans_assign(emb, _kmeans_roster(cents))
+    bstat = (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("sz").cast("long").alias("max_size"),
+            F.sum("sz").cast("long").alias("n_vectors"),
+        )
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            cosine(F.col("cvec"), F.col("qvec")).alias("csim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= N_PROBES)
+        .select("query_id", "qvec", F.col("centroid_id").alias("qc"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("vec_id").asc()
+    )
+    ivf = (
+        F.broadcast(probes)
+        .join(
+            assigned,
+            (F.col("centroid_id") == F.col("qc"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("qvec"), F.col("embedding")).alias("qsim"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    hits = ivf.join(exact, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    return (
+        bstat.crossJoin(hits)
+        .crossJoin(n_exact)
+        .select(
+            F.lit(tag).alias("roster"),
+            "n_buckets",
+            F.round(
+                (F.col("max_size") * F.col("n_buckets")).cast("double")
+                / F.col("n_vectors"),
+                6,
+            ).alias("peak_ratio"),
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def sim_ivf_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF RETRAIN integration report (VERDICT r9 next-round #7) — the
+    before/after certificate a retrain ships: the corpus is assigned
+    once to the STATIC serving roster (``_centroid_filter``, what
+    ``sim_ivf_topk`` probes today) and once to the roster
+    ``kmeans_train_roster`` just trained from it, and each roster's
+    row reports bucket balance (``peak_ratio`` = max bucket over the
+    mean — the hot-bucket signal ``sim_ivf_balance`` watches) and
+    IVF multiprobe retrieval quality against the exact top-k ground
+    truth (``n_hits`` of ``n_queries×k``, as ``recall``). Reading the
+    two rows side by side answers the operational question the
+    training tier exists for: does swapping the roster improve
+    balance without paying recall?
+
+    Plan: the exact side computes ONCE (localCheckpoint) and feeds
+    both rosters' hit joins; per roster the corpus is touched by one
+    in-row-argmax map (``_kmeans_assign`` — no n×K explosion) plus
+    one bucket aggregate, and the probe/rank stage is the
+    ``sim_ivf_topk`` shape over probed buckets only. All crossJoins
+    are 1-row stats or the K-row roster — broadcast by construction.
+    Floats: hit counts and bucket sizes are exact integers; the two
+    output ratios are single int/int double divisions (parity-safe).
+    """
+    emb = emb_table(spark, sf_dir)
+    static = emb.where(_centroid_filter()).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    trained = _kmeans_train_cents(emb)
+    exact = (
+        sim_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)  # feeds both rosters' hit joins
+    )
+    return (
+        _ivf_roster_report(emb, static, exact, "static")
+        .unionByName(_ivf_roster_report(emb, trained, exact, "trained"))
+        .orderBy("roster")
+    )
+
+
+def _sql_ivf_retrain_recall(rounds: int = KMEANS_ROUNDS) -> str:
+    """Twin of the retrain report: the shared Lloyd CTE chain (c0 is
+    the static roster, c{rounds} the trained one), the exact top-k
+    once, then per roster the window-ranked assignment, bucket stats,
+    multiprobe retrieval, and the hit join."""
+    parts = _sql_kmeans_cte_parts(rounds)
+    parts.append(
+        f""", q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cosine('q.qvec', 'e.embedding')} DESC,
+                      e.vec_id ASC
+           ) AS rn
+    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {TOP_K}
+), nex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact
+)"""
+    )
+    for tag, src in (("static", "c0"), ("trained", f"c{rounds}")):
+        parts.append(
+            f""", asg_{tag} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('c.cvec', 'e.embedding')} DESC,
+                      c.centroid_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN {src} c
+  ) WHERE rn = 1
+), bstat_{tag} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(MAX(sz) AS BIGINT) AS max_size,
+         CAST(SUM(sz) AS BIGINT) AS n_vectors
+  FROM (SELECT centroid_id, COUNT(*) AS sz FROM asg_{tag} GROUP BY 1)
+), pr_{tag} AS (
+  SELECT query_id, qvec, centroid_id AS qc FROM (
+    SELECT q.query_id, q.qvec, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cosine('c.cvec', 'q.qvec')} DESC,
+                      c.centroid_id ASC
+           ) AS pr
+    FROM q CROSS JOIN {src} c
+  ) WHERE pr <= {N_PROBES}
+), ivf_{tag} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {_sql_cosine('p.qvec', 'e.embedding')} DESC,
+                      e.vec_id ASC
+           ) AS rank
+    FROM pr_{tag} p
+    JOIN asg_{tag} a ON a.centroid_id = p.qc AND a.vec_id <> p.query_id
+    JOIN embeddings e ON e.vec_id = a.vec_id
+  ) WHERE rank <= {TOP_K}
+), hit_{tag} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM ivf_{tag} i JOIN exact x
+    ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT '{tag}' AS roster, b.n_buckets,
+       round(CAST(b.max_size * b.n_buckets AS DOUBLE) / b.n_vectors, 6)
+         AS peak_ratio,
+       h.n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / n.n_exact, 6) AS recall
+FROM bstat_{tag} b CROSS JOIN hit_{tag} h CROSS JOIN nex n"""
+        for tag in ("static", "trained")
+    )
+    parts.append("\n" + selects + "\nORDER BY roster")
+    return "".join(parts)
+
+
+SIMILARITY_QUERIES["sim_ivf_retrain_recall"] = sim_ivf_retrain_recall
+SIMILARITY_ORACLES["sim_ivf_retrain_recall"] = guard_emb_sql(
+    _sql_ivf_retrain_recall()
+)
 
 
 PQ_TRAIN_ROUNDS = 2  # Lloyd rounds per subspace; same budget logic as

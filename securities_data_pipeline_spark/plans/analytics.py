@@ -609,6 +609,16 @@ def a_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "substring(max(concat(lpad(cast(n as string), 10, '0'), ':', event_type)), 12)"
         ).alias("sensitive"),
     )
+    return t_closeness_histogram(sig)
+
+
+def t_closeness_histogram(sig: DataFrame) -> DataFrame:
+    """The t-closeness audit tail shared by the batch op above and its
+    streaming face (``streaming/ingest.py s_stream_t_closeness``):
+    given one row per user ``(signature, sensitive)``, emit the
+    0.05-bucket histogram of per-class total-variation distances. All
+    arithmetic discipline (exact DECIMAL(38,0) integer terms, one
+    final double division) documented on ``a_t_closeness``."""
     cls_val = (
         sig.groupBy("signature", "sensitive")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

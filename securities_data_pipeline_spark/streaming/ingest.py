@@ -1425,6 +1425,99 @@ STREAMING_QUERIES["s_stream_k_anonymity"] = s_stream_k_anonymity
 STREAMING_ORACLES["s_stream_k_anonymity"] = _guarded_stream_k_anon_sql()
 
 
+def s_stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming t-closeness audit — the last batch-only member of the
+    privacy triad gains its ingest-time face (VERDICT r9 next-round
+    #8): the same per-user ``applyInPandasWithState`` (type, count)
+    state as ``s_stream_k_anonymity``, with each update additionally
+    emitting the user's CURRENT sensitive attribute (dominant event
+    type under the batch op's exact tiebreak — max over
+    ``lpad(count,10,'0')||':'||type`` strings, so count first, then
+    type, byte-identical to ``plans/analytics.py a_t_closeness``);
+    the total-variation histogram then folds over the FINAL per-user
+    rows through the shared batch tail
+    (``analytics.t_closeness_histogram``) — final stream state ≡
+    batch aggregate, the family's equivalence contract.
+
+    State stays per-user and vocabulary-sized; the distance stage is
+    two hash aggregates plus the O(type-cardinality) broadcast grid —
+    release gates can watch skew drift per micro-batch instead of
+    auditing after the fact.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from securities_data_pipeline_spark.plans.analytics import (
+        t_closeness_histogram,
+    )
+
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            types, counts = state.get
+            acc = dict(zip(list(types), [int(c) for c in counts]))
+        else:
+            acc = {}
+        for pdf in pdfs:
+            vc = pdf["event_type"].fillna("(null)").value_counts()
+            for t, c in vc.items():
+                acc[str(t)] = acc.get(str(t), 0) + int(c)
+        state.update((list(acc.keys()), list(acc.values())))
+        sig = "|".join(
+            sorted(
+                f"{t}:{2 ** int(math.floor(math.log2(c)))}"
+                for t, c in acc.items()
+            )
+        )
+        sensitive = max(f"{c:010d}:{t}" for t, c in acc.items())[11:]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [sum(acc.values())],
+                "signature": [sig],
+                "sensitive": [sensitive],
+            }
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, signature string, "
+            "sensitive string"
+        ),
+        stateStructType="types array<string>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(result, "update")
+    # update mode re-emits per micro-batch; n_events is strictly
+    # monotone per user, so max_by picks each user's FINAL row
+    final = out.groupBy("user_id").agg(
+        F.max_by(F.struct("signature", "sensitive"), "n_events").alias("fs")
+    )
+    return t_closeness_histogram(
+        final.select("fs.signature", "fs.sensitive")
+    )
+
+
+def _guarded_stream_t_closeness_sql() -> str:
+    # the batch op's oracle verbatim (final stream state must equal
+    # the batch histogram), with the stream's admission gate
+    from securities_data_pipeline_spark.functions.gates import guard_events_sql
+    from securities_data_pipeline_spark.plans.analytics import (
+        A_T_CLOSENESS_SQL,
+    )
+
+    return guard_events_sql(A_T_CLOSENESS_SQL)
+
+
+STREAMING_QUERIES["s_stream_t_closeness"] = s_stream_t_closeness
+STREAMING_ORACLES["s_stream_t_closeness"] = _guarded_stream_t_closeness_sql()
+
+
 def s_stream_quarantine_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of the gate audit (``m_quarantine_report``):
     admitted vs quarantined event counts accumulated over the stream —

@@ -1129,3 +1129,52 @@ def test_pq_train_plan_has_no_window_or_bnlj(spark):
     plan = _physical_plan(sim_pq_train(spark, "/root/testdata/sf0.001"))
     assert plan.count("BroadcastNestedLoopJoin") == 0, plan
     assert plan.count("Window") <= 1, plan  # only the donor-rank window
+
+
+def test_ivf_retrain_report_consistent_with_component_ops(spark):
+    """The retrain report's numbers must be re-derivable from the
+    operators it composes: the static row's hits are exactly the
+    overlap of sim_ivf_topk with the brute-force ground truth, both
+    rows' bucket stats equal the assignment each roster induces
+    (assign_buckets for static, kmeans_train_roster membership for
+    trained), and ratios are the exact int/int divisions."""
+    from collections import Counter
+
+    from securities_data_pipeline_spark.operators.similarity import (
+        assign_buckets,
+        emb_table,
+        kmeans_train_roster,
+        sim_bruteforce_topk,
+        sim_ivf_retrain_recall,
+        sim_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rep = {r.roster: r for r in sim_ivf_retrain_recall(spark, sf).collect()}
+    assert set(rep) == {"static", "trained"}
+
+    exact = {(r.query_id, r.vec_id)
+             for r in sim_bruteforce_topk(spark, sf).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in sim_ivf_topk(spark, sf).collect()}
+    assert rep["static"].n_hits == len(exact & ivf)
+    assert rep["static"].recall == round(len(exact & ivf) / len(exact), 6)
+
+    sizes = Counter(
+        r.centroid_id for r in assign_buckets(emb_table(spark, sf)).collect()
+    )
+    assert rep["static"].n_buckets == len(sizes)
+    assert rep["static"].peak_ratio == round(
+        max(sizes.values()) * len(sizes) / sum(sizes.values()), 6
+    )
+
+    # trained bucket stats == the training roster's final membership
+    # (kmeans_train_roster drops empty clusters; so does the report's
+    # n_buckets, which counts non-empty assignment buckets)
+    members = {r.centroid_id: r.n_members
+               for r in kmeans_train_roster(spark, sf).collect()}
+    assert rep["trained"].n_buckets == len(members)
+    assert rep["trained"].peak_ratio == round(
+        max(members.values()) * len(members) / sum(members.values()), 6
+    )
+    assert 0.0 < rep["trained"].recall <= 1.0
+    assert rep["trained"].n_hits <= len(exact)

@@ -980,3 +980,122 @@ def test_stream_k_anonymity_state_survives_restart_and_replay(spark, tmp_path):
     got2 = {r.user_id: r.signature
             for r in spark.read.parquet(sink_path).collect()}
     assert got2 == {1: "view:4", 2: "click:2|view:1", 3: "(null):1"}
+
+
+def test_stream_t_closeness_state_survives_restart_and_replay(spark, tmp_path):
+    """Restart proof for the streaming t-closeness face: the per-user
+    (type, count) state behind s_stream_t_closeness must (a) survive a
+    clean restart — the SENSITIVE attribute (dominant type under the
+    batch tiebreak: count first, then type) must reflect ACCUMULATED
+    counts, not the last batch's (u1's second file flips a count tie
+    whose correct winner differs from the last-batch-only answer) —
+    and (b) absorb a MID-BATCH replay (offset commit deleted after the
+    sink write) without double-counting, which would both deepen the
+    signature bucket and flip the tie the wrong way."""
+    import math
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from securities_data_pipeline_spark.load import merge_upsert
+
+    landing = str(tmp_path / "landing")
+    sink_path = str(tmp_path / "sens")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "user_id long, event_type string"
+
+    def land(rows, fname):
+        stage = str(tmp_path / f"_stage_{fname}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(f"{stage}/{part}", f"{landing}/{fname}")
+        shutil.rmtree(stage)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            types, counts = state.get
+            acc = dict(zip(list(types), [int(c) for c in counts]))
+        else:
+            acc = {}
+        for pdf in pdfs:
+            vc = pdf["event_type"].fillna("(null)").value_counts()
+            for t, c in vc.items():
+                acc[str(t)] = acc.get(str(t), 0) + int(c)
+        state.update((list(acc.keys()), list(acc.values())))
+        sig = "|".join(
+            sorted(
+                f"{t}:{2 ** int(math.floor(math.log2(c)))}"
+                for t, c in acc.items()
+            )
+        )
+        sensitive = max(f"{c:010d}:{t}" for t, c in acc.items())[11:]
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [sum(acc.values())],
+             "signature": [sig], "sensitive": [sensitive]}
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(landing)
+        )
+        sens = stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, n_events long, signature string, "
+                "sensitive string"
+            ),
+            stateStructType="types array<string>, counts array<long>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+        def sink(batch_df, _bid):
+            merge_upsert(spark, batch_df, sink_path, ["user_id"])
+
+        q = (
+            sens.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # u1: 2 views (sensitive view); u2: 1 view 1 click (count tie ->
+    # max type -> view)
+    land([(1, "view"), (1, "view"), (2, "view"), (2, "click")], "f1.parquet")
+    run_once()
+    got1 = {r.user_id: (r.signature, r.sensitive)
+            for r in spark.read.parquet(sink_path).collect()}
+    assert got1 == {1: ("view:2", "view"),
+                    2: ("click:1|view:1", "view")}
+
+    # MID-BATCH replay: sink written, offset commit deleted — replay
+    # must re-run against the PRE-batch state or u1 jumps to view:4
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+    got_replay = {r.user_id: (r.signature, r.sensitive)
+                  for r in spark.read.parquet(sink_path).collect()}
+    assert got_replay == got1
+
+    # clean restart: u1 gains 2 CLICKS -> accumulated counts tie
+    # (view 2, click 2) and the batch tiebreak picks 'view'; a state
+    # reset would instead answer 'click' (last batch only). u2 gains a
+    # click (click 2 > view 1 -> 'click'); u3 appears with NULL type.
+    land([(1, "click"), (1, "click"), (2, "click"), (3, None)], "f2.parquet")
+    run_once()
+    got2 = {r.user_id: (r.signature, r.sensitive)
+            for r in spark.read.parquet(sink_path).collect()}
+    assert got2 == {1: ("click:2|view:2", "view"),
+                    2: ("click:2|view:1", "click"),
+                    3: ("(null):1", "(null)")}

@@ -40,6 +40,7 @@ PY_OK = {
     "mm_resize",
     "s_stream_user_stats_stateful",
     "s_stream_k_anonymity",  # applyInPandasWithState signature state IS the op
+    "s_stream_t_closeness",  # same per-user state op + batch TV tail (r10)
     # custom stateful streaming processor (transformWithState v2 or its
     # applyInPandasWithState v1 twin) — the Python state op IS the point
     "s_stream_topk_transform_state",
@@ -88,7 +89,9 @@ BNLJ_OK = {
     "q22_global_sales_opportunity",  # 1-row positive-balance avg scalar
     "dedup_triangle_stats",  # 1-row wedge-total × 1-row triangle-count
     "a_t_closeness",  # class-k × tiny global value-distribution grid
+    "s_stream_t_closeness",  # same grid tail over the final stream state (r10)
     "sim_kmeans_train",  # 1-row roster crossJoin per Lloyd round (in-row argmax)
+    "sim_ivf_retrain_recall",  # 1-row stat / K-row roster crossJoins (r10)
     "t_bm25_topk",  # same 1-row (n_docs, total_dl) crossJoin as t_idf
 }
 

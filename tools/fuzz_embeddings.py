@@ -56,6 +56,7 @@ EMB_QUERIES = [
     "sim_hard_negatives",
     "sim_kmeans_train",  # r9: Lloyd training; garbage vectors must not poison centroids
     "sim_pq_train",  # r9: subspace-Lloyd codebook training on gated corpus
+    "sim_ivf_retrain_recall",  # r10: before/after roster report (train+probe)
 ]
 
 DIM = 64

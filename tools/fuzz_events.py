@@ -56,6 +56,7 @@ EVENT_QUERIES = [
     "a_l_diversity",  # r8: homogeneity-attack stage of the privacy audit
     "a_t_closeness",  # r9: skewness-attack stage (TV distance to global)
     "s_stream_k_anonymity",  # r9: streaming privacy face (signature state)
+    "s_stream_t_closeness",  # r10: streaming skewness-attack face (TV distance)
     "w10_conversion_cohorts",  # r9: cohort funnel latency, exact median
     "m_quarantine_report",  # r9: gate-audit counts must absorb garbage by definition
     "a_markov_transition",  # r9: sequence bigrams under ties/null types
