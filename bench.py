@@ -275,6 +275,7 @@ HEADLINE = [
     # round-10 additions
     "s_stream_t_closeness",
     "sim_ivf_retrain_recall",
+    "sim_pq_retrain_recall",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

@@ -990,6 +990,70 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     ]
 
 
+def _cb_subspace(cb: list[list[float]]) -> dict:
+    """Re-key a K×64 full-vector codebook as (m, c) → dsub-slice — the
+    subspace form shared by the ADC expression builders below and the
+    trained codebook (``pq_train_codebook`` rows are already per
+    subspace)."""
+    return {
+        (m, c): cb[c][m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        for m in range(PQ_M)
+        for c in range(PQ_K)
+    }
+
+
+def _query_nvecs(emb: DataFrame) -> dict[int, list[float]]:
+    """Driver-side L2-normalized query vectors (|queries|·dim doubles
+    of driver state — broadcastable at any corpus size)."""
+    return {
+        int(r.vec_id): _l2_normalize([float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+
+def _band_dists_expr(cbsub: dict, m: int) -> str:
+    """Per-entry Σ_d (x−cent)² against subspace ``m``'s K codewords as
+    ONE nested array literal + zip_with/aggregate — instead of K
+    unrolled distance chains, which keeps the expression tree ~10×
+    smaller (the unrolled form cost seconds of driver analysis/codegen
+    per run). 'D' suffix: a bare decimal literal parses as DECIMAL and
+    would promote the ADC sum away from the oracle's DOUBLE. zip_with
+    pairs in index order and aggregate folds left-to-right — the same
+    order as the DuckDB oracle's list_zip/list_aggregate."""
+    rows = ", ".join(
+        "array("
+        + ", ".join(f"{cbsub[(m, c)][d]!r}D" for d in range(PQ_DSUB))
+        + ")"
+        for c in range(PQ_K)
+    )
+    return (
+        f"transform(array({rows}), cv -> "
+        f"aggregate(zip_with(slice(_nv, {m * PQ_DSUB + 1}, {PQ_DSUB}), cv, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v))"
+    )
+
+
+def _adc_expr(cbsub: dict, qv: list[float]) -> str:
+    """ADC score for one normalized query vector: per subspace the
+    query→codeword distance table is computed DRIVER-side (left-fold,
+    the oracle's order) and looked up by the row's code; the 8 lookups
+    chain '+' in subspace order so the sum is bit-identical
+    cross-engine."""
+    lookups = []
+    for m in range(PQ_M):
+        tabs = []
+        for c in range(PQ_K):
+            acc = 0.0
+            for d in range(PQ_DSUB):
+                diff = qv[m * PQ_DSUB + d] - cbsub[(m, c)][d]
+                acc = acc + diff * diff
+            tabs.append(f"{acc!r}D")
+        lookups.append(f"element_at(array({', '.join(tabs)}), _c{m} + 1)")
+    return " + ".join(lookups)
+
+
 def sim_pq_topk(
     spark: SparkSession, sf_dir: str, shortlist: int | None = None
 ) -> DataFrame:
@@ -1018,36 +1082,12 @@ def sim_pq_topk(
     driver Python, and the DuckDB oracle, so ADC values are
     bit-identical cross-engine."""
     cb = _pq_codebook(spark, sf_dir)
+    cbsub = _cb_subspace(cb)
     emb = emb_table(spark, sf_dir)
-    qvecs = {
-        int(r.vec_id): _l2_normalize([float(x) for x in r.embedding])
-        for r in emb.where(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    }
-
-    def cb_band_lit(m: int) -> str:
-        # codebook slice for subspace m as an array-of-arrays literal —
-        # one nested literal + zip_with/aggregate instead of K unrolled
-        # distance chains keeps the expression tree ~10× smaller (the
-        # unrolled form cost seconds of driver analysis/codegen per
-        # run). 'D' suffix: a bare decimal literal parses as DECIMAL
-        # and would promote the ADC sum away from the oracle's DOUBLE.
-        rows = ", ".join(
-            "array(" + ", ".join(f"{cb[c][m * PQ_DSUB + d]!r}D" for d in range(PQ_DSUB)) + ")"
-            for c in range(PQ_K)
-        )
-        return f"array({rows})"
+    qvecs = _query_nvecs(emb)
 
     def band_dists_expr(m: int) -> str:
-        # per-entry Σ_d (x−cent)²: zip_with pairs in index order and
-        # aggregate folds left-to-right — the same order as the
-        # DuckDB oracle's list_zip/list_aggregate
-        return (
-            f"transform({cb_band_lit(m)}, cv -> "
-            f"aggregate(zip_with(slice(_nv, {m * PQ_DSUB + 1}, {PQ_DSUB}), cv, "
-            "(x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v))"
-        )
+        return _band_dists_expr(cbsub, m)
 
     normalized = spread(emb).select("vec_id", F.expr(NV_EXPR).alias("_nv"))
     encoded = normalized.select(
@@ -1064,20 +1104,8 @@ def sim_pq_topk(
         ],
     )
 
-    def dtab(q: int, m: int, c: int) -> float:
-        acc = 0.0
-        for d in range(PQ_DSUB):
-            i = m * PQ_DSUB + d
-            diff = qvecs[q][i] - cb[c][i]
-            acc = acc + diff * diff
-        return acc
-
     def adc_expr(q: int) -> str:
-        lookups = []
-        for m in range(PQ_M):
-            tab = ", ".join(f"{dtab(q, m, c)!r}D" for c in range(PQ_K))
-            lookups.append(f"element_at(array({tab}), _c{m} + 1)")
-        return " + ".join(lookups)
+        return _adc_expr(cbsub, qvecs[q])
 
     per_query = F.array(
         *[
@@ -2345,11 +2373,13 @@ _PQ_TRAIN_SUBDIST = (
 )
 
 
-def _sql_pq_train(rounds: int = PQ_TRAIN_ROUNDS) -> str:
-    """Unrolled-CTE twin of the subspace-Lloyd loop: the donor init of
-    the serving PQ oracle, then per round a window-ranked assignment
-    joined BY subspace, DECIMAL per-dimension means, ordered-list
-    reassembly, and the empty-code fallback."""
+def _sql_pq_cte_parts(rounds: int = PQ_TRAIN_ROUNDS) -> list[str]:
+    """The unrolled subspace-Lloyd CTE chain ``WITH norme … cb{rounds}``:
+    the donor init of the serving PQ oracle, then per round a
+    window-ranked assignment joined BY subspace, DECIMAL per-dimension
+    means, ordered-list reassembly, and the empty-code fallback.
+    Shared by ``_sql_pq_train`` and ``_sql_pq_retrain_recall`` (cb0
+    doubles as the donor codebook)."""
     head = f"""WITH norme AS (
   SELECT vec_id, {_PQ_NORM_SQL} AS nv FROM embeddings
 ), subs AS (
@@ -2396,6 +2426,14 @@ def _sql_pq_train(rounds: int = PQ_TRAIN_ROUNDS) -> str:
   FROM {prev} k LEFT JOIN n{r} n ON n.m = k.m AND n.c = k.c
 )"""
         )
+    return parts
+
+
+def _sql_pq_train(rounds: int = PQ_TRAIN_ROUNDS) -> str:
+    """``_sql_pq_cte_parts`` plus the final assignment, membership/
+    distortion stats, and the flattened scalar-only output select."""
+    parts = _sql_pq_cte_parts(rounds)
+    dist = _PQ_TRAIN_SUBDIST.format(a="u.sv", b="k.cw")
     parts.append(
         f""", ef AS (
   SELECT u.vec_id, u.m, k.c, {dist} AS dist,
@@ -2424,3 +2462,226 @@ FROM fin ORDER BY m, c, pos"""
 
 SIMILARITY_QUERIES["sim_pq_train"] = sim_pq_train
 SIMILARITY_ORACLES["sim_pq_train"] = guard_emb_sql(_sql_pq_train())
+
+
+def _pq_codebook_report(
+    spark: SparkSession,
+    sf_dir: str,
+    cbsub: dict,
+    exact: DataFrame,
+    tag: str,
+) -> DataFrame:
+    """One codebook's row of the PQ retrain report: encode the corpus
+    (in-row argmin over the codebook literals — the ``sim_pq_topk``
+    zero-shuffle shape), read corpus-weighted quantization distortion
+    off the per-subspace minima, score the queries by ADC, and count
+    exact-top-k hits in the ADC top-k."""
+    emb = emb_table(spark, sf_dir)
+    qvecs = _query_nvecs(emb)
+    normalized = spread(emb).select("vec_id", F.expr(NV_EXPR).alias("_nv"))
+    encoded = (
+        normalized.select(
+            "vec_id",
+            "_nv",
+            *[
+                F.expr(_band_dists_expr(cbsub, m)).alias(f"_pqd{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .select(
+            "vec_id",
+            *[
+                F.expr(
+                    f"CAST(array_position(_pqd{m}, array_min(_pqd{m})) - 1 AS INT)"
+                ).alias(f"_c{m}")
+                for m in range(PQ_M)
+            ],
+            *[
+                F.expr(f"array_min(_pqd{m})").alias(f"_md{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .localCheckpoint(eager=False)  # feeds the ADC rank + distortion
+    )
+    # corpus-weighted mean squared distortion, DECIMAL(18,9) quantized
+    # per (vector, subspace) term — the t_unigram_logprob rule
+    distortion = encoded.select(
+        F.explode(
+            F.array(*[F.col(f"_md{m}") for m in range(PQ_M)])
+        ).alias("d")
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("d"), 9).cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sqdist")
+    )
+    per_query = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("long").alias("query_id"),
+                F.expr(_adc_expr(cbsub, qvecs[q])).alias("adc"),
+            )
+            for q in sorted(qvecs)
+        ]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    topk = (
+        encoded.select("vec_id", F.explode(per_query).alias("qa"))
+        .select(
+            F.col("qa.query_id").alias("query_id"),
+            "vec_id",
+            F.col("qa.adc").alias("adc"),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    hits = topk.join(exact, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    return (
+        hits.crossJoin(n_exact)
+        .crossJoin(distortion)
+        .select(
+            F.lit(tag).alias("codebook"),
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+            "mean_sqdist",
+        )
+    )
+
+
+def sim_pq_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ RETRAIN integration report — the PQ training tier's
+    before/after certificate, the exact sibling of
+    ``sim_ivf_retrain_recall``: the corpus is PQ-encoded once under
+    the serving DONOR codebook (``_pq_codebook``'s normalized donor
+    stand-in, what ``sim_pq_topk`` ships with) and once under the
+    codebooks ``pq_train_codebook`` just trained, and each row reports
+    corpus-weighted quantization distortion plus RAW-ADC top-k recall
+    against the exact cosine ground truth (raw ADC, not the reranked
+    tier, because rerank masks exactly the codebook quality difference
+    this report exists to measure). Reading the two rows side by side
+    answers: does the trained quantizer compress tighter AND retrieve
+    better than the donor stand-in?
+
+    Plan: both codebooks are index-sized driver state (M×K×dsub
+    doubles — the trained one collects ``pq_train_codebook``, the
+    same bounded collect ``_pq_codebook`` already performs for the
+    donors) entering the plan as broadcast literals, so each arm is
+    the ``sim_pq_topk`` zero-shuffle shape: normalize → encode → ADC
+    are pure per-row projections; the only shuffles are the per-query
+    top-k window and the 1-row stat aggregates. The exact side
+    computes once and feeds both hit joins. Floats: distortion terms
+    quantize to DECIMAL(18,9) before aggregation; ADC sums chain in
+    subspace order; recall is one int/int double division.
+    """
+    trained_rows = pq_train_codebook(spark, sf_dir).select(
+        "m", "c", "cw"
+    ).collect()
+    trained = {
+        (int(r.m), int(r.c)): [float(x) for x in r.cw] for r in trained_rows
+    }
+    donor = _cb_subspace(_pq_codebook(spark, sf_dir))
+    exact = (
+        sim_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)  # feeds both codebooks' hit joins
+    )
+    return (
+        _pq_codebook_report(spark, sf_dir, donor, exact, "donor")
+        .unionByName(
+            _pq_codebook_report(spark, sf_dir, trained, exact, "trained")
+        )
+        .orderBy("codebook")
+    )
+
+
+def _sql_pq_retrain_recall(rounds: int = PQ_TRAIN_ROUNDS) -> str:
+    """Twin of the PQ retrain report: the shared subspace-Lloyd CTE
+    chain (cb0 is the donor codebook, cb{rounds} the trained one), the
+    exact cosine top-k once, then per codebook the argmin encoding,
+    the DECIMAL distortion aggregate, the ADC scoring (subspace-order
+    '+' chain via MAX-CASE pivots — the sum order the Spark literal
+    uses), and the hit join."""
+    parts = _sql_pq_cte_parts(rounds)
+    dist = _PQ_TRAIN_SUBDIST.format(a="u.sv", b="k.cw")
+    parts.append(
+        f""", q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cosine('q.qvec', 'e.embedding')} DESC,
+                      e.vec_id ASC
+           ) AS rn
+    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {TOP_K}
+), nex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact
+)"""
+    )
+    for tag, src in (("donor", "cb0"), ("trained", f"cb{rounds}")):
+        parts.append(
+            f""", enc_{tag} AS (
+  SELECT vec_id, m, c, dist FROM (
+    SELECT u.vec_id, u.m, k.c, {dist} AS dist,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id, u.m
+             ORDER BY {dist} ASC, k.c ASC
+           ) AS rn
+    FROM sub u JOIN {src} k USING (m)
+  ) WHERE rn = 1
+), dst_{tag} AS (
+  SELECT round(CAST(SUM(CAST(round(dist, 9) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_sqdist
+  FROM enc_{tag}
+), dtab_{tag} AS (
+  SELECT u.vec_id AS query_id, u.m, k.c, {dist} AS qdist
+  FROM sub u JOIN {src} k USING (m)
+  WHERE u.vec_id < {N_QUERIES}
+), adc_{tag} AS (
+  SELECT t.query_id, cd.vec_id,
+         {' + '.join(f"MAX(CASE WHEN cd.m = {m} THEN t.qdist END)" for m in range(PQ_M))} AS adc
+  FROM enc_{tag} cd JOIN dtab_{tag} t ON t.m = cd.m AND t.c = cd.c
+  WHERE cd.vec_id <> t.query_id
+  GROUP BY 1, 2
+), top_{tag} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc ASC, vec_id ASC
+           ) AS rank
+    FROM adc_{tag}
+  ) WHERE rank <= {TOP_K}
+), hit_{tag} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM top_{tag} i JOIN exact x
+    ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT '{tag}' AS codebook, h.n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / n.n_exact, 6) AS recall,
+       d.mean_sqdist
+FROM hit_{tag} h CROSS JOIN nex n CROSS JOIN dst_{tag} d"""
+        for tag in ("donor", "trained")
+    )
+    parts.append("\n" + selects + "\nORDER BY codebook")
+    return "".join(parts)
+
+
+SIMILARITY_QUERIES["sim_pq_retrain_recall"] = sim_pq_retrain_recall
+SIMILARITY_ORACLES["sim_pq_retrain_recall"] = guard_emb_sql(
+    _sql_pq_retrain_recall()
+)

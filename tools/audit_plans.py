@@ -92,6 +92,7 @@ BNLJ_OK = {
     "s_stream_t_closeness",  # same grid tail over the final stream state (r10)
     "sim_kmeans_train",  # 1-row roster crossJoin per Lloyd round (in-row argmax)
     "sim_ivf_retrain_recall",  # 1-row stat / K-row roster crossJoins (r10)
+    "sim_pq_retrain_recall",  # 1-row stat crossJoins over the literal-ADC arms (r10)
     "t_bm25_topk",  # same 1-row (n_docs, total_dl) crossJoin as t_idf
 }
 

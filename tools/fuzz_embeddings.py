@@ -57,6 +57,7 @@ EMB_QUERIES = [
     "sim_kmeans_train",  # r9: Lloyd training; garbage vectors must not poison centroids
     "sim_pq_train",  # r9: subspace-Lloyd codebook training on gated corpus
     "sim_ivf_retrain_recall",  # r10: before/after roster report (train+probe)
+    "sim_pq_retrain_recall",  # r10: donor-vs-trained codebook certificate
 ]
 
 DIM = 64
