@@ -276,6 +276,7 @@ HEADLINE = [
     "s_stream_t_closeness",
     "sim_ivf_retrain_recall",
     "sim_pq_retrain_recall",
+    "mm_dataset_card",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from securities_data_pipeline_spark.sources.tables import spread, table
@@ -598,3 +598,119 @@ FROM ranked WHERE rank <= {MM_KNN_K}
 MULTIMODAL_QUERIES["mm_feature_knn"] = mm_feature_knn
 MULTIMODAL_ORACLES["mm_feature_knn"] = _sql_mm_feature_knn()
 MULTIMODAL_ORACLES["mm_near_dedup"] = _sql_mm_near_dedup()
+
+
+def mm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality DATASET CARD — the composition summary a curated
+    multimodal corpus ships with (HF dataset cards, Datasheets for
+    Datasets): per media type, document count, exact-duplicate payload
+    share (distinct sha256 digests — the multimodal face of
+    ``dedup_exact``'s fingerprint rule), total/min/max payload bytes,
+    and the EXACT median payload size via rank arithmetic (the
+    ``w10_conversion_cohorts`` median discipline: the middle one or
+    two rows by ``(n_bytes, doc_id)`` rank, averaged — x.0/x.5
+    doubles, identical on both engines, no dialect-specific
+    percentile interpolation).
+
+    Plan: metadata projection only (``octet_length`` + ``sha2`` — the
+    payload is never decoded, the ``mm_binary_meta`` rule), one hash
+    aggregate per media type plus one rank window whose partitions are
+    per-modality — at 100 TB each modality's rank rides its own
+    shuffle partition set, and the card is O(modalities) rows forever.
+    ``dup_ratio`` is the exact integer-family division
+    (n_docs − n_distinct)/n_docs.
+    """
+    meta = documents_as_media(spark, sf_dir).select(
+        "doc_id",
+        "media_type",
+        F.octet_length(F.col("payload")).alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("digest"),
+    )
+    w = Window.partitionBy("media_type").orderBy("n_bytes", "doc_id")
+    wn = Window.partitionBy("media_type")
+    med = (
+        meta.select(
+            "media_type",
+            "n_bytes",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .where(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("media_type")
+        .agg(
+            (
+                F.sum("n_bytes").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("median_bytes")
+        )
+    )
+    stats = meta.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("digest").cast("long").alias("n_distinct_payloads"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.min("n_bytes").cast("long").alias("min_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+    )
+    return (
+        stats.join(med, "media_type")
+        .select(
+            "media_type",
+            "n_docs",
+            "n_distinct_payloads",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_payloads")).cast(
+                    "double"
+                )
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_ratio"),
+            "total_bytes",
+            "min_bytes",
+            "max_bytes",
+            "median_bytes",
+        )
+        .orderBy("media_type")
+    )
+
+
+MM_DATASET_CARD_SQL = """
+WITH meta AS (
+  SELECT doc_id, 'text/plain' AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS digest
+  FROM documents
+), ranked AS (
+  SELECT media_type, n_bytes,
+         ROW_NUMBER() OVER (PARTITION BY media_type
+                            ORDER BY n_bytes, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY media_type) AS n
+  FROM meta
+), med AS (
+  SELECT media_type,
+         CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS median_bytes
+  FROM ranked
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY 1
+), stats AS (
+  SELECT media_type,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_payloads,
+         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+         CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+  FROM meta GROUP BY 1
+)
+SELECT s.media_type, s.n_docs, s.n_distinct_payloads,
+       round(CAST(s.n_docs - s.n_distinct_payloads AS DOUBLE) / s.n_docs, 6)
+         AS dup_ratio,
+       s.total_bytes, s.min_bytes, s.max_bytes, m.median_bytes
+FROM stats s JOIN med m USING (media_type)
+ORDER BY s.media_type
+"""
+
+
+MULTIMODAL_QUERIES["mm_dataset_card"] = mm_dataset_card
+MULTIMODAL_ORACLES["mm_dataset_card"] = MM_DATASET_CARD_SQL

@@ -1215,3 +1215,42 @@ def test_pq_retrain_report_consistent_with_component_ops(spark):
     # corpus the improvement is large (≈23% at sf0.01)
     assert rep["trained"].mean_sqdist < rep["donor"].mean_sqdist
     assert 0.0 <= rep["trained"].recall <= 1.0
+
+
+def test_mm_dataset_card_hand_math(spark, tmp_path):
+    """Hand-computed card on a planted corpus: 5 docs (UTF-8 payload
+    sizes 1,2,2,3,10 bytes → odd-count median = 2.0), one exact
+    duplicate pair → 4 distinct digests, dup_ratio 0.2. A second run
+    with an even count (drop the 10-byte doc: sizes 1,2,2,3 → the two
+    middle rows average to 2.0) pins the two-middle-rows branch."""
+    from securities_data_pipeline_spark.operators.multimodal import (
+        mm_dataset_card,
+    )
+
+    rows = [
+        (1, "a", "s"),          # 1 byte
+        (2, "bb", "s"),         # 2 bytes
+        (3, "bb", "s"),         # 2 bytes — exact duplicate of doc 2
+        (4, "ccc", "s"),        # 3 bytes
+        (5, "0123456789", "s"), # 10 bytes
+    ]
+    spark.createDataFrame(rows, DOCS).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    (card,) = mm_dataset_card(spark, str(tmp_path)).collect()
+    assert card.media_type == "text/plain"
+    assert card.n_docs == 5
+    assert card.n_distinct_payloads == 4
+    assert card.dup_ratio == 0.2
+    assert card.total_bytes == 18
+    assert (card.min_bytes, card.max_bytes) == (1, 10)
+    assert card.median_bytes == 2.0
+
+    spark.createDataFrame(rows[:4], DOCS).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    (card,) = mm_dataset_card(spark, str(tmp_path)).collect()
+    assert card.n_docs == 4
+    # even count: middle ranks 2 and 3 hold sizes 2 and 2
+    assert card.median_bytes == 2.0
+    assert card.total_bytes == 8 and card.dup_ratio == 0.25

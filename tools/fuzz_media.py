@@ -52,6 +52,7 @@ MM_QUERIES = [
     "mm_near_dedup",
     "mm_near_dedup_capped",
     "mm_feature_knn",
+    "mm_dataset_card",  # r10: per-modality composition card (meta-only)
 ]
 
 ASCII = string.ascii_letters + string.digits + " .,;:!?-_()[]"
