@@ -613,12 +613,15 @@ def mm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile interpolation).
 
     Plan: metadata projection only (``octet_length`` + ``sha2`` — the
-    payload is never decoded, the ``mm_binary_meta`` rule), one hash
-    aggregate per media type plus one rank window whose partitions are
-    per-modality — at 100 TB each modality's rank rides its own
-    shuffle partition set, and the card is O(modalities) rows forever.
-    ``dup_ratio`` is the exact integer-family division
-    (n_docs − n_distinct)/n_docs.
+    payload is never decoded, the ``mm_binary_meta`` rule), one
+    per-modality rank window feeding ONE hash aggregate: the median is
+    a conditional aggregation over the middle-ranked rows, not a
+    separate median frame joined back (the demo mapping's literal
+    modality would constant-fold a join key away into a degenerate
+    nested-loop join — plan-audit catch). At 100 TB each modality's
+    rank rides its own shuffle partition set, and the card is
+    O(modalities) rows forever. ``dup_ratio`` is the exact
+    integer-family division (n_docs − n_distinct)/n_docs.
     """
     meta = documents_as_media(spark, sf_dir).select(
         "doc_id",
@@ -628,34 +631,31 @@ def mm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("media_type").orderBy("n_bytes", "doc_id")
     wn = Window.partitionBy("media_type")
-    med = (
-        meta.select(
-            "media_type",
-            "n_bytes",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
-        )
-        .where(
-            (F.col("rn") == F.expr("(n + 1) div 2"))
-            | (F.col("rn") == F.expr("(n + 2) div 2"))
-        )
-        .groupBy("media_type")
-        .agg(
-            (
-                F.sum("n_bytes").cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("median_bytes")
-        )
+    ranked = meta.select(
+        "media_type",
+        "n_bytes",
+        "digest",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
     )
-    stats = meta.groupBy("media_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.countDistinct("digest").cast("long").alias("n_distinct_payloads"),
-        F.sum("n_bytes").cast("long").alias("total_bytes"),
-        F.min("n_bytes").cast("long").alias("min_bytes"),
-        F.max("n_bytes").cast("long").alias("max_bytes"),
+    mid = (F.col("rn") == F.expr("(n + 1) div 2")) | (
+        F.col("rn") == F.expr("(n + 2) div 2")
     )
     return (
-        stats.join(med, "media_type")
+        ranked.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("digest").cast("long").alias(
+                "n_distinct_payloads"
+            ),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.min("n_bytes").cast("long").alias("min_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+            (
+                F.sum(F.when(mid, F.col("n_bytes"))).cast("double")
+                / F.sum(F.when(mid, 1)).cast("double")
+            ).alias("median_bytes"),
+        )
         .select(
             "media_type",
             "n_docs",
@@ -683,32 +683,27 @@ WITH meta AS (
          sha256(text) AS digest
   FROM documents
 ), ranked AS (
-  SELECT media_type, n_bytes,
+  SELECT media_type, n_bytes, digest,
          ROW_NUMBER() OVER (PARTITION BY media_type
                             ORDER BY n_bytes, doc_id) AS rn,
          COUNT(*) OVER (PARTITION BY media_type) AS n
   FROM meta
-), med AS (
-  SELECT media_type,
-         CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS median_bytes
-  FROM ranked
-  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-  GROUP BY 1
-), stats AS (
-  SELECT media_type,
-         CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_payloads,
-         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-         CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
-         CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
-  FROM meta GROUP BY 1
 )
-SELECT s.media_type, s.n_docs, s.n_distinct_payloads,
-       round(CAST(s.n_docs - s.n_distinct_payloads AS DOUBLE) / s.n_docs, 6)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_payloads,
+       round(CAST(COUNT(*) - COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6)
          AS dup_ratio,
-       s.total_bytes, s.min_bytes, s.max_bytes, m.median_bytes
-FROM stats s JOIN med m USING (media_type)
-ORDER BY s.media_type
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+       CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                     THEN n_bytes END) AS DOUBLE)
+         / SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+               THEN 1 ELSE 0 END) AS median_bytes
+FROM ranked
+GROUP BY media_type
+ORDER BY media_type
 """
 
 
