@@ -622,12 +622,19 @@ def mm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank rides its own shuffle partition set, and the card is
     O(modalities) rows forever. ``dup_ratio`` is the exact
     integer-family division (n_docs − n_distinct)/n_docs.
+
+    NULL-payload policy (adversarial-media fuzz catch): a NULL payload
+    is card-counted as an EMPTY payload (0 bytes, digest of b"") —
+    without the coalesce, NULL byte-lengths sort FIRST in Spark but
+    LAST in DuckDB and the median ranks land on different rows.
     """
-    meta = documents_as_media(spark, sf_dir).select(
+    media = documents_as_media(spark, sf_dir)
+    payload = F.coalesce(F.col("payload"), F.lit(b""))
+    meta = media.select(
         "doc_id",
         "media_type",
-        F.octet_length(F.col("payload")).alias("n_bytes"),
-        F.sha2(F.col("payload"), 256).alias("digest"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
     )
     w = Window.partitionBy("media_type").orderBy("n_bytes", "doc_id")
     wn = Window.partitionBy("media_type")
@@ -678,9 +685,11 @@ def mm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_DATASET_CARD_SQL = """
 WITH meta AS (
+  -- NULL payloads are card-counted as EMPTY payloads (see the
+  -- operator docstring: engine NULL-sort orders differ)
   SELECT doc_id, 'text/plain' AS media_type,
-         octet_length(encode(text)) AS n_bytes,
-         sha256(text) AS digest
+         octet_length(encode(COALESCE(text, ''))) AS n_bytes,
+         sha256(COALESCE(text, '')) AS digest
   FROM documents
 ), ranked AS (
   SELECT media_type, n_bytes, digest,

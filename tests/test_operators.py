@@ -1222,7 +1222,10 @@ def test_mm_dataset_card_hand_math(spark, tmp_path):
     sizes 1,2,2,3,10 bytes → odd-count median = 2.0), one exact
     duplicate pair → 4 distinct digests, dup_ratio 0.2. A second run
     with an even count (drop the 10-byte doc: sizes 1,2,2,3 → the two
-    middle rows average to 2.0) pins the two-middle-rows branch."""
+    middle rows average to 2.0) pins the two-middle-rows branch, and a
+    third with a NULL text pins the NULL-payload-as-empty policy (the
+    adversarial-media fuzz catch: NULL byte-lengths sort first in
+    Spark but last in DuckDB, shifting the median ranks)."""
     from securities_data_pipeline_spark.operators.multimodal import (
         mm_dataset_card,
     )
@@ -1254,3 +1257,13 @@ def test_mm_dataset_card_hand_math(spark, tmp_path):
     # even count: middle ranks 2 and 3 hold sizes 2 and 2
     assert card.median_bytes == 2.0
     assert card.total_bytes == 8 and card.dup_ratio == 0.25
+
+    # NULL text counts as an EMPTY payload: sizes 0,1,2,2,3 → median 2,
+    # and the NULL digest (sha of b"") is its own distinct payload
+    spark.createDataFrame(rows[:4] + [(6, None, "s")], DOCS).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    (card,) = mm_dataset_card(spark, str(tmp_path)).collect()
+    assert card.n_docs == 5
+    assert card.min_bytes == 0 and card.median_bytes == 2.0
+    assert card.n_distinct_payloads == 4  # a,bb,ccc,""
