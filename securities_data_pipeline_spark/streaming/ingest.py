@@ -1333,6 +1333,76 @@ _guard_stream_oracles()
 # ---------------------------------------------------------------------------
 # Streaming privacy face (VERDICT r8 item 6): incremental k-anonymity
 
+
+def _accumulate_type_counts(state, pdfs) -> dict[str, int]:
+    """Shared ``applyInPandasWithState`` accumulator for the streaming
+    privacy faces: fold this micro-batch's per-user (event_type, count)
+    pairs from the pandas chunks into the engine-managed state and
+    return the ACCUMULATED dict (NULL type → the batch ops' ``(null)``
+    sentinel, counts always ints)."""
+    if state.exists:
+        types, counts = state.get
+        acc = dict(zip(list(types), [int(c) for c in counts]))
+    else:
+        acc = {}
+    for pdf in pdfs:
+        vc = pdf["event_type"].fillna("(null)").value_counts()
+        for t, c in vc.items():
+            acc[str(t)] = acc.get(str(t), 0) + int(c)
+    state.update((list(acc.keys()), list(acc.values())))
+    return acc
+
+
+def _k_signature(acc: dict[str, int]) -> str:
+    """Generalized anonymity signature — byte-identical formatting to
+    the batch op (``plans/analytics.py a_k_anonymity``): types with
+    power-of-two count buckets, sorted ascending."""
+    import math
+
+    return "|".join(
+        sorted(f"{t}:{2 ** int(math.floor(math.log2(c)))}" for t, c in acc.items())
+    )
+
+
+def k_anonymity_state_update(key, pdfs, state):
+    """PRODUCTION update function for ``s_stream_k_anonymity`` —
+    module-level (not a closure) so the restart/replay proof in
+    tests/test_streaming.py exercises THIS function instead of an
+    inline copy that could drift from it (ADVICE r10)."""
+    import pandas as pd
+
+    acc = _accumulate_type_counts(state, pdfs)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [sum(acc.values())],
+            "signature": [_k_signature(acc)],
+        }
+    )
+
+
+def t_closeness_state_update(key, pdfs, state):
+    """PRODUCTION update function for ``s_stream_t_closeness`` — the
+    k-anonymity accumulator plus the user's current SENSITIVE attribute
+    (dominant event type under the batch op's exact tiebreak: max over
+    ``lpad(count,10,'0')||':'||type`` strings — count first, then
+    type, byte-identical to ``plans/analytics.py a_t_closeness``).
+    Module-level for the same no-drift reason as
+    ``k_anonymity_state_update`` (ADVICE r10)."""
+    import pandas as pd
+
+    acc = _accumulate_type_counts(state, pdfs)
+    sensitive = max(f"{c:010d}:{t}" for t, c in acc.items())[11:]
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [sum(acc.values())],
+            "signature": [_k_signature(acc)],
+            "sensitive": [sensitive],
+        }
+    )
+
+
 def s_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming k-anonymity audit — the batch privacy triad's
     ingest-time face (``plans/analytics.py a_k_anonymity``): per-user
@@ -1352,40 +1422,12 @@ def s_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_stream_user_stats_stateful equivalence), via the SAME SQL the
     batch op registers.
     """
-    import math
-
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = events_stream(spark, sf_dir).select("user_id", "event_type")
 
-    def update(key, pdfs, state: GroupState):
-        if state.exists:
-            types, counts = state.get
-            acc = dict(zip(list(types), [int(c) for c in counts]))
-        else:
-            acc = {}
-        for pdf in pdfs:
-            vc = pdf["event_type"].fillna("(null)").value_counts()
-            for t, c in vc.items():
-                acc[str(t)] = acc.get(str(t), 0) + int(c)
-        state.update((list(acc.keys()), list(acc.values())))
-        sig = "|".join(
-            sorted(
-                f"{t}:{2 ** int(math.floor(math.log2(c)))}"
-                for t, c in acc.items()
-            )
-        )
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [sum(acc.values())],
-                "signature": [sig],
-            }
-        )
-
     result = ev.groupBy("user_id").applyInPandasWithState(
-        update,
+        k_anonymity_state_update,
         outputStructType="user_id long, n_events long, signature string",
         stateStructType="types array<string>, counts array<long>",
         outputMode="update",
@@ -1444,10 +1486,7 @@ def s_stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     release gates can watch skew drift per micro-batch instead of
     auditing after the fact.
     """
-    import math
-
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from securities_data_pipeline_spark.plans.analytics import (
         t_closeness_histogram,
@@ -1455,35 +1494,8 @@ def s_stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_stream(spark, sf_dir).select("user_id", "event_type")
 
-    def update(key, pdfs, state: GroupState):
-        if state.exists:
-            types, counts = state.get
-            acc = dict(zip(list(types), [int(c) for c in counts]))
-        else:
-            acc = {}
-        for pdf in pdfs:
-            vc = pdf["event_type"].fillna("(null)").value_counts()
-            for t, c in vc.items():
-                acc[str(t)] = acc.get(str(t), 0) + int(c)
-        state.update((list(acc.keys()), list(acc.values())))
-        sig = "|".join(
-            sorted(
-                f"{t}:{2 ** int(math.floor(math.log2(c)))}"
-                for t, c in acc.items()
-            )
-        )
-        sensitive = max(f"{c:010d}:{t}" for t, c in acc.items())[11:]
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [sum(acc.values())],
-                "signature": [sig],
-                "sensitive": [sensitive],
-            }
-        )
-
     result = ev.groupBy("user_id").applyInPandasWithState(
-        update,
+        t_closeness_state_update,
         outputStructType=(
             "user_id long, n_events long, signature string, "
             "sensitive string"

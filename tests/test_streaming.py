@@ -881,14 +881,19 @@ def test_stream_k_anonymity_state_survives_restart_and_replay(spark, tmp_path):
     and (b) absorb a MID-BATCH replay (offset commit deleted after the
     sink write) without double-counting, or every signature drifts one
     power-of-two bucket high. Final per-user signatures must equal the
-    batch signature computation over everything landed."""
-    import math
+    batch signature computation over everything landed.
+
+    Exercises the PRODUCTION update function
+    (``ingest.k_anonymity_state_update``), not an inline copy — so the
+    proof fails if the production state logic drifts (ADVICE r10)."""
     import shutil
 
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from securities_data_pipeline_spark.load import merge_upsert
+    from securities_data_pipeline_spark.streaming.ingest import (
+        k_anonymity_state_update,
+    )
 
     landing = str(tmp_path / "landing")
     sink_path = str(tmp_path / "sigs")
@@ -903,28 +908,6 @@ def test_stream_k_anonymity_state_survives_restart_and_replay(spark, tmp_path):
         shutil.move(f"{stage}/{part}", f"{landing}/{fname}")
         shutil.rmtree(stage)
 
-    def update(key, pdfs, state: GroupState):
-        if state.exists:
-            types, counts = state.get
-            acc = dict(zip(list(types), [int(c) for c in counts]))
-        else:
-            acc = {}
-        for pdf in pdfs:
-            vc = pdf["event_type"].fillna("(null)").value_counts()
-            for t, c in vc.items():
-                acc[str(t)] = acc.get(str(t), 0) + int(c)
-        state.update((list(acc.keys()), list(acc.values())))
-        sig = "|".join(
-            sorted(
-                f"{t}:{2 ** int(math.floor(math.log2(c)))}"
-                for t, c in acc.items()
-            )
-        )
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [sum(acc.values())],
-             "signature": [sig]}
-        )
-
     def run_once():
         stream = (
             spark.readStream.schema(schema)
@@ -932,7 +915,7 @@ def test_stream_k_anonymity_state_survives_restart_and_replay(spark, tmp_path):
             .parquet(landing)
         )
         sigs = stream.groupBy("user_id").applyInPandasWithState(
-            update,
+            k_anonymity_state_update,
             outputStructType="user_id long, n_events long, signature string",
             stateStructType="types array<string>, counts array<long>",
             outputMode="update",
@@ -991,14 +974,19 @@ def test_stream_t_closeness_state_survives_restart_and_replay(spark, tmp_path):
     whose correct winner differs from the last-batch-only answer) —
     and (b) absorb a MID-BATCH replay (offset commit deleted after the
     sink write) without double-counting, which would both deepen the
-    signature bucket and flip the tie the wrong way."""
-    import math
+    signature bucket and flip the tie the wrong way.
+
+    Exercises the PRODUCTION update function
+    (``ingest.t_closeness_state_update``), not an inline copy — so the
+    proof fails if the production state logic drifts (ADVICE r10)."""
     import shutil
 
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from securities_data_pipeline_spark.load import merge_upsert
+    from securities_data_pipeline_spark.streaming.ingest import (
+        t_closeness_state_update,
+    )
 
     landing = str(tmp_path / "landing")
     sink_path = str(tmp_path / "sens")
@@ -1013,29 +1001,6 @@ def test_stream_t_closeness_state_survives_restart_and_replay(spark, tmp_path):
         shutil.move(f"{stage}/{part}", f"{landing}/{fname}")
         shutil.rmtree(stage)
 
-    def update(key, pdfs, state: GroupState):
-        if state.exists:
-            types, counts = state.get
-            acc = dict(zip(list(types), [int(c) for c in counts]))
-        else:
-            acc = {}
-        for pdf in pdfs:
-            vc = pdf["event_type"].fillna("(null)").value_counts()
-            for t, c in vc.items():
-                acc[str(t)] = acc.get(str(t), 0) + int(c)
-        state.update((list(acc.keys()), list(acc.values())))
-        sig = "|".join(
-            sorted(
-                f"{t}:{2 ** int(math.floor(math.log2(c)))}"
-                for t, c in acc.items()
-            )
-        )
-        sensitive = max(f"{c:010d}:{t}" for t, c in acc.items())[11:]
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [sum(acc.values())],
-             "signature": [sig], "sensitive": [sensitive]}
-        )
-
     def run_once():
         stream = (
             spark.readStream.schema(schema)
@@ -1043,7 +1008,7 @@ def test_stream_t_closeness_state_survives_restart_and_replay(spark, tmp_path):
             .parquet(landing)
         )
         sens = stream.groupBy("user_id").applyInPandasWithState(
-            update,
+            t_closeness_state_update,
             outputStructType=(
                 "user_id long, n_events long, signature string, "
                 "sensitive string"
