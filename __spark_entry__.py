@@ -22,30 +22,24 @@ from pyspark.sql import DataFrame, SparkSession
 # (tools/staleness.py holds the same logic as a CLI). Only the
 # new/changed head remains hand-maintained, per round:
 _NEW_OR_CHANGED = (
-    # round 10 head (cap 7 this round — VERDICT r9 item 3: the two
-    # never-green entries plus the 41 r5-stale tail must fit the
-    # 50-query window; the count itself is len()-derived in the test,
-    # never narrated).
-    # OUTPUT-SHAPE-changed (VERDICT r9 item 1: arrays flattened to
-    # scalar (…, pos, val) rows so the driver canonicalizer can sort
-    # them — these are the registry's only two never-driver-green
-    # entries and must lead):
-    "sim_kmeans_train",
-    "sim_pq_train",
-    # NEW: IVF retrain integration report — corpus assigned to the
-    # freshly trained roster vs the static serving roster, balance +
-    # recall deltas side by side (VERDICT r9 next-round #7)
-    "sim_ivf_retrain_recall",
-    # NEW: streaming t-closeness — the privacy triad's last batch-only
-    # member gains its ingest-time face, with the family's
-    # mid-batch-replay restart proof (VERDICT r9 next-round #8)
-    "s_stream_t_closeness",
-    # PLAN-changed: forced O(docs) signature broadcasts dropped
-    # (VERDICT r9 item 2 — AQE picks the join strategy now)
-    "dedup_banding_curve",
-    # SEMANTICS-changed: single-event sessions register in the sweep
-    # (minimum 1µs interval width — ADVICE r9 #3)
-    "w11_peak_concurrency",
+    # round 11 head (cap 5 this round — VERDICT r10 next-round #1: the
+    # POST-landing invariant needs head + (head + 40 r7-stale
+    # leftovers) ≤ 50, so head ≤ 5; the count itself is len()-derived
+    # in the test, never narrated).
+    # NEW: BPE APPLY certificate — the corpus encoded under the
+    # TRAINED merge table vs the fixed regex baseline, closing the
+    # text family's training loop the way the r10 retrain
+    # certificates closed IVF/PQ (VERDICT r10 next-round #2)
+    "t_bpe_apply",
+    # NEW: streaming multimodal dataset card — foreachBatch merge into
+    # PK-keyed digest-registry + byte-bucket partials, the family's
+    # seventh proven restart state class (VERDICT r10 next-round #3)
+    "s_stream_mm_card",
+    # ORACLE-changed: the unrolled-CTE chain is now MATERIALIZED —
+    # DuckDB 1.0 inlines un-hinted CTEs and re-evaluated the chain
+    # exponentially (5.8 s → 0.1 s at sf0.01; same rows, proven by an
+    # equality run). The Spark side is untouched.
+    "t_bpe_train",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced
@@ -53,8 +47,9 @@ _NEW_OR_CHANGED = (
 #: ≥4-rounds-stale query, so a late-round head addition that would
 #: push stale queries out of the ~50-query driver window fails CI
 #: instead of silently invalidating the round's coverage claim.
-#: Round 10: lowered 10 → 7 (VERDICT r9 item 3 window math).
-NEW_OR_CHANGED_CAP = 7
+#: Round 11: lowered 7 → 5 (VERDICT r10 item: post-landing window math
+#: head + (head + 40) ≤ 50).
+NEW_OR_CHANGED_CAP = 5
 DRIVER_WINDOW = 50
 
 

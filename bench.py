@@ -277,6 +277,9 @@ HEADLINE = [
     "sim_ivf_retrain_recall",
     "sim_pq_retrain_recall",
     "mm_dataset_card",
+    # round-11 additions
+    "t_bpe_apply",
+    "s_stream_mm_card",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

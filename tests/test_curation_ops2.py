@@ -169,6 +169,125 @@ def test_bpe_train_matches_pure_python_trainer(spark):
     assert got == expected
 
 
+def test_bpe_apply_matches_pure_python_encoder(spark):
+    """t_bpe_apply's certificate metrics must equal a from-scratch
+    Python recomputation: train the merges (the pinned trainer
+    semantics), encode the word table under them, and recompute every
+    token-budget metric — so the certificate fails if the encode pass
+    or any metric drifts from the documented semantics. sf0.001 text
+    is ASCII-only (verified), so ``re.ASCII`` matches the Java-regex
+    defaults of the registered baseline."""
+    import re
+    from collections import Counter
+
+    from securities_data_pipeline_spark.operators.textops import (
+        BPE_PATTERN,
+        N_BPE_MERGES,
+        t_bpe_apply,
+        table,
+        token_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    freqs = Counter()
+    for r in token_stream(table(spark, sf, "documents")).collect():
+        if re.fullmatch(r"[a-z]+", r.token):
+            freqs[r.token] += 1
+
+    state = {w: " ".join(w) + " _" for w in freqs}
+    merges = []
+    for _rank in range(1, N_BPE_MERGES + 1):
+        counts = Counter()
+        for w, rep in state.items():
+            syms = rep.split(" ")
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += freqs[w]
+        if not counts:
+            break
+        (s1, s2), _ = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(s1 + s2)
+        pat, rep_ = f" {s1} {s2} ", f" {s1}{s2} "
+        state = {
+            w: (" " + r + " ").replace(pat, rep_).strip()
+            for w, r in state.items()
+        }
+
+    top1 = merges[0]
+    occ = sum(freqs.values())
+    tok_char = sum(freqs[w] * (len(w) + 1) for w in state)
+    tok_tr = sum(freqs[w] * len(r.split(" ")) for w, r in state.items())
+    tok_merged = sum(
+        freqs[w] * sum(1 for s in r.split(" ") if len(s) > 1)
+        for w, r in state.items()
+    )
+    top1_occ = sum(
+        freqs[w] for w, r in state.items() if f" {top1} " in f" {r} "
+    )
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    ]
+    n_docs = len(texts)
+    tok_regex = sum(
+        len(re.findall(BPE_PATTERN, t.lower(), re.ASCII))
+        for t in texts
+        if t is not None
+    )
+
+    expected = {
+        "bpe_compression_ratio": round(tok_tr / tok_char, 6),
+        "merged_token_share": round(tok_merged / tok_tr, 6),
+        "n_distinct_words": float(len(state)),
+        "n_docs": float(n_docs),
+        "tokens_char_baseline": float(tok_char),
+        "tokens_per_doc_regex": round(tok_regex / n_docs, 6),
+        "tokens_per_doc_trained": round(tok_tr / n_docs, 6),
+        "tokens_regex_baseline": float(tok_regex),
+        "tokens_trained": float(tok_tr),
+        "top1_merge_coverage": round(top1_occ / occ, 6),
+        "word_occurrences": float(occ),
+    }
+    got = {r.metric: r.value for r in t_bpe_apply(spark, sf).collect()}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+    # training must actually compress: fewer trained tokens than the
+    # character baseline, and the top merge covers a nonzero share
+    assert got["tokens_trained"] < got["tokens_char_baseline"]
+    assert got["top1_merge_coverage"] > 0
+    assert 0 < got["merged_token_share"] < 1
+
+
+def test_bpe_apply_empty_alphabet_guards(spark, tmp_path):
+    """A corpus with no ^[a-z]+$ words (digits/punct/NULL only) must
+    degrade deterministically: zero word-side counts, NULL guarded
+    ratios, and the regex baseline still counted — on BOTH the Spark
+    side (empty 1-row crossJoin arm) and the oracle's (NULL scalar
+    subquery arm); this pins the Spark half."""
+    from securities_data_pipeline_spark.operators.textops import t_bpe_apply
+
+    spark.createDataFrame(
+        [(1, "123 456"), (2, "!!! ???"), (3, None)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.metric: r.value for r in t_bpe_apply(spark, str(tmp_path)).collect()}
+    # regex baseline: '123','456' + 6 punct marks = 8 tokens; NULL text -> 0
+    assert got["n_docs"] == 3.0
+    assert got["tokens_regex_baseline"] == 8.0
+    assert got["tokens_per_doc_regex"] == round(8 / 3, 6)
+    # tokens_per_doc_trained divides by n_docs (3 > 0), so it reads an
+    # exact 0.0 rather than NULL — only the word-side denominators
+    # (tok_char, tok_tr, occ) are zero here and NULL-guard their ratios
+    for k in ("n_distinct_words", "word_occurrences", "tokens_trained",
+              "tokens_char_baseline", "tokens_per_doc_trained"):
+        assert got[k] == 0.0, k
+    for k in ("bpe_compression_ratio", "merged_token_share",
+              "top1_merge_coverage"):
+        assert got[k] is None, k
+
+
 def test_pmi_cooccurrence_hand_math(spark, tmp_path):
     """PMI against hand arithmetic: tokens arranged so the attracted
     pair co-occurs more than independence predicts (pmi > 0) and the

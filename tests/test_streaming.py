@@ -1064,3 +1064,80 @@ def test_stream_t_closeness_state_survives_restart_and_replay(spark, tmp_path):
     assert got2 == {1: ("click:2|view:2", "view"),
                     2: ("click:2|view:1", "click"),
                     3: ("(null):1", "(null)")}
+
+
+def test_stream_mm_card_restart_and_replay_merge_sink(spark, tmp_path):
+    """Restart proof for the streaming dataset card — the family's
+    SEVENTH state class (foreachBatch merge into PK-keyed card state).
+    Exercises the PRODUCTION functions (mm_card_stream_meta,
+    mm_card_sink via run_mm_card_stream, mm_card_from_state), never an
+    inline copy. Proves: (a) hand-computed card on the first file;
+    (b) a MID-BATCH replay (offset commit deleted after the sink
+    merges landed) is absorbed — the digest registry re-merges the
+    same PKs and the bucket partial overwrites its own
+    (modality, bucket, batch_id) row instead of double-counting;
+    (c) a clean restart accumulates: a cross-file duplicate payload
+    raises n_docs but NOT the distinct count, and the median bucket
+    moves with the accumulated histogram."""
+    import shutil
+
+    from securities_data_pipeline_spark.streaming.ingest import (
+        mm_card_from_state,
+        mm_card_stream_meta,
+        run_mm_card_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+
+    def land(rows_, fname):
+        stage = str(tmp_path / f"_stage_{fname}")
+        spark.createDataFrame(rows_, schema).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(f"{stage}/{part}", f"{landing}/{fname}")
+        shutil.rmtree(stage)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(landing)
+        )
+        run_mm_card_stream(spark, mm_card_stream_meta(stream), state, ckpt)
+
+    def card():
+        (row,) = mm_card_from_state(spark, state).collect()
+        return (
+            row.media_type, row.n_docs, row.n_distinct_payloads,
+            row.dup_ratio, row.total_bytes, row.min_bytes, row.max_bytes,
+            row.median_bucket_lo,
+        )
+
+    # f1: sizes 1,2,2 bytes ('bb' duplicated) -> buckets {1:1, 2:2};
+    # n=3, lower-median rank 2 -> cum(1)=1 < 2, cum(2)=3 >= 2 -> bucket 2
+    land([(1, "a"), (2, "bb"), (3, "bb")], "f1.parquet")
+    run_once()
+    assert card() == ("text/plain", 3, 2, round(1 / 3, 6), 5, 1, 2, 2)
+
+    # MID-BATCH replay: both merges landed, offset commit deleted —
+    # a non-idempotent sink would double every bucket count
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+    assert card() == ("text/plain", 3, 2, round(1 / 3, 6), 5, 1, 2, 2)
+
+    # clean restart: 'bb' again (cross-file dup: n_docs +1, distinct
+    # unchanged), 'ccc' (3 bytes -> bucket 2), '0123456789' (10 bytes
+    # -> bucket 8). Accumulated sizes 1,2,2,2,3,10: n=6, rank 3 ->
+    # buckets {1:1, 2:4, 8:1}, cum(2)=5 >= 3 -> median bucket 2
+    land([(4, "bb"), (5, "ccc"), (6, "0123456789")], "f2.parquet")
+    run_once()
+    assert card() == ("text/plain", 6, 4, round(2 / 6, 6), 20, 1, 10, 2)

@@ -94,6 +94,9 @@ BNLJ_OK = {
     "sim_ivf_retrain_recall",  # 1-row stat / K-row roster crossJoins (r10)
     "sim_pq_retrain_recall",  # 1-row stat crossJoins over the literal-ADC arms (r10)
     "t_bm25_topk",  # same 1-row (n_docs, total_dl) crossJoin as t_idf
+    # 1-row top-merge broadcast over the vocabulary-sized word state +
+    # the 1-row × 1-row doc/word metric crossJoin (r11)
+    "t_bpe_apply",
 }
 
 # queries whose POINT is reading every column (data profiling)

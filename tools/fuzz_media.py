@@ -53,6 +53,7 @@ MM_QUERIES = [
     "mm_near_dedup_capped",
     "mm_feature_knn",
     "mm_dataset_card",  # r10: per-modality composition card (meta-only)
+    "s_stream_mm_card",  # r11: incremental card (bucketed median, merge sink)
 ]
 
 ASCII = string.ascii_letters + string.digits + " .,;:!?-_()[]"

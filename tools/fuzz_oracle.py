@@ -78,6 +78,7 @@ DOC_QUERIES = [
     "dedup_simhash_wide",  # r7: 60-bit / 4-band production geometry
     "dedup_simhash_wide_capped",  # r7: width + cap 64, the registered default
     "t_bpe_train",  # r8: iterative merge training (incl. empty-alphabet edge)
+    "t_bpe_apply",  # r11: trained-table encode certificate (same edge cases)
     "t_pmi_cooccurrence",  # r8: PMI over the capped top vocabulary
     "t_zipf_fit",  # r9: rank-frequency regression must absorb degenerate vocab
     "t_bm25_topk",
