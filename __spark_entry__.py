@@ -40,6 +40,11 @@ _NEW_OR_CHANGED = (
     # exponentially (5.8 s → 0.1 s at sf0.01; same rows, proven by an
     # equality run). The Spark side is untouched.
     "t_bpe_train",
+    # NEW: k-map re-identification audit — released sample's QI
+    # classes sized against the full population registry, completing
+    # the privacy audit ladder (k-anonymity → l-diversity →
+    # t-closeness → k-map)
+    "a_k_map",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

@@ -280,6 +280,7 @@ HEADLINE = [
     # round-11 additions
     "t_bpe_apply",
     "s_stream_mm_card",
+    "a_k_map",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

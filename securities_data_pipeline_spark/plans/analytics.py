@@ -708,6 +708,99 @@ ANALYTICS_QUERIES["a_t_closeness"] = a_t_closeness
 ANALYTICS_ORACLES["a_t_closeness"] = _guard_events(A_T_CLOSENESS_SQL)
 
 
+def a_k_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit, stage 4: k-map of a RELEASED sample against the
+    population registry it was drawn from.
+
+    k-anonymity (``a_k_anonymity``) measures re-identification risk
+    WITHIN the released rows; k-map is the attacker-realistic variant:
+    the adversary matches a released record's quasi-identifiers
+    against the full POPULATION (here the ``customer`` registry), so a
+    record's risk is its equivalence-class size in the population,
+    which is never smaller — and the released sample is the customers
+    who actually placed orders (a behavioral disclosure, not a random
+    draw). QI = (nation, market segment, account-balance band of
+    width 1000) — the banding is the generalization step, raw
+    balances are near-unique. Output: one row per population class
+    size k with the number of released QI classes and released
+    records at that k; a released record in a k=1 class is uniquely
+    re-identifiable by ANY adversary holding the registry.
+
+    Plan: population and sample both collapse to QI-class aggregates
+    (two hash aggregations shuffling (QI) rows, never the fact
+    tables), the sample side is pre-shrunk by a semi join on custkey,
+    and the class-level equi join + k histogram move only
+    distinct-QI-combo row counts — every stage is linear in its input
+    at 100 TB, and no per-record state survives the first aggregate.
+    NULL QI parts map to explicit sentinels on BOTH engines (the
+    ``a_k_anonymity`` concat_ws-vs-|| lesson).
+
+    No reference counterpart (extension operator; completes the
+    privacy family's audit ladder: k-anonymity → l-diversity →
+    t-closeness → k-map).
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    qi = [
+        F.coalesce(F.col("c_nationkey").cast("string"), F.lit("(null)")),
+        F.coalesce(F.col("c_mktsegment"), F.lit("(null)")),
+        F.coalesce(
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("string"),
+            F.lit("(null)"),
+        ),
+    ]
+    pop = cust.select(F.concat_ws("|", *qi).alias("qi")).groupBy("qi").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    released = (
+        cust.join(
+            orders.select("o_custkey").where(F.col("o_custkey").isNotNull()),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .select(F.concat_ws("|", *qi).alias("qi"))
+        .groupBy("qi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    return (
+        released.join(pop, "qi")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("n_rel").cast("long").alias("n_released"),
+        )
+        .orderBy("k")
+    )
+
+
+A_K_MAP_SQL = """
+WITH qi_of AS (
+  SELECT c_custkey,
+         COALESCE(CAST(c_nationkey AS VARCHAR), '(null)') || '|' ||
+         COALESCE(c_mktsegment, '(null)') || '|' ||
+         COALESCE(CAST(CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS VARCHAR),
+                  '(null)') AS qi
+  FROM customer
+), pop AS (
+  SELECT qi, CAST(COUNT(*) AS BIGINT) AS k FROM qi_of GROUP BY qi
+), released AS (
+  SELECT qi, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM qi_of
+  WHERE c_custkey IN (SELECT o_custkey FROM orders
+                      WHERE o_custkey IS NOT NULL)
+  GROUP BY qi
+)
+SELECT p.k,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(r.n_rel) AS BIGINT) AS n_released
+FROM released r JOIN pop p ON r.qi = p.qi
+GROUP BY p.k ORDER BY p.k
+"""
+
+ANALYTICS_QUERIES["a_k_map"] = a_k_map
+ANALYTICS_ORACLES["a_k_map"] = A_K_MAP_SQL
+
+
 def w10_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort conversion report: per signup-month cohort, how many
     users signed up, how many ever purchased AFTER signing up, the

@@ -594,6 +594,44 @@ def test_partition_skew_report_flags_hot_month(spark, tmp_path):
     ]
 
 
+def test_a_k_map_population_class_sizes(spark, tmp_path):
+    """k-map against hand-built registry + release: population classes
+    sized by the FULL registry, released records counted per class —
+    a released record whose class holds unreleased lookalikes still
+    gets the population k (that is the k-map point), NULL QI parts
+    map to the sentinel class, and customers without orders never
+    appear on the released side."""
+    from securities_data_pipeline_spark.plans.analytics import a_k_map
+
+    cust = [
+        # class A: nation 1, AUTO, band 0 — pop k=3, 2 released
+        (1, "a", 1, 500.0, "AUTO"),
+        (2, "b", 1, 999.0, "AUTO"),
+        (3, "c", 1, 0.0, "AUTO"),
+        # class B: nation 2, BLDG, band -1 (negative balance) — pop
+        # k=2, 1 released
+        (4, "d", 2, -500.0, "BLDG"),
+        (5, "e", 2, -1.0, "BLDG"),
+        # class C: NULL nation + NULL balance sentinel — pop k=1,
+        # released -> uniquely re-identifiable
+        (6, "f", None, None, "MACH"),
+    ]
+    orders = [(10, 1, "O"), (11, 2, "O"), (12, 4, "O"), (13, 6, "O"),
+              (14, None, "O")]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    out = {r.k: (r.n_classes, r.n_released)
+           for r in a_k_map(spark, str(tmp_path)).collect()}
+    assert out == {1: (1, 1), 2: (1, 1), 3: (1, 2)}
+
+
 def test_l_diversity_consistent_with_k_anonymity(spark):
     """Both audits group users by the SAME generalized signature, so
     their histograms must account for identical set and user totals on

@@ -64,6 +64,7 @@ RELATIONAL_QUERIES = [
     "s5_scan_prune", "m_incremental_rollup", "m_zorder_cluster",
     "m_partition_skew_report",  # r8: ratio math on degenerate partitions
     "g_topn_per_group_scalable",
+    "a_k_map",  # r11: population-vs-release QI classes (NULL QI parts)
 ]
 
 DATE_MIN = dt.datetime(1970, 1, 1)

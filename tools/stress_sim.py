@@ -12,7 +12,11 @@ sim_ivf_recall floor documents.
 Works strictly inside ``<scratch_root>/sdp_sim_stress`` (root defaults
 to /tmp; only that harness-owned subdirectory is ever deleted). Usage::
 
-    python tools/stress_sim.py [sf_dir] [factor] [scratch_root]
+    python tools/stress_sim.py [sf_dir] [factor] [scratch_root] [query ...]
+
+Trailing query names restrict the sweep to that subset (used by the
+r11 retrain-certificate scale rows, where the rest of the family
+already has recorded 10×/20× rows).
 """
 
 from __future__ import annotations
@@ -70,6 +74,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     scratch_root = sys.argv[3] if len(sys.argv) > 3 else "/tmp"
+    only = set(sys.argv[4:])
     scratch = os.path.join(scratch_root, "sdp_sim_stress")
 
     spark = get_spark("sim-stress")
@@ -80,10 +85,12 @@ def main() -> int:
 
     from securities_data_pipeline_spark.operators.similarity import (
         dedup_embedding_cosine,
+        sim_ivf_retrain_recall,
         sim_ivf_topk,
         sim_kmeans_train,
         sim_lsh_topk,
         sim_pq_rerank_topk,
+        sim_pq_retrain_recall,
     )
     from securities_data_pipeline_spark.operators.curation import (
         dedup_semdedup,
@@ -109,7 +116,15 @@ def main() -> int:
         # (K ~ n/target_cluster_size in production) exists to prevent
         ("dedup_semdedup", dedup_semdedup),
         ("dedup_semdedup_capped", dedup_semdedup_capped),
+        # r11: the two retrain certificates — the claim under test is
+        # "exact ground truth computes ONCE, assignment/encode passes
+        # are linear in the corpus", so wall growth should track the
+        # amplification factor ~linearly
+        ("sim_ivf_retrain_recall", sim_ivf_retrain_recall),
+        ("sim_pq_retrain_recall", sim_pq_retrain_recall),
     ]:
+        if only and name not in only:
+            continue
         t = time.time()
         rows = fn(spark, scratch).count()
         results["queries"][name] = {"rows": rows, "sec": round(time.time() - t, 2)}
