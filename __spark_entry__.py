@@ -45,6 +45,10 @@ _NEW_OR_CHANGED = (
     # the privacy audit ladder (k-anonymity → l-diversity →
     # t-closeness → k-map)
     "a_k_map",
+    # NEW: IVF probe-sweep tuning curve — recall vs corpus-scan share
+    # for p = 1..8 probes, the dedup_banding_curve pattern applied to
+    # the ANN serving dial (N_PROBES)
+    "sim_ivf_probe_curve",
 )
 
 #: hard cap on the hand-maintained head (VERDICT r7 item 1) — enforced

@@ -281,6 +281,7 @@ HEADLINE = [
     "t_bpe_apply",
     "s_stream_mm_card",
     "a_k_map",
+    "sim_ivf_probe_curve",
 ]
 
 #: Oracle-exact CALIBRATION references (VERDICT r7 "what's wrong"

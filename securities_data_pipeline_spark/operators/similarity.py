@@ -2685,3 +2685,212 @@ SIMILARITY_QUERIES["sim_pq_retrain_recall"] = sim_pq_retrain_recall
 SIMILARITY_ORACLES["sim_pq_retrain_recall"] = guard_emb_sql(
     _sql_pq_retrain_recall()
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-sweep tuning curve (round 11)
+
+#: probe counts swept by the tuning curve; N_PROBES (the serving
+#: default) sits inside the sweep, and the top of the sweep reaches the
+#: full fixed roster so the curve visibly saturates at recall 1.0
+PROBE_SWEEP_MAX = 8
+
+
+def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multiprobe TUNING CURVE — the `dedup_banding_curve` pattern
+    applied to the ANN serving tier: for every probe count p in
+    1..``PROBE_SWEEP_MAX``, how much of the exact top-k the multiprobe
+    search can reach (its bucket is probed) and what fraction of the
+    corpus it scans to get there. ``N_PROBES`` is the serving dial;
+    this is the measured recall/scan-cost trade-off an operator reads
+    before moving it — the curve `sim_ivf_recall`'s single floor sits
+    on.
+
+    Per probe rank r, the sweep needs only (a) the number of exact
+    top-k neighbors whose bucket is the query's r-th nearest centroid
+    and (b) the bucket rows that rank-r probe scans, summed over
+    queries; the curve at p is the cumulative sum over r ≤ p. So the
+    corpus contributes ONE assignment pass (in-row bounded-roster
+    argmax, reused for bucket sizes via localCheckpoint) and the
+    brute-force ground truth computes once over the fixed query panel
+    — everything after is (query × ≤``N_CENTROIDS_CAP``)-sized: the
+    rank histograms are ≤``PROBE_SWEEP_MAX`` rows and the grid join
+    is a tiny-by-construction non-equi BNLJ, the allowlisted class.
+    `scanned_rows` counts full probed buckets (including the query's
+    own row when co-bucketed) — bucket size IS the scan cost the
+    curve prices.
+
+    Output is scalar (n_probes, n_hits, mean_recall, scanned_rows,
+    scanned_share) rows; recall divides by the ACTUAL exact-neighbor
+    count (≥0, < TOP_K·queries on small corpora) and both divisions
+    NULL-guard their denominators identically in the oracle.
+
+    No reference counterpart (extension operator; the operational
+    tuning tier of the similarity family).
+    """
+    emb = emb_table(spark, sf_dir)
+    bucketed = assign_buckets(emb).localCheckpoint(eager=False)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    centroids = emb.where(_centroid_filter()).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(centroids)
+        .select(
+            "query_id",
+            "centroid_id",
+            cosine(F.col("cvec"), F.col("qvec")).alias("csim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= PROBE_SWEEP_MAX)
+        .select("query_id", "centroid_id", "pr")
+    )
+    truth = sim_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits_by_rank = (
+        truth.join(bucketed.select("vec_id", "centroid_id"), "vec_id")
+        .join(probes, ["query_id", "centroid_id"])
+        .groupBy("pr")
+        .agg(F.count(F.lit(1)).cast("long").alias("h"))
+    )
+    scan_by_rank = (
+        probes.join(
+            bucketed.groupBy("centroid_id").agg(
+                F.count(F.lit(1)).cast("long").alias("bsz")
+            ),
+            "centroid_id",
+        )
+        .groupBy("pr")
+        .agg(F.sum("bsz").cast("long").alias("s"))
+    )
+    denom = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    ).crossJoin(
+        bucketed.agg(
+            (F.count(F.lit(1)) * F.lit(N_QUERIES)).cast("long").alias("n_scan_max")
+        )
+    )
+    grid = spark.range(1, PROBE_SWEEP_MAX + 1).select(
+        F.col("id").cast("int").alias("n_probes")
+    )
+    cum = (
+        grid.join(hits_by_rank, F.col("pr") <= F.col("n_probes"), "left")
+        .groupBy("n_probes")
+        .agg(F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("n_hits"))
+        .join(
+            grid.join(scan_by_rank, F.col("pr") <= F.col("n_probes"), "left")
+            .groupBy("n_probes")
+            .agg(
+                F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("scanned_rows")
+            ),
+            "n_probes",
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(denom))
+        .select(
+            "n_probes",
+            "n_hits",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_truth").cast("double"),
+                    6,
+                ),
+            ).alias("mean_recall"),
+            "scanned_rows",
+            F.when(
+                F.col("n_scan_max") > 0,
+                F.round(
+                    F.col("scanned_rows").cast("double")
+                    / F.col("n_scan_max").cast("double"),
+                    6,
+                ),
+            ).alias("scanned_share"),
+        )
+        .orderBy("n_probes")
+    )
+
+
+SIM_IVF_PROBE_CURVE_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {CENTROID_STRIDE * N_CENTROIDS_CAP}
+), assigned AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('c.cvec', 'e.embedding')} DESC, c.centroid_id ASC
+           ) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), probes AS MATERIALIZED (
+  SELECT query_id, centroid_id, pr FROM (
+    SELECT q.query_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cosine('c.cvec', 'q.qvec')} DESC, c.centroid_id ASC
+           ) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= {PROBE_SWEEP_MAX}
+), truth AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cosine('q.qvec', 'e.embedding')} DESC, e.vec_id ASC
+           ) AS rank
+    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {TOP_K}
+), hits_by_rank AS MATERIALIZED (
+  SELECT p.pr, CAST(COUNT(*) AS BIGINT) AS h
+  FROM truth t
+  JOIN assigned a ON a.vec_id = t.vec_id
+  JOIN probes p ON p.query_id = t.query_id AND p.centroid_id = a.centroid_id
+  GROUP BY p.pr
+), scan_by_rank AS MATERIALIZED (
+  SELECT p.pr, CAST(SUM(b.bsz) AS BIGINT) AS s
+  FROM probes p JOIN (
+    SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS bsz
+    FROM assigned GROUP BY centroid_id
+  ) b ON b.centroid_id = p.centroid_id
+  GROUP BY p.pr
+), denom AS MATERIALIZED (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(COUNT(*) * {N_QUERIES} AS BIGINT) FROM assigned)
+           AS n_scan_max
+), grid AS (
+  SELECT CAST(p AS INTEGER) AS n_probes FROM generate_series(1, {PROBE_SWEEP_MAX}) t(p)
+), cum AS (
+  SELECT g.n_probes,
+         CAST(COALESCE((SELECT SUM(h.h) FROM hits_by_rank h
+                        WHERE h.pr <= g.n_probes), 0) AS BIGINT) AS n_hits,
+         CAST(COALESCE((SELECT SUM(s.s) FROM scan_by_rank s
+                        WHERE s.pr <= g.n_probes), 0) AS BIGINT) AS scanned_rows
+  FROM grid g
+)
+SELECT c.n_probes, c.n_hits,
+       CASE WHEN d.n_truth > 0
+            THEN round(CAST(c.n_hits AS DOUBLE) / d.n_truth, 6) END
+         AS mean_recall,
+       c.scanned_rows,
+       CASE WHEN d.n_scan_max > 0
+            THEN round(CAST(c.scanned_rows AS DOUBLE) / d.n_scan_max, 6) END
+         AS scanned_share
+FROM cum c CROSS JOIN denom d
+ORDER BY c.n_probes
+"""
+
+SIMILARITY_QUERIES["sim_ivf_probe_curve"] = sim_ivf_probe_curve
+SIMILARITY_ORACLES["sim_ivf_probe_curve"] = guard_emb_sql(
+    SIM_IVF_PROBE_CURVE_SQL
+)

@@ -196,6 +196,38 @@ def test_ivf_multiprobe_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"IVF multiprobe recall@10 degraded: {recall}"
 
 
+def test_ivf_probe_curve_monotone_and_consistent_with_topk(spark):
+    """The tuning curve must be cumulative (hits, scanned rows, and
+    both ratios non-decreasing in p), priced against the real corpus
+    (scanned_share in (0, 1], hits ≤ truth size), and CONSISTENT with
+    the serving tier: at p = N_PROBES, the bucket-reachable hit count
+    equals |sim_ivf_topk ∩ exact top-k| — a probed true neighbor
+    always outranks every non-true candidate, so reachability and
+    retrieval coincide (deterministic corpus, 6-dp tie-break on
+    vec_id)."""
+    from securities_data_pipeline_spark.operators.similarity import (
+        N_PROBES,
+        sim_bruteforce_topk,
+        sim_ivf_probe_curve,
+        sim_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    curve = sorted(
+        (r.n_probes, r.n_hits, r.mean_recall, r.scanned_rows, r.scanned_share)
+        for r in sim_ivf_probe_curve(spark, sf).collect()
+    )
+    assert [c[0] for c in curve] == list(range(1, 9))
+    for prev, cur in zip(curve, curve[1:]):
+        assert cur[1] >= prev[1] and cur[3] >= prev[3]
+        assert cur[2] >= prev[2] and cur[4] >= prev[4]
+    bf = {(r.query_id, r.vec_id) for r in sim_bruteforce_topk(spark, sf).collect()}
+    assert all(0 < c[4] <= 1 and c[1] <= len(bf) for c in curve)
+    ivf = {(r.query_id, r.vec_id) for r in sim_ivf_topk(spark, sf).collect()}
+    at_serving = next(c for c in curve if c[0] == N_PROBES)
+    assert at_serving[1] == len(bf & ivf)
+
+
 def test_connected_components_path_and_singleton(spark):
     from securities_data_pipeline_spark.operators.dedup import connected_components
 

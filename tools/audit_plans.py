@@ -97,6 +97,10 @@ BNLJ_OK = {
     # 1-row top-merge broadcast over the vocabulary-sized word state +
     # the 1-row × 1-row doc/word metric crossJoin (r11)
     "t_bpe_apply",
+    # 8-row probe grid × ≤8-row rank histograms (cumulative non-equi
+    # join) + the 1-row denominator crossJoin; the exact tier is the
+    # allowlisted sim_bruteforce_topk broadcast scan (r11)
+    "sim_ivf_probe_curve",
 }
 
 # queries whose POINT is reading every column (data profiling)

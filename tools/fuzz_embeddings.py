@@ -36,6 +36,7 @@ EMB_QUERIES = [
     "sim_cluster_sample",
     "sim_ivf_topk",
     "sim_ivf_recall",
+    "sim_ivf_probe_curve",  # r11: probe sweep (degenerate corpora -> NULL guards)
     "sim_kmeans_assign",
     "sim_knn_graph",
     "sim_lsh_topk",
