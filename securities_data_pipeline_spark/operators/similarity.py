@@ -147,11 +147,22 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms precomputed per side BEFORE the fan-out (queries once, each
+    # corpus row once instead of once per query): scoring is one fold
+    # (the dot) per pair, and the quotient is bit-identical to inline
+    # cosine — the sim_knn_graph precedent (optimization round 11)
     emb = emb_table(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    corpus = spread(emb).select(F.col("vec_id"), F.col("embedding"), F.col("label"))
+    corpus = spread(emb).select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.col("label"),
+        _norm(F.col("embedding")).alias("en"),
+    )
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -160,7 +171,11 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "label",
-            cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qn") * F.col("en")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
@@ -251,21 +266,27 @@ WHERE e.vec_id <> q.query_id
 
 
 def assign_buckets(emb: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest deterministic centroid."""
+    """Assign every vector to its nearest deterministic centroid.
+
+    Optimization round 11: the original formulation exploded the corpus
+    n×K through a centroid crossJoin and picked row 1 of a per-vector
+    window — one full n×K Exchange + sort per consumer. The E-step here
+    is now the same IN-ROW argmax fold ``_kmeans_assign`` uses (guide
+    §2.4 — remove shuffles outright): the K-row roster packs into one
+    sorted struct row, broadcasts, and every vector folds over it
+    inside a single projection — ZERO Window nodes, zero n×K rows.
+    Tie semantics are identical by construction (strictly-greater fold
+    over the centroid_id-ascending array ≡ ORDER BY csim DESC,
+    centroid_id ASC row 1), and the cosine expression is the same
+    rounded fold, so the assignment is bit-identical — the equivalence
+    the sim_kmeans_train pure-Python pin already proves for this shape.
+    """
     centroids = emb.where(_centroid_filter()).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    scored = F.broadcast(centroids).crossJoin(emb).select(
-        "vec_id",
-        "label",
-        "embedding",
-        "centroid_id",
-        cosine(F.col("cvec"), F.col("embedding")).alias("csim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1).drop("r", "csim")
-    )
+    return _kmeans_assign(
+        emb.select("vec_id", "label", "embedding"), _kmeans_roster(centroids)
+    ).select("vec_id", "label", "embedding", "centroid_id")
 
 
 def label_centroids(emb: DataFrame) -> DataFrame:
@@ -1746,31 +1767,51 @@ KMEANS_ROUNDS = 3  # Lloyd iterations; convergence data in SCALE.md
 
 def _kmeans_roster(cents: DataFrame):
     """Pack the K-row centroid table into ONE sorted struct-array row
-    (centroid_id ascending — array_sort on the id-first struct), the
-    bounded k×d state that broadcasts however large the corpus is."""
+    (centroid_id ascending — array_sort on the id-first struct; the
+    extra fields never participate in the sort because centroid_id is
+    unique), the bounded k×d state that broadcasts however large the
+    corpus is. Each entry carries its precomputed norm ``cn`` so the
+    assignment fold does ONE fold (the dot) per centroid instead of
+    three — the quotient is bit-identical to inline ``cosine`` (same
+    per-vector sequential folds; the sim_knn_graph precedent)."""
     return cents.agg(
         F.array_sort(
-            F.collect_list(F.struct("centroid_id", "cvec"))
+            F.collect_list(
+                F.struct(
+                    "centroid_id",
+                    "cvec",
+                    _norm(F.col("cvec")).alias("cn"),
+                )
+            )
         ).alias("cents")
     )
 
 
 def _kmeans_assign(emb: DataFrame, roster) -> DataFrame:
     """E-step as an IN-ROW argmax: every vector scans the broadcast
-    roster array inside one codegen'd ``F.aggregate`` — no n×K row
-    explosion and no per-vector window shuffle (the scale improvement
-    over the window formulation ``assign_buckets`` uses; at corpus
-    scale the E-step is then a pure map over the scan). Ties break to
-    the LOWEST centroid id: the fold keeps the first strictly-greater
-    sim over the id-ascending array — exactly ``ORDER BY sim DESC,
-    centroid_id ASC`` row 1."""
+    roster array inside one ``F.aggregate`` — no n×K row explosion and
+    no per-vector window shuffle (at corpus scale the E-step is then a
+    pure map over the scan). Ties break to the LOWEST centroid id: the
+    fold keeps the first strictly-greater sim over the id-ascending
+    array — exactly ``ORDER BY sim DESC, centroid_id ASC`` row 1.
+
+    Per-row work (optimization round 11): the corpus vector's norm is
+    hoisted into ``_en`` (computed once per row, not once per centroid)
+    and the centroid norms ride the roster structs, so the fold runs
+    K dot-products instead of K×3 folds — ~3× fewer interpreted
+    higher-order-function evaluations per row, with the division
+    grouped exactly as ``cosine`` groups it (dot / (norm_a * norm_b)),
+    so every sim is bit-identical. Extra input columns (label, …) pass
+    through untouched."""
     zero = F.struct(
         F.lit(-2.0).cast("double").alias("sim"),
         F.lit(-1).cast("long").alias("cid"),
     )
 
     def step(acc, c):
-        s = cosine(c["cvec"], F.col("embedding"))
+        s = F.round(
+            _dot(c["cvec"], F.col("embedding")) / (c["cn"] * F.col("_en")), 6
+        )
         return F.when(
             s > acc["sim"],
             F.struct(
@@ -1779,11 +1820,105 @@ def _kmeans_assign(emb: DataFrame, roster) -> DataFrame:
         ).otherwise(acc)
 
     best = F.aggregate(F.col("cents"), zero, step)
-    return emb.crossJoin(F.broadcast(roster)).select(
-        "vec_id",
-        "embedding",
-        best["cid"].alias("centroid_id"),
-        best["sim"].alias("sim"),
+    cols = list(emb.columns)
+    # two-step projection: the fold lands in ONE alias first, fields
+    # extract in a second Project — multi-use non-trivial aliases block
+    # CollapseProject (the with_shingles lesson), so the fold runs once
+    # per row, not once per extracted field
+    return (
+        emb.withColumn("_en", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(roster))
+        .select(*cols, best.alias("_best"))
+        .select(
+            *cols,
+            F.col("_best.cid").alias("centroid_id"),
+            F.col("_best.sim").alias("sim"),
+        )
+    )
+
+
+def _py_norm(vec: list[float]) -> float:
+    """Left-fold sum of squares then sqrt — the exact fold order
+    ``_norm`` evaluates, so the value is bit-identical to the in-plan
+    norm (the ``_l2_normalize``/``_dotp`` driver-side-float
+    precedent)."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    return acc ** 0.5
+
+
+def _collect_centroid_rows(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """The deterministic serving roster as driver state: K ≤
+    ``N_CENTROIDS_CAP`` (centroid_id, vector) pairs, id-ascending — the
+    same bounded index-sized collect class as ``_pq_codebook``'s
+    donors."""
+    rows = emb.where(_centroid_filter()).select("vec_id", "embedding").collect()
+    return sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding]) for r in rows
+    )
+
+
+def _roster_fold_sql(roster: list[tuple[int, list[float]]]) -> str:
+    """The in-row argmax fold over a LITERAL roster — the bounded k×d
+    training state entering the plan as array literals (the
+    hyperplane/ADC lesson: built as ONE SQL string parsed JVM-side, so
+    driver time never scales with K×d py4j round-trips). Expression
+    semantics are exactly ``_kmeans_assign``'s fold: dot and norm are
+    the same left-to-right ``aggregate`` folds, ``cn`` is the Python
+    left-fold norm (bit-identical to ``_norm`` — ``_py_norm``), ties
+    keep the first strictly-greater sim over the id-ascending array."""
+    entries = ", ".join(
+        "named_struct('centroid_id', CAST({cid} AS BIGINT), "
+        "'cn', {cn!r}D, 'cvec', array({vs}))".format(
+            cid=cid,
+            cn=_py_norm(vec),
+            vs=", ".join(f"{x!r}D" for x in vec),
+        )
+        for cid, vec in roster
+    )
+    dot = (
+        "aggregate(zip_with(c.cvec, embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v)"
+    )
+    sim = f"round({dot} / (c.cn * _en), 6)"
+    return (
+        f"aggregate(array({entries}), "
+        "named_struct('sim', CAST(-2.0 AS DOUBLE), 'cid', CAST(-1 AS BIGINT)), "
+        f"(acc, c) -> IF({sim} > acc.sim, "
+        f"named_struct('sim', {sim}, 'cid', c.centroid_id), acc))"
+    )
+
+
+_EN_SQL = (
+    "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), "
+    "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+)
+
+
+def _assign_literal(
+    emb: DataFrame, roster: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """``_kmeans_assign`` with the roster as driver-side literal state:
+    one flat projection per corpus row (scan → fold), no roster
+    aggregate, no crossJoin, no per-round lineage to truncate — the
+    plan Catalyst analyzes once instead of once per checkpoint.
+    Output: (vec_id, embedding, _en, centroid_id, sim); ``_en`` is the
+    row's hoisted norm, reusable by downstream exact scoring."""
+    fold = _roster_fold_sql(roster)
+    # fold lands in one alias, fields extract in a second Project
+    # (multi-use aliases block CollapseProject → single evaluation)
+    return (
+        emb.selectExpr("vec_id", "embedding", f"{_EN_SQL} AS _en")
+        .selectExpr("vec_id", "embedding", "_en", f"{fold} AS _best")
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            "_en",
+            "_best.cid AS centroid_id",
+            "_best.sim AS sim",
+        )
     )
 
 
@@ -1815,8 +1950,8 @@ def kmeans_train_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart (extension operator; the ANN family's training tier).
     """
     emb = emb_table(spark, sf_dir)
-    cents = _kmeans_train_cents(emb)
-    final = _kmeans_assign(emb, _kmeans_roster(cents))
+    cents = _kmeans_train_lists(emb)
+    final = _assign_literal(emb, cents)
     stats = final.groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.round(
@@ -1825,34 +1960,47 @@ def kmeans_train_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_sim"),
     )
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "centroid_id long, cvec array<double>",
+    )
     return (
-        cents.join(stats, "centroid_id")
+        cents_df.join(stats, "centroid_id")
         .select("centroid_id", "n_members", "mean_sim", "cvec")
         .orderBy("centroid_id")
     )
 
 
-def _kmeans_train_cents(emb: DataFrame) -> DataFrame:
+def _kmeans_train_lists(emb: DataFrame) -> list[tuple[int, list[float]]]:
     """The Lloyd loop itself: ``KMEANS_ROUNDS`` rounds of in-row-argmax
     E-step + DECIMAL M-step over the gated corpus ``emb``, returning
     the FULL trained roster (all K rows, empty clusters kept at their
-    previous centroid) — shared by ``kmeans_train_roster`` (which
-    joins final membership stats) and ``sim_ivf_retrain_recall``
-    (which needs every centroid as a probe target, member or not)."""
-    cents = emb.where(_centroid_filter()).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
-    )
-    # M-step shape A/B'd same-session at sf0.1 (median-of-3, warmed):
-    # (documented on kmeans_train_roster)
-    # this posexplode→(id, dim) agg→ordered reassembly runs the
-    # 3-round loop in 8.5 s; the "one wide aggregate" alternative (64
-    # per-dimension decimal means in a single groupBy, no explode) is
-    # 13.2 s — the 64-expression aggregate tree costs more in codegen
-    # and per-round analysis than the extra small shuffle saves. Row
-    # inflation is n×64 one-value rows, bounded by map-side combine to
-    # K×64 per partition — the label_centroids contract.
+    previous centroid) as driver-side state — shared by
+    ``kmeans_train_roster`` (which joins final membership stats) and
+    ``sim_ivf_retrain_recall`` (which needs every centroid as a probe
+    target, member or not).
+
+    Optimization round 11: the round state (k×d ≤ 20×64 doubles —
+    index-sized forever) now lives on the DRIVER between rounds, the
+    same bounded class as ``_pq_codebook``'s donor collect and MLlib
+    KMeans' per-iteration centroid collect. Each round is ONE job:
+    scan → literal-roster argmax map → posexplode → map-side-combined
+    (centroid, dim) DECIMAL mean → collect K×d rows; the driver merges
+    means with the empty-cluster fallback and embeds the next round's
+    roster as literals. vs the previous formulation (per-round roster
+    re-aggregation + 1-row crossJoin + left-join fallback + lazy
+    localCheckpoint), this removes 2 shuffles + 1 broadcast + 1 join
+    per round AND — the measured driver killer — the per-checkpoint
+    Catalyst replanning of the growing tree (profiled 17.6 s of
+    DataFrame BUILD time alone for the 3-round chain at sf0.1; guide
+    §7.3's planning-cost class). Collected means round-trip exactly
+    (IEEE doubles both ways), the M-step expression is unchanged, and
+    the fold compares the same rounded sims, so the trained roster is
+    bit-identical — pinned by the pure-Python Lloyd twin test.
+    """
+    cents = _collect_centroid_rows(emb)
     for _ in range(KMEANS_ROUNDS):
-        assigned = _kmeans_assign(emb, _kmeans_roster(cents))
+        assigned = _assign_literal(emb, cents)
         dims = assigned.select(
             "centroid_id", F.posexplode("embedding").alias("pos", "x")
         )
@@ -1864,25 +2012,19 @@ def _kmeans_train_cents(emb: DataFrame) -> DataFrame:
                 / F.count(F.lit(1)),
                 6,
             ).alias("m")
-        )
-        newc = (
-            means.groupBy("centroid_id")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        ).collect()
+        bypos: dict[int, dict[int, float]] = {}
+        for r in means:
+            bypos.setdefault(int(r.centroid_id), {})[int(r.pos)] = float(r.m)
+        cents = [
+            (
+                cid,
+                [bypos[cid][p] for p in range(len(prev))]
+                if cid in bypos
+                else prev,
             )
-            .select(
-                "centroid_id",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
-            )
-        )
-        cents = (
-            cents.select("centroid_id", F.col("cvec").alias("prev"))
-            .join(newc, "centroid_id", "left")
-            .select(
-                "centroid_id", F.coalesce("cvec", "prev").alias("cvec")
-            )
-            .localCheckpoint(eager=False)
-        )
+            for cid, prev in cents
+        ]
     return cents
 
 
@@ -1992,13 +2134,23 @@ SIMILARITY_ORACLES["sim_kmeans_train"] = guard_emb_sql(_sql_kmeans_train())
 
 
 def _ivf_roster_report(
-    emb: DataFrame, cents: DataFrame, exact: DataFrame, tag: str
+    emb: DataFrame,
+    roster: list[tuple[int, list[float]]],
+    exact: DataFrame,
+    tag: str,
 ) -> DataFrame:
     """One roster's row of the retrain report: assign the corpus to
-    ``cents`` (in-row argmax — the E-step plan), read bucket balance
-    off the assignment, probe ``N_PROBES`` buckets per query, and
-    count how many exact-top-k neighbors the probe retrieves."""
-    assigned = _kmeans_assign(emb, _kmeans_roster(cents))
+    ``roster`` (literal-state in-row argmax — the E-step plan), read
+    bucket balance off the assignment, probe ``N_PROBES`` buckets per
+    query, and count how many exact-top-k neighbors the probe
+    retrieves. The roster is driver-side index-sized state (k×d — the
+    ``_pq_codebook`` bounded class); probe selection stays Spark-side
+    over its LocalRelation face so the rounded probe ranking never
+    leaves the engine. Exact-rerank scoring reuses the assignment's
+    hoisted ``_en`` plus a per-probe ``qn`` so each candidate pays one
+    dot fold (bit-identical quotient — the sim_knn_graph precedent)."""
+    spark = emb.sparkSession
+    assigned = _assign_literal(emb, roster)
     bstat = (
         assigned.groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("sz"))
@@ -2007,6 +2159,10 @@ def _ivf_roster_report(
             F.max("sz").cast("long").alias("max_size"),
             F.sum("sz").cast("long").alias("n_vectors"),
         )
+    )
+    cents = spark.createDataFrame(
+        [(cid, vec) for cid, vec in roster],
+        "centroid_id long, cvec array<double>",
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -2024,7 +2180,12 @@ def _ivf_roster_report(
         )
         .withColumn("pr", F.row_number().over(wq))
         .where(F.col("pr") <= N_PROBES)
-        .select("query_id", "qvec", F.col("centroid_id").alias("qc"))
+        .select(
+            "query_id",
+            "qvec",
+            _norm(F.col("qvec")).alias("qn"),
+            F.col("centroid_id").alias("qc"),
+        )
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("qsim").desc(), F.col("vec_id").asc()
@@ -2039,7 +2200,11 @@ def _ivf_roster_report(
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("qvec"), F.col("embedding")).alias("qsim"),
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qn") * F.col("_en")),
+                6,
+            ).alias("qsim"),
         )
         .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= TOP_K)
@@ -2092,11 +2257,8 @@ def sim_ivf_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     output ratios are single int/int double divisions (parity-safe).
     """
     emb = emb_table(spark, sf_dir)
-    static = emb.where(_centroid_filter()).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("cvec"),
-    )
-    trained = _kmeans_train_cents(emb)
+    static = _collect_centroid_rows(emb)
+    trained = _kmeans_train_lists(emb)
     exact = (
         sim_bruteforce_topk(spark, sf_dir)
         .select("query_id", "vec_id")
@@ -2226,6 +2388,93 @@ def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,9) before aggregation (the t_unigram_logprob rule), so
     the report is bit-stable across partitionings and engines.
     """
+    cb, sub = _pq_train_state(spark, sf_dir)
+    final = _pq_assign_literal(sub, cb)
+    stats = final.groupBy("m", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(
+                F.round(F.col("dist"), 9).cast("decimal(18,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sqdist"),
+    )
+    cb_df = sub.sparkSession.createDataFrame(
+        [(m, c, cw) for (m, c), cw in sorted(cb.items())],
+        "m int, c int, cw array<double>",
+    )
+    return (
+        cb_df.join(stats, ["m", "c"])
+        .select("m", "c", "n_members", "mean_sqdist", "cw")
+        .orderBy("m", "c")
+    )
+
+
+def _pq_cb_fold_sql(cb: dict[tuple[int, int], list[float]]) -> str:
+    """The per-subspace argmin fold over a LITERAL codebook: the m-th
+    subspace's K codewords select via ``element_at`` on the row's
+    subspace id, then the same strictly-smaller left-fold as the
+    previous broadcast-roster formulation (first smaller distance over
+    the c-ascending array ≡ ORDER BY dist ASC, c ASC). One SQL string
+    parsed JVM-side — the hyperplane/ADC py4j lesson."""
+    subspaces = []
+    for m in range(PQ_M):
+        cs = sorted(c for (m2, c) in cb if m2 == m)
+        entries = ", ".join(
+            "named_struct('c', CAST({c} AS INT), 'cw', array({vs}))".format(
+                c=c, vs=", ".join(f"{x!r}D" for x in cb[(m, c)])
+            )
+            for c in cs
+        )
+        subspaces.append(f"array({entries})")
+    dist = (
+        "aggregate(zip_with(e.cw, sv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v)"
+    )
+    return (
+        f"aggregate(element_at(array({', '.join(subspaces)}), m + 1), "
+        "named_struct('dist', CAST('Infinity' AS DOUBLE), "
+        "'c', CAST(-1 AS INT)), "
+        f"(acc, e) -> IF({dist} < acc.dist, "
+        f"named_struct('dist', {dist}, 'c', e.c), acc))"
+    )
+
+
+def _pq_assign_literal(
+    sub: DataFrame, cb: dict[tuple[int, int], list[float]]
+) -> DataFrame:
+    """E-step over the (vec_id, m, sv) subvector rows with the codebook
+    as literal state: a flat projection (no roster aggregate, no
+    broadcast join). Two-step Project keeps the fold single-evaluated
+    (multi-use aliases block CollapseProject)."""
+    fold = _pq_cb_fold_sql(cb)
+    return (
+        sub.selectExpr("vec_id", "m", "sv", f"{fold} AS _best")
+        .selectExpr(
+            "vec_id", "m", "sv", "_best.c AS c", "_best.dist AS dist"
+        )
+    )
+
+
+def _pq_train_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[tuple[int, int], list[float]], DataFrame]:
+    """The subspace-Lloyd loop with DRIVER-side codebook state
+    (M×K×dsub doubles — index-sized forever, the ``_pq_codebook``
+    bounded class): per round ONE job — subvector scan → literal
+    argmin map → map-side-combined (m, c, dim) DECIMAL mean → collect
+    M×K×dsub rows — and the driver merges means with the empty-code
+    fallback. Returns (trained codebook dict, the lazily-checkpointed
+    subvector table for downstream passes). Replaces the per-round
+    roster re-aggregation + broadcast join + lazy localCheckpoint
+    whose repeated Catalyst replanning dominated the wall clock
+    (profiled 7.6-23.9 s of DataFrame build time; guide §7.3).
+    Donor init collects the same gap-tolerant donor selection and
+    normalizes via ``_l2_normalize`` (bit-identical to the in-plan
+    ``NV_EXPR`` — the documented shared-fold contract), so cb0 and
+    every trained value match the previous formulation bit-for-bit —
+    pinned by the pure-Python product-quantizer twin test."""
     emb = emb_table(spark, sf_dir)
     norme = spread(emb).select("vec_id", F.expr(NV_EXPR).alias("nv"))
     sub = norme.select(
@@ -2244,65 +2493,20 @@ def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
     sub = sub.localCheckpoint(eager=False)  # feeds every round's E-step
 
-    wdon = Window.orderBy("vec_id")
-    cb = (
+    donor_rows = (
         emb.orderBy(pq_donor_pref().asc(), F.col("vec_id").asc())
         .limit(PQ_K)
-        .select("vec_id", F.expr(NV_EXPR).alias("nv"))
-        .withColumn("c", (F.row_number().over(wdon) - 1).cast("int"))
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).cast("int").alias("m"),
-                            F.col("c"),
-                            F.slice("nv", m * PQ_DSUB + 1, PQ_DSUB).alias(
-                                "cw"
-                            ),
-                        )
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("s")
-        )
-        .select("s.m", "s.c", "s.cw")
+        .select("vec_id", "embedding")
+        .collect()
     )
-
-    def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def assign(cb_df: DataFrame) -> DataFrame:
-        roster = cb_df.groupBy("m").agg(
-            F.array_sort(F.collect_list(F.struct("c", "cw"))).alias("ks")
-        )
-        zero = F.struct(
-            F.lit(float("inf")).cast("double").alias("dist"),
-            F.lit(-1).cast("int").alias("c"),
-        )
-
-        def step(acc, e):
-            d = sqdist(e["cw"], F.col("sv"))
-            return F.when(
-                d < acc["dist"],
-                F.struct(d.alias("dist"), e["c"].alias("c")),
-            ).otherwise(acc)
-
-        best = F.aggregate(F.col("ks"), zero, step)
-        return sub.join(F.broadcast(roster), "m").select(
-            "vec_id",
-            "m",
-            "sv",
-            best["c"].alias("c"),
-            best["dist"].alias("dist"),
-        )
+    cb: dict[tuple[int, int], list[float]] = {}
+    for c, r in enumerate(sorted(donor_rows, key=lambda r: int(r.vec_id))):
+        nv = _l2_normalize([float(x) for x in r.embedding])
+        for m in range(PQ_M):
+            cb[(m, c)] = nv[m * PQ_DSUB : (m + 1) * PQ_DSUB]
 
     for _ in range(PQ_TRAIN_ROUNDS):
-        assigned = assign(cb)
+        assigned = _pq_assign_literal(sub, cb)
         dims = assigned.select(
             "m", "c", F.posexplode("sv").alias("pos", "x")
         )
@@ -2312,40 +2516,21 @@ def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 6,
             ).alias("v")
-        )
-        newc = (
-            means.groupBy("m", "c")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pm")
+        ).collect()
+        bypos: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            bypos.setdefault((int(r.m), int(r.c)), {})[int(r.pos)] = float(
+                r.v
             )
-            .select(
-                "m",
-                "c",
-                F.transform(F.col("pm"), lambda s: s["v"]).alias("cw"),
+        cb = {
+            (m, c): (
+                [bypos[(m, c)][p] for p in range(len(prev))]
+                if (m, c) in bypos
+                else prev
             )
-        )
-        cb = (
-            cb.select("m", "c", F.col("cw").alias("prev"))
-            .join(newc, ["m", "c"], "left")
-            .select("m", "c", F.coalesce("cw", "prev").alias("cw"))
-            .localCheckpoint(eager=False)
-        )
-    final = assign(cb)
-    stats = final.groupBy("m", "c").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.round(
-            F.sum(
-                F.round(F.col("dist"), 9).cast("decimal(18,9)")
-            ).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mean_sqdist"),
-    )
-    return (
-        cb.join(stats, ["m", "c"])
-        .select("m", "c", "n_members", "mean_sqdist", "cw")
-        .orderBy("m", "c")
-    )
+            for (m, c), prev in cb.items()
+        }
+    return cb, sub
 
 
 def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
