@@ -97,6 +97,31 @@ def _shingles_from(words, k: int = SHINGLE_K):
     )
 
 
+def _shingles_from_sql(words: str, k: int = SHINGLE_K) -> str:
+    """``_shingles_from`` as ONE Spark-SQL string over a named words
+    column — semantics identical expression for expression.
+
+    Optimization round 11 (guide §1.2 per-task work): higher-order-
+    function lambdas built through the Python Column API get a fresh
+    ``x_<n>`` lambda-variable name from a session-global counter on
+    EVERY DataFrame build, the name lands in the generated Java source,
+    and the whole-stage-codegen cache is keyed on that source — so each
+    bench/driver invocation of a py4j-built HOF plan recompiles
+    (janino, seconds for wide folds) instead of hitting the cache.
+    SQL-parsed lambdas use the literal parameter names (``i`` here) on
+    every build → identical codegen source → cache hit. Measured on
+    dedup_simhash_wide_capped: 5.0 s → 2.1 s same-session alternating
+    A/B at sf0.1 (and ~2.4 s of py4j expression-build time removed).
+    Every hot-path HOF in this module follows this pattern; the Column
+    variants above stay for cold paths and tests.
+    """
+    return (
+        f"array_compact(array_distinct(transform("
+        f"sequence(1, greatest(size({words}) - {k - 1}, 1)), "
+        f"i -> array_join(slice({words}, i, {k}), ' '))))"
+    )
+
+
 def with_shingles(docs: DataFrame, cols: list[str], text: str = "text", k: int = SHINGLE_K) -> DataFrame:
     """``cols`` + a ``sh`` shingle-array column, with the word split
     materialized in a separate projection so codegen evaluates the
@@ -110,7 +135,7 @@ def with_shingles(docs: DataFrame, cols: list[str], text: str = "text", k: int =
     # shingle-family same-session A/B at sf0.1: pairs 1.79→0.96 s,
     # jaccard 1.64→0.91 s, containment 1.56→0.91 s)
     worded = spread(docs).select(*cols, words_col(text).alias("_w"))
-    return worded.select(*cols, _shingles_from(F.col("_w"), k).alias("sh"))
+    return worded.select(*cols, F.expr(_shingles_from_sql("_w", k)).alias("sh"))
 
 
 def _sql_shingles(expr: str = "text", k: int = SHINGLE_K) -> str:
@@ -229,16 +254,20 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """
     n_md5 = -(-n_hashes // 8)  # 8 × 16-bit slices per 32-hex md5
 
-    # NB: factory functions, not `lambda x, _i=i:` default-arg binding —
-    # F.transform treats a two-parameter lambda as (element, index) and
-    # would bind the salt/offset to the array-index column
-    def _salted(i: int):
-        if i == 0:
-            return lambda x: F.md5(x)
-        return lambda x: F.md5(F.concat(F.lit(f"{i}:"), x))
+    # SQL-string HOFs, not py4j lambdas — deterministic lambda names
+    # keep the codegen cache warm across invocations (see
+    # _shingles_from_sql). Expressions are term-for-term the previous
+    # Column forms: md5 of the (optionally salted) shingle, then a
+    # 4-hex-digit slice per hash via conv(…, 16, 10).
+    def _salted_sql(i: int) -> str:
+        body = "x" if i == 0 else f"concat('{i}:', x)"
+        return f"transform(sh, x -> md5({body}))"
 
-    def _slice(o: int):
-        return lambda h: F.conv(F.substring(h, 4 * o + 1, 4), 16, 10).cast("long")
+    def _slice_sql(col: str, o: int) -> str:
+        return (
+            f"array_min(transform({col}, "
+            f"h -> CAST(conv(substring(h, {4 * o + 1}, 4), 16, 10) AS BIGINT)))"
+        )
 
     # no shingles → no signature (found by tools/fuzz_oracle.py): an
     # empty/NULL/whitespace-only document would otherwise get all-NULL
@@ -260,10 +289,10 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     # is the same set and pushes down to the parquet scan for free.
     hashed = with_shingles(docs.where(F.col("text").isNotNull()), ["doc_id"]).select(
         "doc_id",
-        *[F.transform(F.col("sh"), _salted(i)).alias(f"hs{i}") for i in range(n_md5)],
+        *[F.expr(_salted_sql(i)).alias(f"hs{i}") for i in range(n_md5)],
     )
     slices = [
-        F.array_min(F.transform(F.col(f"hs{s // 8}"), _slice(s % 8))).alias(f"mh{s}")
+        F.expr(_slice_sql(f"hs{s // 8}", s % 8)).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
     return hashed.select("doc_id", *slices)
@@ -303,6 +332,18 @@ def _pair_array(ids):
     )
 
 
+def _pair_array_sql(ids: str) -> str:
+    """``_pair_array`` as one SQL string over a named array column —
+    deterministic lambda names so codegen caches across invocations
+    (see _shingles_from_sql); the nested transform is otherwise
+    term-for-term identical."""
+    return (
+        f"flatten(transform({ids}, (x, i) -> "
+        f"transform(slice({ids}, i + 2, size({ids})), "
+        f"y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )
+
+
 def bucket_pairs(
     banded: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
 ) -> DataFrame:
@@ -330,7 +371,7 @@ def bucket_pairs(
     if max_bucket is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket)
     return (
-        buckets.select(F.explode(_pair_array(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(F.expr(_pair_array_sql("ids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -568,6 +609,17 @@ JOIN shl y  ON y.doc_id = doc_b
 
 SIMHASH_BITS = 16
 
+#: distinct-word 60-bit seeded hashes of the text column, as one SQL
+#: string — term-for-term the previous
+#: ``F.transform(F.array_distinct(words_col()), λw: seeded_hash64(w, 0))``
+#: (split/trim/lower ≡ words_col; md5-conv ≡ stable_hash64 of '0:'||w),
+#: shared by all three simhash sketch builders. SQL-parsed so the
+#: lambda name is deterministic and codegen caches (_shingles_from_sql).
+_SWH_SQL = (
+    "transform(array_distinct(split(trim(lower(text)), '\\\\s+')), "
+    "w -> CAST(conv(substring(md5(concat('0:', w)), 1, 15), 16, 10) AS BIGINT))"
+)
+
 
 def simhash_col(bits: int = SIMHASH_BITS):
     """16-bit SimHash over unigram hashes: bit b set iff
@@ -577,17 +629,22 @@ def simhash_col(bits: int = SIMHASH_BITS):
     Expects a precomputed ``_swh`` column (array of word hashes) so the
     md5 runs once per word, not once per (word, bit) — see
     ``dedup_simhash``. Pure narrow projection, zero shuffles.
+
+    Built as ONE SQL string (optimization round 11): the previous
+    py4j-built form paid ~2.4 s of driver expression construction per
+    invocation (60 bits × several Column calls each) AND defeated the
+    whole-stage-codegen cache via per-build lambda names (see
+    _shingles_from_sql), recompiling the 60-fold projection every run.
+    Same folds, same integer math, bit-identical sketches (A/B'd
+    value-equal at sf0.1); the wide pair query dropped 5.0 → 2.1 s.
     """
-    hashes = F.col("_swh")
-    total = F.lit(0).cast("long")
-    for b in range(bits):
-        contrib = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1,
-        )
-        total = total + F.when(contrib > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return total
+    terms = " + ".join(
+        f"(CASE WHEN aggregate(_swh, CAST(0 AS BIGINT), "
+        f"(acc, h) -> acc + (shiftright(h, {b}) & 1) * 2 - 1) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,9 +657,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
     hashed = docs.select(
         "doc_id",
-        F.transform(
-            F.array_distinct(words_col()), lambda w: seeded_hash64(w, 0)
-        ).alias("_swh"),
+        F.expr(_SWH_SQL).alias("_swh"),
     )
     return hashed.select("doc_id", simhash_col().alias("simhash"))
 
@@ -719,9 +774,7 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
     hashed = docs.select(
         "doc_id",
-        F.transform(
-            F.array_distinct(words_col()), lambda w: seeded_hash64(w, 0)
-        ).alias("_swh"),
+        F.expr(_SWH_SQL).alias("_swh"),
     )
     sig = hashed.select(
         "doc_id", simhash_col(SIMHASH_WIDE_BITS).alias("simhash")
@@ -754,9 +807,7 @@ def dedup_simhash_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
     hashed = docs.select(
         "doc_id",
-        F.transform(
-            F.array_distinct(words_col()), lambda w: seeded_hash64(w, 0)
-        ).alias("_swh"),
+        F.expr(_SWH_SQL).alias("_swh"),
     )
     sig = hashed.select(
         "doc_id", simhash_col(SIMHASH_WIDE_BITS).alias("simhash")
@@ -842,7 +893,7 @@ def _shingle_pair_stream(
         "doc_id",
         "blk",
         F.size("sh").alias("n_sh"),
-        F.explode(F.transform(F.col("sh"), lambda x: F.xxhash64(x))).alias("h"),
+        F.explode(F.expr("transform(sh, x -> xxhash64(x))")).alias("h"),
     )
     buckets = (
         sh.groupBy("blk", "h")
@@ -851,7 +902,7 @@ def _shingle_pair_stream(
     )
     if max_bucket is not None:
         buckets = buckets.where(F.size("ds") <= max_bucket)
-    return buckets.select(F.explode(_pair_array(F.col("ds"))).alias("p")).select(
+    return buckets.select(F.explode(F.expr(_pair_array_sql("ds"))).alias("p")).select(
         F.col("p.doc_a.doc_id").alias("doc_a"),
         F.col("p.doc_b.doc_id").alias("doc_b"),
         F.col("p.doc_a.n_sh").alias("na"),
