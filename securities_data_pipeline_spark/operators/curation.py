@@ -740,7 +740,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
-        .where(cosine(F.col("xa"), F.col("xb")) >= SEMDEDUP_TAU)
+        .where(cosine("xa", "xb") >= SEMDEDUP_TAU)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
         .withColumn("_p", F.lit(True))
@@ -1298,7 +1298,7 @@ def dedup_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = (
         anchors.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
-        .where(cosine(F.col("xa"), F.col("xb")) >= SEMDEDUP_TAU)
+        .where(cosine("xa", "xb") >= SEMDEDUP_TAU)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
         .withColumn("_p", F.lit(True))

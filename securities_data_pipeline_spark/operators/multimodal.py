@@ -346,6 +346,27 @@ MULTIMODAL_ORACLES: dict[str, str] = {
 }
 
 
+#: 16-hex-char (8-byte) non-overlapping block grams of the hexed
+#: payload, as ONE SQL string — term-for-term the py4j transform it
+#: replaces. SQL-parsed lambdas keep their literal parameter names, so
+#: the generated Java source is identical on every DataFrame build and
+#: whole-stage codegen hits its source-keyed cache instead of
+#: recompiling per invocation (see dedup._shingles_from_sql).
+_MM_GRAMS_SQL = (
+    "array_distinct(transform("
+    "sequence(1, greatest(length(_hx) - 15, 1), 16), "
+    "i -> substring(_hx, i, 16)))"
+)
+
+#: seeded 60-bit block hashes (seed 0) — SQL twin of
+#: ``transform(_g, g -> seeded_hash64(g, 0))`` (functions/hashing.py),
+#: same stable-lambda-name rationale as ``_MM_GRAMS_SQL``.
+_MM_SWH_SQL = (
+    "transform(_g, g -> "
+    "CAST(conv(substring(md5(concat('0:', g)), 1, 15), 16, 10) AS BIGINT))"
+)
+
+
 def mm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level NEAR-duplicate pairs over binary payloads — the
     multimodal counterpart to text SimHash: a 16-bit SimHash over the
@@ -371,7 +392,6 @@ def mm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded bucket expansion — identical shuffle structure to the text
     tier, so the 100 TB argument transfers verbatim.
     """
-    from securities_data_pipeline_spark.functions.hashing import seeded_hash64
     from securities_data_pipeline_spark.operators.dedup import (
         simhash_col,
         simhash_hamming_pairs,
@@ -381,19 +401,11 @@ def mm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~250 block hashes per payload, all per-row — spread the single-
     # split scan (A/B sf0.1: 1.91 -> 1.38 s; no-op at cluster scale)
     hexed = spread(media).select("doc_id", F.hex(F.col("payload")).alias("_hx"))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length("_hx") - 15, F.lit(1)), F.lit(16)
-            ),
-            lambda i: F.col("_hx").substr(i, F.lit(16)),
-        )
+    sig = (
+        hexed.select("doc_id", F.expr(_MM_GRAMS_SQL).alias("_g"))
+        .select("doc_id", F.expr(_MM_SWH_SQL).alias("_swh"))
+        .select("doc_id", simhash_col().alias("simhash"))
     )
-    hashed = hexed.select("doc_id", grams.alias("_g"))
-    sig = hashed.select(
-        "doc_id",
-        F.transform(F.col("_g"), lambda g: seeded_hash64(g, 0)).alias("_swh"),
-    ).select("doc_id", simhash_col().alias("simhash"))
     return simhash_hamming_pairs(sig)
 
 
@@ -445,7 +457,6 @@ def mm_near_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oversized (band, key) buckets are dropped whole before pair
     expansion, exactly like ``dedup_minhash_pairs_capped``. Cap
     semantics are deterministic, so the DuckDB twin pins them."""
-    from securities_data_pipeline_spark.functions.hashing import seeded_hash64
     from securities_data_pipeline_spark.operators.dedup import (
         simhash_col,
         simhash_hamming_pairs,
@@ -453,20 +464,9 @@ def mm_near_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(spark, sf_dir)
     hexed = spread(media).select("doc_id", F.hex(F.col("payload")).alias("_hx"))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length("_hx") - 15, F.lit(1)), F.lit(16)
-            ),
-            lambda i: F.col("_hx").substr(i, F.lit(16)),
-        )
-    )
     sig = (
-        hexed.select("doc_id", grams.alias("_g"))
-        .select(
-            "doc_id",
-            F.transform(F.col("_g"), lambda g: seeded_hash64(g, 0)).alias("_swh"),
-        )
+        hexed.select("doc_id", F.expr(_MM_GRAMS_SQL).alias("_g"))
+        .select("doc_id", F.expr(_MM_SWH_SQL).alias("_swh"))
         .select("doc_id", simhash_col().alias("simhash"))
     )
     return simhash_hamming_pairs(sig, max_bucket=MM_BUCKET_CAP)
@@ -524,18 +524,34 @@ def mm_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast+crossJoin tier costs what ``sim_bruteforce_topk`` costs —
     at real scale the IVF/LSH tiers take over on the same vectors."""
     media = documents_as_media(spark, sf_dir)
-    feats = (
-        extract_features(spread(media))
-        .where(F.col("feature").isNotNull())
-        .select("doc_id", "feature")
-    )
-    queries = feats.where(
-        F.pmod(F.col("doc_id"), F.lit(MM_KNN_QUERY_MOD)) == 0
-    ).select(F.col("doc_id").alias("query_id"), F.col("feature").alias("qvec"))
-    from securities_data_pipeline_spark.operators.similarity import cosine
+    from securities_data_pipeline_spark.operators.similarity import _dot, _norm
 
     from pyspark.sql import Window
 
+    # query side: the doc_id % MOD filter commutes with the row-wise
+    # decode, so it sits BELOW the Python boundary — the broadcast side
+    # ships 1/MOD of the corpus through mapInPandas instead of decoding
+    # everything and then discarding 99% (guide §4.1: cross the
+    # JVM↔Python boundary with only the rows/columns the function
+    # needs). Norms are hoisted out of the pair loop onto each side
+    # (the sim_bruteforce_topk shape): per-vector sqrt once, not per
+    # pair, with the identical dot/(qn*en) grouping cosine() uses.
+    queries = (
+        extract_features(
+            media.where(F.pmod(F.col("doc_id"), F.lit(MM_KNN_QUERY_MOD)) == 0)
+        )
+        .where(F.col("feature").isNotNull())
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("feature").alias("qvec"),
+            _norm("feature").alias("qn"),
+        )
+    )
+    feats = (
+        extract_features(spread(media))
+        .where(F.col("feature").isNotNull())
+        .select("doc_id", "feature", _norm("feature").alias("en"))
+    )
     scored = (
         F.broadcast(queries)
         .crossJoin(feats)
@@ -543,7 +559,9 @@ def mm_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "doc_id",
-            cosine(F.col("qvec"), F.col("feature")).alias("sim"),
+            F.round(
+                _dot("qvec", "feature") / (F.col("qn") * F.col("en")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

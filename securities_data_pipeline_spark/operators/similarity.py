@@ -127,7 +127,42 @@ def guard_emb_sql(sql: str) -> str:
     return f"{lead}WITH {cte}\n{stripped}"
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot_expr(a: str, b: str) -> str:
+    """``_dot`` as a Spark-SQL string over named columns.
+
+    Optimization round 11 (guide §4 per-task work): lambdas built
+    through the Python Column API get a fresh counter-suffixed
+    lambda-variable name on every DataFrame build; the name lands in
+    the generated Java source, so whole-stage codegen recompiles every
+    invocation instead of hitting its source-keyed cache. SQL-parsed
+    lambdas keep their literal parameter names → identical source →
+    cache hit (the dedup._shingles_from_sql mechanism; same init/fold
+    shape as the hyperplane_band_keys strings below). Term-for-term
+    the Column form: zip_with double-cast products, 0.0D init, left
+    fold — bit-identical sims."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    """``_norm`` as a Spark-SQL string over a named column (see
+    ``_dot_expr`` for why: stable lambda names keep codegen cached)."""
+    return (
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    return f"round({_dot_expr(a, b)} / ({_norm_expr(a)} * {_norm_expr(b)}), 6)"
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_expr(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -135,14 +170,24 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_norm_expr(a))
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity rounded to 6 dp (cross-engine stable)."""
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity rounded to 6 dp (cross-engine stable).
+
+    String arguments (column names / SQL fragments) build the whole
+    kernel as one SQL expression — hot paths pass strings so the
+    codegen cache stays warm across invocations (``_dot_expr``);
+    Column arguments keep the original py4j form for composed
+    expressions and tests (bit-identical either way)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_expr(a, b))
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
@@ -155,13 +200,13 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
-        _norm(F.col("embedding")).alias("qn"),
+        _norm("embedding").alias("qn"),
     )
     corpus = spread(emb).select(
         F.col("vec_id"),
         F.col("embedding"),
         F.col("label"),
-        _norm(F.col("embedding")).alias("en"),
+        _norm("embedding").alias("en"),
     )
     scored = (
         F.broadcast(queries)
@@ -172,7 +217,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.round(
-                _dot(F.col("qvec"), F.col("embedding"))
+                _dot("qvec", "embedding")
                 / (F.col("qn") * F.col("en")),
                 6,
             ).alias("sim"),
@@ -247,7 +292,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "label",
-            cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+            cosine("qvec", "embedding").alias("sim"),
         )
         .where(F.col("sim") >= RANGE_TAU)
     )
@@ -379,7 +424,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str, n_probes: int = N_PROBES) -> 
         .crossJoin(centroids)
         .select(
             "query_id", "qvec", "centroid_id",
-            cosine(F.col("cvec"), F.col("qvec")).alias("csim"),
+            cosine("cvec", "qvec").alias("csim"),
         )
         .withColumn("pr", F.row_number().over(wq))
         .where(F.col("pr") <= n_probes)
@@ -388,7 +433,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str, n_probes: int = N_PROBES) -> 
     scored = (
         F.broadcast(probes)
         .join(bucketed, (F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")))
-        .select("query_id", "vec_id", "label", cosine(F.col("qvec"), F.col("embedding")).alias("sim"))
+        .select("query_id", "vec_id", "label", cosine("qvec", "embedding").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
@@ -548,12 +593,12 @@ def embedding_cosine_pairs(
     ea = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
-        _norm(F.col("embedding")).alias("norm_a"),
+        _norm("embedding").alias("norm_a"),
     )
     eb = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
-        _norm(F.col("embedding")).alias("norm_b"),
+        _norm("embedding").alias("norm_b"),
     )
     return (
         cand.join(ea, "vec_a")
@@ -562,7 +607,7 @@ def embedding_cosine_pairs(
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+                _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")),
                 6,
             ).alias("sim"),
         )
@@ -700,7 +745,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "label",
-            cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+            cosine("qvec", "embedding").alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
@@ -789,12 +834,12 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = emb.select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("emb_a"),
-        _norm(F.col("embedding")).alias("norm_a"),
+        _norm("embedding").alias("norm_a"),
     )
     eb = emb.select(
         F.col("vec_id").alias("dst"),
         F.col("embedding").alias("emb_b"),
-        _norm(F.col("embedding")).alias("norm_b"),
+        _norm("embedding").alias("norm_b"),
     )
     scored = (
         cand.join(ea, "src")
@@ -803,7 +848,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src",
             "dst",
             F.round(
-                _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+                _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")),
                 6,
             ).alias("sim"),
         )
@@ -1240,7 +1285,7 @@ def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         "label",
-        cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+        cosine("qvec", "embedding").alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
@@ -1428,7 +1473,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "embedding",
-            cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+            cosine("qvec", "embedding").alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
@@ -1460,7 +1505,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("va"),
             "qsim_i",
             "vb",
-            F.floor(cosine(F.col("embedding"), F.col("eb")) * 1e6 + F.lit(0.5))
+            F.floor(cosine("embedding", "eb") * 1e6 + F.lit(0.5))
             .cast("long")
             .alias("psim_i"),
         )
@@ -1662,7 +1707,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("qvec"), F.col("embedding")).alias("sim"),
+            cosine("qvec", "embedding").alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
     )
@@ -1780,7 +1825,7 @@ def _kmeans_roster(cents: DataFrame):
                 F.struct(
                     "centroid_id",
                     "cvec",
-                    _norm(F.col("cvec")).alias("cn"),
+                    _norm("cvec").alias("cn"),
                 )
             )
         ).alias("cents")
@@ -1803,30 +1848,32 @@ def _kmeans_assign(emb: DataFrame, roster) -> DataFrame:
     grouped exactly as ``cosine`` groups it (dot / (norm_a * norm_b)),
     so every sim is bit-identical. Extra input columns (label, …) pass
     through untouched."""
-    zero = F.struct(
-        F.lit(-2.0).cast("double").alias("sim"),
-        F.lit(-1).cast("long").alias("cid"),
+    # the whole argmax fold as ONE SQL string (optimization round 11):
+    # py4j-built nested lambdas get fresh variable names per build,
+    # defeating the whole-stage-codegen cache on every assign consumer
+    # (see _dot_expr). Term-for-term the previous Column form: -2.0/-1
+    # init struct, per-centroid sim = round(dot / (cn * _en), 6) with
+    # the same zip_with/fold shape, strictly-greater keeps the first
+    # (lowest-id) winner.
+    s = (
+        "round(aggregate(zip_with(c.cvec, embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v) / (c.cn * _en), 6)"
     )
-
-    def step(acc, c):
-        s = F.round(
-            _dot(c["cvec"], F.col("embedding")) / (c["cn"] * F.col("_en")), 6
-        )
-        return F.when(
-            s > acc["sim"],
-            F.struct(
-                s.alias("sim"), c["centroid_id"].cast("long").alias("cid")
-            ),
-        ).otherwise(acc)
-
-    best = F.aggregate(F.col("cents"), zero, step)
+    best = F.expr(
+        "aggregate(cents, "
+        "named_struct('sim', CAST(-2.0 AS DOUBLE), 'cid', CAST(-1 AS BIGINT)), "
+        f"(acc, c) -> CASE WHEN {s} > acc.sim "
+        f"THEN named_struct('sim', {s}, 'cid', CAST(c.centroid_id AS BIGINT)) "
+        "ELSE acc END)"
+    )
     cols = list(emb.columns)
     # two-step projection: the fold lands in ONE alias first, fields
     # extract in a second Project — multi-use non-trivial aliases block
     # CollapseProject (the with_shingles lesson), so the fold runs once
     # per row, not once per extracted field
     return (
-        emb.withColumn("_en", _norm(F.col("embedding")))
+        emb.withColumn("_en", _norm("embedding"))
         .crossJoin(F.broadcast(roster))
         .select(*cols, best.alias("_best"))
         .select(
@@ -2176,14 +2223,14 @@ def _ivf_roster_report(
             "query_id",
             "qvec",
             "centroid_id",
-            cosine(F.col("cvec"), F.col("qvec")).alias("csim"),
+            cosine("cvec", "qvec").alias("csim"),
         )
         .withColumn("pr", F.row_number().over(wq))
         .where(F.col("pr") <= N_PROBES)
         .select(
             "query_id",
             "qvec",
-            _norm(F.col("qvec")).alias("qn"),
+            _norm("qvec").alias("qn"),
             F.col("centroid_id").alias("qc"),
         )
     )
@@ -2201,7 +2248,7 @@ def _ivf_roster_report(
             "query_id",
             "vec_id",
             F.round(
-                _dot(F.col("qvec"), F.col("embedding"))
+                _dot("qvec", "embedding")
                 / (F.col("qn") * F.col("_en")),
                 6,
             ).alias("qsim"),
@@ -2930,7 +2977,7 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "centroid_id",
-            cosine(F.col("cvec"), F.col("qvec")).alias("csim"),
+            cosine("cvec", "qvec").alias("csim"),
         )
         .withColumn("pr", F.row_number().over(wq))
         .where(F.col("pr") <= PROBE_SWEEP_MAX)
