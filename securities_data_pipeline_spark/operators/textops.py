@@ -1402,13 +1402,12 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     word. Output: the merge table (rank, pair, merged symbol, count) —
     the artifact a tokenizer ships.
 
-    Fully distributed and LAZY: each round's winner is a 1-row
-    aggregate joined back via broadcast crossJoin (the allowlisted
-    1-row-BNLJ pattern — nothing collects to the driver, unlike the
-    centroid/codebook bounded-state ops), and the merge applies as one
-    literal string replace inside whole-stage codegen. Each round's
-    word state localCheckpoints (lazily) so round r+1 does not replan
-    rounds 1..r — the logreg-GD unrolling lesson.
+    Distributed counting, bounded driver state: each round's winner is
+    ONE row (the merge rule a tokenizer ships — the same bounded class
+    as the centroid/codebook collects), pulled to the driver and
+    applied to every word as one literal string replace inside
+    whole-stage codegen; the vocabulary-sized word state itself never
+    leaves the executors.
 
     Semantics pinned on BOTH engines: merge application is ONE
     non-overlapping left-to-right replace of `` s1 s2 `` per round
@@ -1438,7 +1437,23 @@ def _bpe_train_loop(
     where ``final_words`` is the (repr, freq) word state AFTER all
     merges — i.e. the corpus encoded under the trained table, since
     applying the merge table in rank order to the initial char-spelled
-    state is exactly what each training round already did."""
+    state is exactly what each training round already did.
+
+    Optimization round 11 (guide §1.2 step 1, the ed0a32f Lloyd-trainer
+    precedent): the per-round winner is ONE row of bounded driver state
+    (the merge rule a tokenizer ships), so it collects to the driver
+    and re-enters the next round's word state as string LITERALS
+    instead of a crossJoin(broadcast(limit-1)) arm. That removes, per
+    round, one broadcast build and one localCheckpoint materialization
+    plus the chained re-analysis of a growing plan — the profiled cost
+    was ~3 s of driver-side build per invocation on top of the
+    checkpoint jobs; the word state is now w0 (one lazy checkpoint of
+    the vocabulary aggregate) under a chain of narrow literal replaces
+    that Catalyst plans once. Per-round argmax ordering, the replace
+    semantics, and the empty-winner degenerate case (no pairs anywhere
+    → the cartesian with an empty 1-row relation EMPTIES the word
+    state, exactly as the oracle's ``w{r} = w{r-1} × win{r}``) are
+    pinned identical."""
     docs = table(spark, sf_dir, "documents")
     words = (
         token_stream(docs)
@@ -1453,47 +1468,50 @@ def _bpe_train_loop(
         "freq",
     ).localCheckpoint(eager=False)
 
+    # split once per row into _syms, then pair adjacent symbols — the
+    # SQL-string lambda keeps codegen-cache-stable names (see dedup's
+    # _shingles_from_sql) and avoids re-splitting repr per field
     pair_structs = F.expr(
-        "transform(slice(split(repr, ' '), 1, size(split(repr, ' ')) - 1),"
-        " (s, i) -> struct(s AS s1, element_at(split(repr, ' '), i + 2) AS s2))"
+        "transform(slice(_syms, 1, size(_syms) - 1),"
+        " (s, i) -> struct(s AS s1, element_at(_syms, i + 2) AS s2))"
     )
-    winners = None
+    winner_rows: list[tuple] = []
     for rank in range(1, n_merges + 1):
-        cnts = (
-            w.select(F.explode(pair_structs).alias("p"), "freq")
+        top = (
+            w.select(F.expr("split(repr, ' ')").alias("_syms"), "freq")
+            .select(F.explode(pair_structs).alias("p"), "freq")
             .select(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"), "freq")
             .groupBy("s1", "s2")
             .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc())
+            .limit(1)
+            .collect()
         )
-        win = cnts.orderBy(
-            F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc()
-        ).limit(1)
-        row = win.select(
-            F.lit(rank).alias("merge_rank"),
-            F.col("s1").alias("left_sym"),
-            F.col("s2").alias("right_sym"),
-            F.concat("s1", "s2").alias("merged"),
-            F.col("cnt").alias("pair_count"),
-        )
-        winners = row if winners is None else winners.unionByName(row)
-        w = (
-            w.crossJoin(
-                F.broadcast(
-                    win.select(F.col("s1").alias("ws1"), F.col("s2").alias("ws2"))
+        if not top:
+            # no adjacent pairs anywhere (empty vocab, or every word
+            # fully merged): the old 1-row winner relation was EMPTY
+            # and its cartesian EMPTIED the word state — same here
+            w = w.where(F.lit(False))
+            continue
+        s1, s2, cnt = top[0]["s1"], top[0]["s2"], top[0]["cnt"]
+        winner_rows.append((rank, s1, s2, s1 + s2, cnt))
+        w = w.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("repr"), F.lit(" ")),
+                    F.lit(f" {s1} {s2} "),
+                    F.lit(f" {s1}{s2} "),
                 )
-            )
-            .select(
-                F.trim(
-                    F.replace(
-                        F.concat(F.lit(" "), F.col("repr"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("ws1"), F.lit(" "), F.col("ws2"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("ws1"), F.col("ws2"), F.lit(" ")),
-                    )
-                ).alias("repr"),
-                "freq",
-            )
-            .localCheckpoint(eager=False)
+            ).alias("repr"),
+            "freq",
         )
+    winners = spark.createDataFrame(
+        winner_rows,
+        schema=(
+            "merge_rank INT, left_sym STRING, right_sym STRING,"
+            " merged STRING, pair_count BIGINT"
+        ),
+    )
     return winners, w
 
 
