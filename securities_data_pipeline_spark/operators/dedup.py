@@ -1179,12 +1179,18 @@ def connected_components_star(
             .agg(F.min("v").alias("_mn"))
             .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
         )
+        # NO distinct here (optimization round 11, guide §2.4): the
+        # only consumers are a min-aggregate (idempotent under
+        # duplicate edges) and new_e's own distinct, so deduping large
+        # bought nothing semantically and cost a full (u, v) Exchange
+        # per round right before the groupBy re-shuffled on bu anyway.
+        # Edge-set values per round are identical, so the fixpoint
+        # test and the final labels are unchanged.
         large = (
             neigh.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         oriented = large.select(
             F.greatest(F.col("u"), F.col("v")).alias("bu"),
