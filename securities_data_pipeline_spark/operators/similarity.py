@@ -192,11 +192,17 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bruteforce_topk_from(emb_table(spark, sf_dir))
+
+
+def _bruteforce_topk_from(emb: DataFrame) -> DataFrame:
     # norms precomputed per side BEFORE the fan-out (queries once, each
     # corpus row once instead of once per query): scoring is one fold
     # (the dot) per pair, and the quotient is bit-identical to inline
-    # cosine — the sim_knn_graph precedent (optimization round 11)
-    emb = emb_table(spark, sf_dir)
+    # cosine — the sim_knn_graph precedent (optimization round 11).
+    # Takes the corpus as an argument so the retrain/probe-curve
+    # certificates can feed their already-materialized (spread +
+    # localCheckpoint) corpus instead of re-scanning + re-gating it.
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
@@ -329,8 +335,11 @@ def assign_buckets(emb: DataFrame) -> DataFrame:
     centroids = emb.where(_centroid_filter()).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
+    # spread the corpus side before the K×d argmax fold (CPU-bound
+    # per-row work; no-op on streams and on already-wide scans)
     return _kmeans_assign(
-        emb.select("vec_id", "label", "embedding"), _kmeans_roster(centroids)
+        spread(emb.select("vec_id", "label", "embedding")),
+        _kmeans_roster(centroids),
     ).select("vec_id", "label", "embedding", "centroid_id")
 
 
@@ -1031,15 +1040,19 @@ SQL_PQ_DONOR_PREF = (
 )
 
 
-def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+def _pq_codebook(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> list[list[float]]:
     """K×64 codebook from deterministic donor vectors, L2-normalized
     (the stand-in for an offline k-means training run — same pattern
     as the IVF centroid stride). Driver state is K·dim doubles:
     broadcastable at any corpus size. Donor selection is the
     gap-tolerant ``pq_donor_pref`` rule; code index = rank of the
     donor's vec_id within the selected set (== vec_id // stride on a
-    clean corpus)."""
-    emb = emb_table(spark, sf_dir)
+    clean corpus). ``emb`` lets a caller that already materialized the
+    gated corpus (the retrain certificate) reuse it."""
+    if emb is None:
+        emb = emb_table(spark, sf_dir)
     donors = (
         emb.select("vec_id", "embedding")
         .orderBy(pq_donor_pref().asc(), F.col("vec_id").asc())
@@ -1996,7 +2009,13 @@ def kmeans_train_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions×K×d rows — never a vector shuffle. No reference
     counterpart (extension operator; the ANN family's training tier).
     """
-    emb = emb_table(spark, sf_dir)
+    # one spread + lazy localCheckpoint of the gated corpus: the 3
+    # Lloyd rounds and the final assignment are 4 full passes that
+    # previously each re-scanned the single-row-group store AND ran
+    # their K×d argmax fold in one task (optimization round 11, guide
+    # §2.4/§5 — materialize once, fan the fold out to every core; a
+    # cluster-scale scan already arrives wide, spread() no-ops there)
+    emb = spread(emb_table(spark, sf_dir)).localCheckpoint(eager=False)
     cents = _kmeans_train_lists(emb)
     final = _assign_literal(emb, cents)
     stats = final.groupBy("centroid_id").agg(
@@ -2197,7 +2216,12 @@ def _ivf_roster_report(
     hoisted ``_en`` plus a per-probe ``qn`` so each candidate pays one
     dot fold (bit-identical quotient — the sim_knn_graph precedent)."""
     spark = emb.sparkSession
-    assigned = _assign_literal(emb, roster)
+    # the assignment feeds BOTH the bucket aggregate and the probe join
+    # below — without a checkpoint the K×d argmax fold (the E-step, the
+    # arm's dominant per-row cost) and the corpus read behind it execute
+    # twice per arm (guide §2.4 / §5: materialize a reused intermediate
+    # once; at corpus scale this is two full passes saved per arm)
+    assigned = _assign_literal(emb, roster).localCheckpoint(eager=False)
     bstat = (
         assigned.groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("sz"))
@@ -2294,20 +2318,26 @@ def sim_ivf_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     training tier exists for: does swapping the roster improve
     balance without paying recall?
 
-    Plan: the exact side computes ONCE (localCheckpoint) and feeds
-    both rosters' hit joins; per roster the corpus is touched by one
-    in-row-argmax map (``_kmeans_assign`` — no n×K explosion) plus
-    one bucket aggregate, and the probe/rank stage is the
-    ``sim_ivf_topk`` shape over probed buckets only. All crossJoins
-    are 1-row stats or the K-row roster — broadcast by construction.
-    Floats: hit counts and bucket sizes are exact integers; the two
-    output ratios are single int/int double divisions (parity-safe).
+    Plan: the gated corpus is materialized ONCE (spread +
+    localCheckpoint — optimization round 11, guide §2.4/§5: it is
+    re-read by the 3 training rounds, both arms' assignments, the
+    query panel, and the exact ground truth, i.e. ~8 passes that
+    previously each re-scanned parquet single-task) and the exact
+    side computes ONCE (localCheckpoint) feeding both rosters' hit
+    joins; per roster the corpus is touched by one in-row-argmax map
+    (``_kmeans_assign`` — no n×K explosion, checkpointed because the
+    bucket aggregate and the probe join both consume it) plus one
+    bucket aggregate, and the probe/rank stage is the ``sim_ivf_topk``
+    shape over probed buckets only. All crossJoins are 1-row stats or
+    the K-row roster — broadcast by construction. Floats: hit counts
+    and bucket sizes are exact integers; the two output ratios are
+    single int/int double divisions (parity-safe).
     """
-    emb = emb_table(spark, sf_dir)
+    emb = spread(emb_table(spark, sf_dir)).localCheckpoint(eager=False)
     static = _collect_centroid_rows(emb)
     trained = _kmeans_train_lists(emb)
     exact = (
-        sim_bruteforce_topk(spark, sf_dir)
+        _bruteforce_topk_from(emb)
         .select("query_id", "vec_id")
         .localCheckpoint(eager=False)  # feeds both rosters' hit joins
     )
@@ -2410,7 +2440,12 @@ PQ_TRAIN_ROUNDS = 2  # Lloyd rounds per subspace; same budget logic as
                      # KMEANS_ROUNDS (churn curve is scale-invariant)
 
 
-def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_train_codebook(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame | None = None,
+    donors: list[list[float]] | None = None,
+) -> DataFrame:
     """Distributed PQ codebook TRAINING — Lloyd's k-means run in every
     subspace at once, the offline step the serving codebook
     (``_pq_codebook``'s normalized donor stand-in) approximates. Jégou
@@ -2435,7 +2470,7 @@ def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,9) before aggregation (the t_unigram_logprob rule), so
     the report is bit-stable across partitionings and engines.
     """
-    cb, sub = _pq_train_state(spark, sf_dir)
+    cb, sub = _pq_train_state(spark, sf_dir, emb, donors)
     final = _pq_assign_literal(sub, cb)
     stats = final.groupBy("m", "c").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
@@ -2505,7 +2540,10 @@ def _pq_assign_literal(
 
 
 def _pq_train_state(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame | None = None,
+    donors: list[list[float]] | None = None,
 ) -> tuple[dict[tuple[int, int], list[float]], DataFrame]:
     """The subspace-Lloyd loop with DRIVER-side codebook state
     (M×K×dsub doubles — index-sized forever, the ``_pq_codebook``
@@ -2522,7 +2560,8 @@ def _pq_train_state(
     ``NV_EXPR`` — the documented shared-fold contract), so cb0 and
     every trained value match the previous formulation bit-for-bit —
     pinned by the pure-Python product-quantizer twin test."""
-    emb = emb_table(spark, sf_dir)
+    if emb is None:
+        emb = emb_table(spark, sf_dir)
     norme = spread(emb).select("vec_id", F.expr(NV_EXPR).alias("nv"))
     sub = norme.select(
         "vec_id",
@@ -2540,15 +2579,23 @@ def _pq_train_state(
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
     sub = sub.localCheckpoint(eager=False)  # feeds every round's E-step
 
-    donor_rows = (
-        emb.orderBy(pq_donor_pref().asc(), F.col("vec_id").asc())
-        .limit(PQ_K)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    # ``donors`` lets the retrain certificate share ONE donor collect
+    # between the cb0 init here and its donor arm (the list is already
+    # ``_pq_codebook``'s vec_id-sorted, normalized output; slicing it
+    # per subspace is exactly the init below)
+    if donors is None:
+        donor_rows = (
+            emb.orderBy(pq_donor_pref().asc(), F.col("vec_id").asc())
+            .limit(PQ_K)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        donors = [
+            _l2_normalize([float(x) for x in r.embedding])
+            for r in sorted(donor_rows, key=lambda r: int(r.vec_id))
+        ]
     cb: dict[tuple[int, int], list[float]] = {}
-    for c, r in enumerate(sorted(donor_rows, key=lambda r: int(r.vec_id))):
-        nv = _l2_normalize([float(x) for x in r.embedding])
+    for c, nv in enumerate(donors):
         for m in range(PQ_M):
             cb[(m, c)] = nv[m * PQ_DSUB : (m + 1) * PQ_DSUB]
 
@@ -2702,15 +2749,18 @@ def _pq_codebook_report(
     cbsub: dict,
     exact: DataFrame,
     tag: str,
+    normalized: DataFrame,
+    qvecs: dict[int, list[float]],
 ) -> DataFrame:
     """One codebook's row of the PQ retrain report: encode the corpus
     (in-row argmin over the codebook literals — the ``sim_pq_topk``
     zero-shuffle shape), read corpus-weighted quantization distortion
     off the per-subspace minima, score the queries by ADC, and count
-    exact-top-k hits in the ADC top-k."""
-    emb = emb_table(spark, sf_dir)
-    qvecs = _query_nvecs(emb)
-    normalized = spread(emb).select("vec_id", F.expr(NV_EXPR).alias("_nv"))
+    exact-top-k hits in the ADC top-k. ``normalized`` (the (vec_id,
+    _nv) projection) and ``qvecs`` are computed ONCE by the caller and
+    shared by both arms — previously each arm re-scanned, re-gated and
+    re-normalized the corpus and re-collected the query panel
+    (optimization round 11, guide §2.4)."""
     encoded = (
         normalized.select(
             "vec_id",
@@ -2815,22 +2865,39 @@ def sim_pq_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize to DECIMAL(18,9) before aggregation; ADC sums chain in
     subspace order; recall is one int/int double division.
     """
-    trained_rows = pq_train_codebook(spark, sf_dir).select(
-        "m", "c", "cw"
-    ).collect()
+    # the gated corpus is re-read by the training loop, the donor
+    # collect, the query panel, both arms' encodes, and the exact
+    # ground truth — materialize it once (spread + lazy checkpoint,
+    # the sim_ivf_retrain_recall discipline; guide §2.4/§5)
+    emb = spread(emb_table(spark, sf_dir)).localCheckpoint(eager=False)
+    # ONE donor collect serves both the trainer's cb0 init and the
+    # donor arm (previously two identical collect jobs)
+    donor_full = _pq_codebook(spark, sf_dir, emb)
+    trained_rows = pq_train_codebook(
+        spark, sf_dir, emb, donors=donor_full
+    ).select("m", "c", "cw").collect()
     trained = {
         (int(r.m), int(r.c)): [float(x) for x in r.cw] for r in trained_rows
     }
-    donor = _cb_subspace(_pq_codebook(spark, sf_dir))
+    donor = _cb_subspace(donor_full)
+    qvecs = _query_nvecs(emb)
+    # one normalize pass feeds both arms' encode projections
+    normalized = emb.select(
+        "vec_id", F.expr(NV_EXPR).alias("_nv")
+    ).localCheckpoint(eager=False)
     exact = (
-        sim_bruteforce_topk(spark, sf_dir)
+        _bruteforce_topk_from(emb)
         .select("query_id", "vec_id")
         .localCheckpoint(eager=False)  # feeds both codebooks' hit joins
     )
     return (
-        _pq_codebook_report(spark, sf_dir, donor, exact, "donor")
+        _pq_codebook_report(
+            spark, sf_dir, donor, exact, "donor", normalized, qvecs
+        )
         .unionByName(
-            _pq_codebook_report(spark, sf_dir, trained, exact, "trained")
+            _pq_codebook_report(
+                spark, sf_dir, trained, exact, "trained", normalized, qvecs
+            )
         )
         .orderBy("codebook")
     )
@@ -2960,7 +3027,10 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference counterpart (extension operator; the operational
     tuning tier of the similarity family).
     """
-    emb = emb_table(spark, sf_dir)
+    # one materialized corpus feeds the assignment, the query panel,
+    # the centroid roster, and the exact ground truth (guide §2.4/§5;
+    # the sim_ivf_retrain_recall discipline)
+    emb = spread(emb_table(spark, sf_dir)).localCheckpoint(eager=False)
     bucketed = assign_buckets(emb).localCheckpoint(eager=False)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -2983,7 +3053,13 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pr") <= PROBE_SWEEP_MAX)
         .select("query_id", "centroid_id", "pr")
     )
-    truth = sim_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    # consumed by the rank histogram AND the recall denominator —
+    # lazy-checkpoint so the brute-force pass computes once
+    truth = (
+        _bruteforce_topk_from(emb)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     hits_by_rank = (
         truth.join(bucketed.select("vec_id", "centroid_id"), "vec_id")
         .join(probes, ["query_id", "centroid_id"])
