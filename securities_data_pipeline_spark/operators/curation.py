@@ -443,11 +443,14 @@ def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents.sort(key=lambda t: t[0])
     for _ in range(KMEANS_ITERS):
         assigned = _assign(emb, cents)
+        # one F.expr per mean instead of four py4j builder calls each
+        # (~200ms of driver build per iteration at d=64; optimization
+        # round 11) — the SQL is term-for-term the previous Column form
         rows = (
             assigned.groupBy("cid")
             .agg(
                 *[
-                    F.round(F.avg(F.element_at("v", i + 1)), 6).alias(f"m{i}")
+                    F.expr(f"round(avg(element_at(v, {i + 1})), 6) AS m{i}")
                     for i in range(KMEANS_DIM)
                 ]
             )

@@ -1102,19 +1102,26 @@ def connected_components(
     Output: (doc_id, component).
     """
     # materialize the adjacency once — every round joins against it,
-    # and a lazy edge list would re-run the whole upstream (LSH)
-    # pipeline per iteration
+    # and an un-checkpointed edge list would re-run the whole upstream
+    # (LSH) pipeline per iteration. Checkpoints are LAZY (optimization
+    # round 11): each round's `changed` count is the action that
+    # materializes that round's state, so the eager ckpt job + count
+    # job pairs fuse into one job per round (guide §1.2 step 1 — fewer
+    # passes; values are unchanged, the same rows persist either way)
     adj = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    labels = (
+        nodes.select("doc_id", F.col("doc_id").alias("component"))
+        .localCheckpoint(eager=False)
+    )
     for _ in range(max_iter):
         prop = adj.join(labels, adj.doc_b == labels.doc_id).select(
             F.col("doc_a").alias("doc_id"), "component"
         )
         new_labels = (
             labels.unionByName(prop).groupBy("doc_id").agg(F.min("component").alias("component"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -1165,11 +1172,15 @@ def connected_components_star(
     Output: (doc_id, component) — identical contract to
     ``connected_components``, so the same SQL oracle pins both.
     """
+    # lazy checkpoints throughout the loop (optimization round 11):
+    # the count that follows each checkpoint is the materializing
+    # action, fusing the previous eager-ckpt-job + count-job pair into
+    # ONE job per round — values identical, the same rows persist
     e = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_e = e.count()
     for _ in range(max_iter):
@@ -1203,7 +1214,7 @@ def connected_components_star(
             .union(small.select(F.col("bu").alias("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # fixpoint: both sides are distinct sets, so equality ⟺ equal
         # cardinality AND new_e ⊆ e. One count job per round (last
@@ -1932,17 +1943,22 @@ def scored_lsh_pairs(docs: DataFrame) -> DataFrame:
     truncates adjacency lists by."""
     sig = minhash_signatures(docs).localCheckpoint(eager=False)
     pairs = bucket_pairs(banded_signatures(sig, LSH_BANDS))
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_MINHASH)],
-    )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_MINHASH)],
-    )
-    agree = sum(
-        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-        for s in range(N_MINHASH)
+    # the agreement count folds over ONE packed signature array per
+    # side instead of 2×N_MINHASH aliased columns + an N_MINHASH-branch
+    # CASE chain: the flat form cost ~0.8 s of Catalyst analysis per
+    # invocation at N=128 (paid inside every downstream localCheckpoint
+    # plan — optimization round 11, guide §7.3 planning cost). Values
+    # are identical: zip_with pairs slot s with slot s, the CASE and
+    # the left-to-right integer sum are the same expressions, and a
+    # NULL slot compares to 0 exactly as before (A/B parity on all 775
+    # scored pairs).
+    arr = ", ".join(f"mh{s}" for s in range(N_MINHASH))
+    a = sig.selectExpr("doc_id AS doc_a", f"array({arr}) AS siga")
+    b = sig.selectExpr("doc_id AS doc_b", f"array({arr}) AS sigb")
+    agree = F.expr(
+        "aggregate(zip_with(siga, sigb, "
+        "(x, y) -> (CASE WHEN (x = y) THEN 1 ELSE 0 END)), "
+        "0, (acc, v) -> acc + v)"
     )
     return (
         pairs.join(a, "doc_a")

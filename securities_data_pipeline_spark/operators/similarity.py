@@ -591,23 +591,30 @@ def embedding_cosine_pairs(
     from securities_data_pipeline_spark.operators.dedup import bucket_pairs
 
     # bucket_pairs self-joins the sketch — checkpoint so the banded
-    # projection is computed and analyzed once (see sim_lsh_topk)
-    banded = hyperplane_band_keys(emb).localCheckpoint(eager=False)
+    # projection is computed and analyzed once (see sim_lsh_topk);
+    # spread first so the 48-bit sign folds run on every core
+    banded = hyperplane_band_keys(spread(emb)).localCheckpoint(eager=False)
     cand = bucket_pairs(banded, id_col="vec_id").select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     # norms precomputed per vector: verify-join scoring is one fold
     # (the dot) per candidate pair, and the quotient is bit-identical
-    # to inline cosine (same per-vector sequential folds)
-    ea = emb.select(
+    # to inline cosine (same per-vector sequential folds). ONE normed
+    # projection feeds both join sides (optimization round 11): the
+    # previous ea/eb pair each re-scanned the store and re-ran the
+    # norm fold single-task
+    ev = spread(emb).select(
+        "vec_id", "embedding", _norm("embedding").alias("_n")
+    ).localCheckpoint(eager=False)
+    ea = ev.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
-        _norm("embedding").alias("norm_a"),
+        F.col("_n").alias("norm_a"),
     )
-    eb = emb.select(
+    eb = ev.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
-        _norm("embedding").alias("norm_b"),
+        F.col("_n").alias("norm_b"),
     )
     return (
         cand.join(ea, "vec_a")
@@ -840,15 +847,21 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
         .distinct()
     )
-    ea = emb.select(
+    # ONE normed projection feeds both vector-fetch sides (the
+    # embedding_cosine_pairs pattern): previously ea/eb each re-scanned
+    # the store and re-ran the norm fold single-task
+    ev = spread(emb).select(
+        "vec_id", "embedding", _norm("embedding").alias("_n")
+    ).localCheckpoint(eager=False)
+    ea = ev.select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("emb_a"),
-        _norm("embedding").alias("norm_a"),
+        F.col("_n").alias("norm_a"),
     )
-    eb = emb.select(
+    eb = ev.select(
         F.col("vec_id").alias("dst"),
         F.col("embedding").alias("emb_b"),
-        _norm("embedding").alias("norm_b"),
+        F.col("_n").alias("norm_b"),
     )
     scored = (
         cand.join(ea, "src")
