@@ -1183,22 +1183,28 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
     n_e = e.count()
+    # per-neighborhood minima via `min() OVER (PARTITION BY key)`
+    # instead of groupBy + join-back (optimization round 11, guide
+    # §2.4): the window computes the min AND keeps the rows in the ONE
+    # exchange that colocates each neighborhood, where the join-back
+    # form needed a second pass over the edges (broadcast of the min
+    # table locally; at corpus scale the min table is O(nodes) — not
+    # broadcastable — so the join degenerates to shuffling BOTH sides
+    # on the same key the window shuffles once). Skew is unchanged: a
+    # super-node's neighborhood lands on one partition under either
+    # formulation. Values are identical (same min over the same rows;
+    # A/B parity on all 5000 labels), so the fixpoint test and the
+    # final labels are unchanged. NO distinct on the large-star output
+    # (r11 earlier): its only consumers are the small-star min —
+    # idempotent under duplicate edges — and new_e's own distinct.
+    wu = Window.partitionBy("u")
+    wbu = Window.partitionBy("bu")
     for _ in range(max_iter):
         neigh = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            neigh.groupBy("u")
-            .agg(F.min("v").alias("_mn"))
-            .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
-        )
-        # NO distinct here (optimization round 11, guide §2.4): the
-        # only consumers are a min-aggregate (idempotent under
-        # duplicate edges) and new_e's own distinct, so deduping large
-        # bought nothing semantically and cost a full (u, v) Exchange
-        # per round right before the groupBy re-shuffled on bu anyway.
-        # Edge-set values per round are identical, so the fixpoint
-        # test and the final labels are unchanged.
         large = (
-            neigh.join(mins, "u")
+            neigh.withColumn(
+                "m", F.least(F.min("v").over(wu), F.col("u"))
+            )
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -1207,8 +1213,7 @@ def connected_components_star(
             F.greatest(F.col("u"), F.col("v")).alias("bu"),
             F.least(F.col("u"), F.col("v")).alias("bv"),
         )
-        small_min = oriented.groupBy("bu").agg(F.min("bv").alias("m"))
-        small = oriented.join(small_min, "bu")
+        small = oriented.withColumn("m", F.min("bv").over(wbu))
         new_e = (
             small.select(F.col("bv").alias("u"), F.col("m").alias("v"))
             .union(small.select(F.col("bu").alias("u"), F.col("m").alias("v")))
