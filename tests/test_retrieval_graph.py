@@ -210,6 +210,34 @@ def test_capped_common_neighbors_caps_hub_adjacency(spark):
     assert out[0].jaccard == 1.0
 
 
+def test_scored_lsh_pairs_priority_is_per_slot_agreement(spark):
+    """The packed-array agreement fold (optimization round 11) must
+    equal a plain per-slot equality count recomputed in Python from
+    the signature table — pins the array/zip_with form against the
+    definition the 128-column CASE chain implemented."""
+    from securities_data_pipeline_spark.operators.dedup import (
+        N_MINHASH,
+        minhash_signatures,
+        scored_lsh_pairs,
+    )
+    from securities_data_pipeline_spark.sources.tables import table
+
+    docs = table(spark, SF, "documents")
+    sig = {
+        r["doc_id"]: [r[f"mh{s}"] for s in range(N_MINHASH)]
+        for r in minhash_signatures(docs).collect()
+    }
+    out = scored_lsh_pairs(docs).collect()
+    assert out, "fixture corpus must produce at least one LSH pair"
+    for r in out:
+        want = sum(
+            1
+            for x, y in zip(sig[r.doc_a], sig[r.doc_b])
+            if x is not None and y is not None and x == y
+        )
+        assert r.priority == want, (r.doc_a, r.doc_b, r.priority, want)
+
+
 def test_capped_common_neighbors_priority_picks_survivors(spark):
     """Higher-priority (more similar) neighbors survive the cap; the
     tiebreak never overrides a real priority difference."""
