@@ -75,6 +75,9 @@ def _sql_chunk_hashes() -> str:
 def t_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate share: fraction of the document's
     word chunks that occur (by hash) in at least one OTHER document."""
+    # NOT spread (r11, measured): the chunk-hash map is cheap relative
+    # to the groupBy shuffle that follows — a pre-shuffle repartition
+    # read +0.3 s in an interleaved A/B at sf0.1
     docs = table(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id", F.explode(chunk_hashes()).alias("ch")

@@ -1104,7 +1104,9 @@ def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     y, x1, x2 = _logreg_features()
     feats = (
-        table(spark, sf_dir, "documents")
+        # spread before the feature-extraction map: the per-step sums
+        # are quantized int64s (order-independent exact — r11)
+        spread(table(spark, sf_dir, "documents"))
         .where(F.col("text").isNotNull())
         .select(y, x1, x2)
         .localCheckpoint(eager=False)  # scanned once per GD step

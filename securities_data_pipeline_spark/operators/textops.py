@@ -1762,7 +1762,9 @@ def t_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference counterpart (extension operator; text-analysis
     family's corpus-statistics tier).
     """
-    docs = table(spark, sf_dir, "documents")
+    # spread before the tokenize/explode map stages (CPU-bound per-row
+    # work on a single-row-group scan; counts are exact — r11)
+    docs = spread(table(spark, sf_dir, "documents"))
     vocab = ranked_head(
         token_stream(docs)
         .groupBy("token")
