@@ -331,7 +331,29 @@ def main() -> None:
     canary, canary_ratio_pre = _run_canaries(spark, sf_dir, sf_val)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    # interleaved micro-canary (VERDICT r11 #5): the pre/post bracket
+    # cannot see a MID-battery load spike (r11's adjudication needed a
+    # separate 8-core control run to close 15 phantom regressions).
+    # Every MICRO_CANARY_EVERY headline queries, time the cheapest
+    # frozen canary (canary_w2) median-of-3 and record the ratio — a
+    # per-segment contention trace, additions-only to the record.
+    MICRO_CANARY_EVERY = 25
+    canary_mid: dict[str, float] = {}
+
+    def _micro_canary(seg: int) -> None:
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            _canary_w2(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        med = round(statistics.median(samples), 3)
+        ratio = round(med / _CANARY_REF["canary_w2"], 3)
+        canary_mid[f"seg{seg:02d}"] = ratio
+        print(f"# micro-canary seg{seg:02d}: w2={med}s ratio={ratio}", file=sys.stderr)
+
+    for qi, name in enumerate(HEADLINE):
+        if qi and qi % MICRO_CANARY_EVERY == 0 and sf_val == _CANARY_REF_SF:
+            _micro_canary(qi // MICRO_CANARY_EVERY)
         fn = qs[name]
         samples: list[float] = []
         n = -1
@@ -398,6 +420,7 @@ def main() -> None:
         # this run's frozen-query medians to their r3 reference;
         # divide any cross-round comparison by it first.
         "canary": canary,
+        "canary_mid": canary_mid,
         "canary_post": canary_post,
         "canary_ref": _CANARY_REF,
         "canary_ratio_pre": canary_ratio_pre,
