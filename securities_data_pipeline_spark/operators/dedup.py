@@ -1091,12 +1091,16 @@ def connected_components(
     express in one pass: each round joins current labels across edges,
     keeps the per-node min, and stops at fixpoint (≤ graph diameter
     rounds — near-dup clusters are small, so 2-4 in practice).
-    Every round ``localCheckpoint``s its result: lineage is truncated
-    to O(1) per round (the classic iterative-Spark trap is a plan that
-    doubles each iteration), nothing stays pinned after the result is
-    garbage-collected, and the returned DataFrame is already
-    materialized. On a cluster with unreliable executors use
-    reliable ``checkpoint`` to HDFS instead.
+    Every round ``localCheckpoint``s its result LAZILY: lineage is
+    truncated to O(1) per round (the classic iterative-Spark trap is a
+    plan that doubles each iteration) and nothing stays pinned after
+    the result is garbage-collected. The per-round ``changed`` count
+    below is the REQUIRED materializing action for that round's lazy
+    checkpoint — the returned DataFrame is materialized only because
+    the final round's count ran over it; an edit that removes or
+    reorders the count would silently reintroduce per-round lineage
+    re-execution. On a cluster with unreliable executors use reliable
+    ``checkpoint`` to HDFS instead.
 
     ``edges`` columns: (doc_a, doc_b); ``nodes``: (doc_id,).
     Output: (doc_id, component).

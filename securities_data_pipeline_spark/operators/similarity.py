@@ -590,10 +590,17 @@ def embedding_cosine_pairs(
     """
     from securities_data_pipeline_spark.operators.dedup import bucket_pairs
 
+    # ONE spread + lazy checkpoint of the embedding table feeds BOTH
+    # the banded sketch and the normed verify projection below
+    # (optimization round 12, ADVICE r11: the previous two spread(emb)
+    # calls each paid an independent round-robin shuffle of the same
+    # rows — the sketch consumer and the norm consumer now read one
+    # materialized copy)
+    sp = spread(emb).localCheckpoint(eager=False)
     # bucket_pairs self-joins the sketch — checkpoint so the banded
     # projection is computed and analyzed once (see sim_lsh_topk);
     # spread first so the 48-bit sign folds run on every core
-    banded = hyperplane_band_keys(spread(emb)).localCheckpoint(eager=False)
+    banded = hyperplane_band_keys(sp).localCheckpoint(eager=False)
     cand = bucket_pairs(banded, id_col="vec_id").select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
@@ -603,7 +610,7 @@ def embedding_cosine_pairs(
     # projection feeds both join sides (optimization round 11): the
     # previous ea/eb pair each re-scanned the store and re-ran the
     # norm fold single-task
-    ev = spread(emb).select(
+    ev = sp.select(
         "vec_id", "embedding", _norm("embedding").alias("_n")
     ).localCheckpoint(eager=False)
     ea = ev.select(
@@ -1113,7 +1120,19 @@ def _band_dists_expr(cbsub: dict, m: int) -> str:
     per run). 'D' suffix: a bare decimal literal parses as DECIMAL and
     would promote the ADC sum away from the oracle's DOUBLE. zip_with
     pairs in index order and aggregate folds left-to-right — the same
-    order as the DuckDB oracle's list_zip/list_aggregate."""
+    order as the DuckDB oracle's list_zip/list_aggregate.
+
+    Optimization round 12 kept the LITERAL form deliberately: an A/B
+    against binding the codebook through a 1-row broadcast
+    LocalRelation (crossJoin + column reference — VERDICT r11 #2's
+    suggestion) measured the broadcast form SLOWER on every PQ
+    consumer (sim_pq_topk 1.04 → 1.42-1.65 s, sim_pq_retrain_recall
+    5.07 → 6.1-7.6 s, interleaved same-container trials): each
+    broadcast exchange costs a fixed ~0.2 s on this harness and the
+    BNLJ splits the encode/ADC projection out of one codegen region,
+    while Catalyst constant-folds the literal arrays to a single
+    Literal value anyway (no per-row penalty). See
+    OPTIMIZATION_r12.md."""
     rows = ", ".join(
         "array("
         + ", ".join(f"{cbsub[(m, c)][d]!r}D" for d in range(PQ_DSUB))
@@ -1940,7 +1959,16 @@ def _roster_fold_sql(roster: list[tuple[int, list[float]]]) -> str:
     semantics are exactly ``_kmeans_assign``'s fold: dot and norm are
     the same left-to-right ``aggregate`` folds, ``cn`` is the Python
     left-fold norm (bit-identical to ``_norm`` — ``_py_norm``), ties
-    keep the first strictly-greater sim over the id-ascending array."""
+    keep the first strictly-greater sim over the id-ascending array.
+
+    Optimization round 12 kept the LITERAL form deliberately: the
+    1-row-broadcast-LocalRelation binding VERDICT r11 #2 suggested
+    measured SLOWER on every trainer in an interleaved A/B
+    (sim_kmeans_train 3.32 → 3.8-4.3 s, sim_ivf_retrain_recall 5.08 →
+    5.2-5.6 s) — the per-consumer broadcast exchange's fixed cost
+    exceeds the literal parse it saves, and Catalyst constant-folds
+    the literal roster to one Literal value anyway. See
+    OPTIMIZATION_r12.md."""
     entries = ", ".join(
         "named_struct('centroid_id', CAST({cid} AS BIGINT), "
         "'cn', {cn!r}D, 'cvec', array({vs}))".format(
@@ -2512,7 +2540,9 @@ def _pq_cb_fold_sql(cb: dict[tuple[int, int], list[float]]) -> str:
     subspace id, then the same strictly-smaller left-fold as the
     previous broadcast-roster formulation (first smaller distance over
     the c-ascending array ≡ ORDER BY dist ASC, c ASC). One SQL string
-    parsed JVM-side — the hyperplane/ADC py4j lesson."""
+    parsed JVM-side — the hyperplane/ADC py4j lesson. (Round 12 A/B'd
+    a 1-row-broadcast binding and kept the literal — see
+    ``_roster_fold_sql``.)"""
     subspaces = []
     for m in range(PQ_M):
         cs = sorted(c for (m2, c) in cb if m2 == m)
@@ -2757,8 +2787,6 @@ SIMILARITY_ORACLES["sim_pq_train"] = guard_emb_sql(_sql_pq_train())
 
 
 def _pq_codebook_report(
-    spark: SparkSession,
-    sf_dir: str,
     cbsub: dict,
     exact: DataFrame,
     tag: str,
@@ -2904,13 +2932,9 @@ def sim_pq_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds both codebooks' hit joins
     )
     return (
-        _pq_codebook_report(
-            spark, sf_dir, donor, exact, "donor", normalized, qvecs
-        )
+        _pq_codebook_report(donor, exact, "donor", normalized, qvecs)
         .unionByName(
-            _pq_codebook_report(
-                spark, sf_dir, trained, exact, "trained", normalized, qvecs
-            )
+            _pq_codebook_report(trained, exact, "trained", normalized, qvecs)
         )
         .orderBy("codebook")
     )

@@ -1762,9 +1762,14 @@ def t_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference counterpart (extension operator; text-analysis
     family's corpus-statistics tier).
     """
-    # spread before the tokenize/explode map stages (CPU-bound per-row
-    # work on a single-row-group scan; counts are exact — r11)
-    docs = spread(table(spark, sf_dir, "documents"))
+    # NO spread here (optimization round 12, VERDICT r11 #1): the r11
+    # session A/B kept a spread() before the tokenize/explode stages,
+    # but the round-11 driver contradicted it at BOTH core counts
+    # (1.13 s r10 → 2.12 s at 32c / 1.46 s at 8c) — the added
+    # round-robin exchange costs more than the map fan-out saves on
+    # this short pipeline (two consumers but each is one cheap
+    # tokenize pass). Reverted to the r10 scan-partitioned form.
+    docs = table(spark, sf_dir, "documents")
     vocab = ranked_head(
         token_stream(docs)
         .groupBy("token")

@@ -32,6 +32,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--explain-tag", default=None)
+    ap.add_argument("--plans-dir", default="r12")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
@@ -77,7 +78,7 @@ def main() -> None:
             pdir = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "plans",
-                "r11",
+                args.plans_dir,
             )
             os.makedirs(pdir, exist_ok=True)
             with open(os.path.join(pdir, f"{n}_{args.explain_tag}.txt"), "w") as f:
