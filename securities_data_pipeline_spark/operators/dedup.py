@@ -2232,7 +2232,21 @@ DEDUP_QUERIES["dedup_incremental"] = dedup_incremental
 DEDUP_ORACLES["dedup_incremental"] = _sql_incremental()
 
 
-RCTE_MAX_HOPS = 12
+#: Recursion cap for the RCTE demo tier. The recursive step joins the
+#: PREVIOUS level only (UNION ALL semantics), so on any graph with an
+#: edge the levels never go empty — every level up to the cap runs and
+#: each one is a join + DISTINCT shuffle, i.e. the cap LINEARLY
+#: multiplies the query's cost. Sizing (optimization round 12, VERDICT
+#: r11 #4): the quantity that must stay under the cap is the max
+#: distance from any node to its component's MIN-label node; measured
+#: over the LSH candidate graph it is 1 (sf0.001), 2 (sf0.01), and
+#: 4 (sf0.1) — near-dup components are shallow by construction, and
+#: the 20× stress corpus fattens CLIQUES (diameter ≤ 2), not chains.
+#: 8 = 2× the observed worst case; the iterative twins, which detect
+#: convergence instead of running to a cap, remain the production
+#: path for adversarial graphs (and the three-implementation equality
+#: test pins all outputs identical).
+RCTE_MAX_HOPS = 8
 
 
 def dedup_components_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2259,7 +2273,9 @@ def dedup_components_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned to identical output.
     """
     docs = table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs).localCheckpoint()
+    # lazy: the recursion's level-0 pass is the materializing action —
+    # eager spent a separate job on the same rows (guide §1.2 step 1)
+    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=False)
     pairs.createOrReplaceTempView("_rcte_pairs")
     docs.select("doc_id").createOrReplaceTempView("_rcte_docs")
     return spark.sql(f"""
