@@ -50,7 +50,7 @@ from securities_data_pipeline_spark.operators.textops import (
     round6_ratio,
     words_col,
 )
-from securities_data_pipeline_spark.sources.tables import spread, table
+from securities_data_pipeline_spark.sources.tables import materialize, materialize_eager, spread, table
 
 SHINGLE_K = 3
 N_MINHASH = 8
@@ -541,7 +541,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for candidate pairs, exactly like the LSH verifier.
     """
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    sig = minhash_signatures(docs).transform(materialize)
     pairs = bucket_pairs(banded_signatures(sig, LSH_BANDS))
     a = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_MINHASH)]
@@ -551,7 +551,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both join sides consume the shingle build — materialize it once,
     # same reason the signature table above is checkpointed
-    shl = with_shingles(docs, ["doc_id"]).localCheckpoint(eager=False)
+    shl = with_shingles(docs, ["doc_id"]).transform(materialize)
     x = shl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = shl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     agree = sum(
@@ -710,7 +710,7 @@ def simhash_hamming_pairs(
     production is 64-bit / 4×16-bit bands (same plan, collision odds
     4/2¹⁶ per random pair instead of 4/2⁴)."""
     bits_per = bits // bands
-    sig = sig.localCheckpoint(eager=False)
+    sig = sig.transform(materialize)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -1114,10 +1114,10 @@ def connected_components(
     # passes; values are unchanged, the same rows persist either way)
     adj = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     labels = (
         nodes.select("doc_id", F.col("doc_id").alias("component"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     for _ in range(max_iter):
         prop = adj.join(labels, adj.doc_b == labels.doc_id).select(
@@ -1125,7 +1125,7 @@ def connected_components(
         )
         new_labels = (
             labels.unionByName(prop).groupBy("doc_id").agg(F.min("component").alias("component"))
-        ).localCheckpoint(eager=False)
+        ).transform(materialize)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -1184,7 +1184,7 @@ def connected_components_star(
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     n_e = e.count()
     # per-neighborhood minima via `min() OVER (PARTITION BY key)`
@@ -1223,7 +1223,7 @@ def connected_components_star(
             .union(small.select(F.col("bu").alias("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         # fixpoint: both sides are distinct sets, so equality ⟺ equal
         # cardinality AND new_e ⊆ e. One count job per round (last
@@ -1390,7 +1390,7 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint its lineage (documents scan + roots join) executes
     # twice — at 100 TB that is two full doc-table scans for a
     # 16-byte/row label set
-    labels = dedup_components_star(spark, sf_dir).localCheckpoint()
+    labels = dedup_components_star(spark, sf_dir).transform(materialize_eager)
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "component").select(
         "doc_id",
@@ -1444,7 +1444,7 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lsh_candidate_pairs(docs)
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).transform(materialize_eager)
     deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = docs.select("doc_id")
     n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -1612,7 +1612,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     The wedge TOTAL (denominator) comes from the degree table alone —
     Σ deg·(deg−1)/2 in exact int64 — never from enumerating wedges.
     """
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.transform(materialize_eager)
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -1644,7 +1644,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
         F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
         F.when(fwd, F.col("degb")).otherwise(F.col("dega")).alias("degdst"),
-    ).localCheckpoint()
+    ).transform(materialize_eager)
     o2 = o.select(
         F.col("src").alias("src2"), F.col("dst").alias("dst2"), F.col("degdst").alias("degdst2")
     )
@@ -1752,7 +1752,7 @@ def common_neighbor_links(pairs: DataFrame, topk: int = CN_TOPK) -> DataFrame:
     IEEE parity across engines, no rounding needed — and the (cn desc,
     doc_a, doc_b) order is total, so the top-k cut is deterministic.
     """
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.transform(materialize_eager)
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -1885,7 +1885,7 @@ def common_neighbor_links_capped(
     No reference counterpart (extension operator; nearest reference
     analytics surface is the dbt star schema, dw_transformer/models).
     """
-    est = scored_pairs.localCheckpoint(eager=False)  # feeds sym AND anti-join
+    est = scored_pairs.transform(materialize)  # feeds sym AND anti-join
     pairs = est.select("doc_a", "doc_b")
     sym = est.select(
         F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"), "priority"
@@ -1901,7 +1901,7 @@ def common_neighbor_links_capped(
         sym.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_nbrs)
         .select("node", "nbr")
-        .localCheckpoint(eager=False)  # feeds wedges AND degrees
+        .transform(materialize)  # feeds wedges AND degrees
     )
     deg = capped.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     s1 = capped.select(F.col("node").alias("n"), F.col("nbr").alias("a"))
@@ -1950,7 +1950,7 @@ def scored_lsh_pairs(docs: DataFrame) -> DataFrame:
     (0..N_MINHASH matching signature slots) as the integer similarity
     priority — the input shape ``common_neighbor_links_capped``
     truncates adjacency lists by."""
-    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    sig = minhash_signatures(docs).transform(materialize)
     pairs = bucket_pairs(banded_signatures(sig, LSH_BANDS))
     # the agreement count folds over ONE packed signature array per
     # side instead of 2×N_MINHASH aliased columns + an N_MINHASH-branch
@@ -2191,7 +2191,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     banded = banded_signatures(
         minhash_signatures(docs), LSH_BANDS
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     is_new = F.pmod(F.col("doc_id"), F.lit(INCR_NEW_MOD)) == INCR_NEW_REM
     newb = banded.where(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "key"
@@ -2275,7 +2275,7 @@ def dedup_components_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # lazy: the recursion's level-0 pass is the materializing action —
     # eager spent a separate job on the same rows (guide §1.2 step 1)
-    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(docs).transform(materialize)
     pairs.createOrReplaceTempView("_rcte_pairs")
     docs.select("doc_id").createOrReplaceTempView("_rcte_docs")
     return spark.sql(f"""

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from securities_data_pipeline_spark.sources.tables import table
+from securities_data_pipeline_spark.sources.tables import materialize, table
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 10
@@ -596,11 +596,11 @@ def embedding_cosine_pairs(
     # calls each paid an independent round-robin shuffle of the same
     # rows — the sketch consumer and the norm consumer now read one
     # materialized copy)
-    sp = spread(emb).localCheckpoint(eager=False)
+    sp = spread(emb).transform(materialize)
     # bucket_pairs self-joins the sketch — checkpoint so the banded
     # projection is computed and analyzed once (see sim_lsh_topk);
     # spread first so the 48-bit sign folds run on every core
-    banded = hyperplane_band_keys(sp).localCheckpoint(eager=False)
+    banded = hyperplane_band_keys(sp).transform(materialize)
     cand = bucket_pairs(banded, id_col="vec_id").select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
@@ -612,7 +612,7 @@ def embedding_cosine_pairs(
     # norm fold single-task
     ev = sp.select(
         "vec_id", "embedding", _norm("embedding").alias("_n")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     ea = ev.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -744,8 +744,8 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sketch feeds both join sides — materialize it once (the
     # at-scale pattern: band keys are written once and reused) instead
     # of analyzing/executing the 48-fold projection twice
-    banded = hyperplane_band_keys(spread(emb), bits=ANN_BITS, bands=ANN_BANDS).localCheckpoint(
-        eager=False
+    banded = hyperplane_band_keys(spread(emb), bits=ANN_BITS, bands=ANN_BANDS).transform(
+        materialize
     )
     qb = banded.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "key"
@@ -844,7 +844,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential folds).
     """
     emb = emb_table(spark, sf_dir)
-    banded = hyperplane_band_keys(spread(emb)).localCheckpoint(eager=False)
+    banded = hyperplane_band_keys(spread(emb)).transform(materialize)
     other = banded.select(
         F.col("vec_id").alias("nbr_id"), F.col("band").alias("band"), F.col("key").alias("key")
     )
@@ -859,7 +859,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the store and re-ran the norm fold single-task
     ev = spread(emb).select(
         "vec_id", "embedding", _norm("embedding").alias("_n")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     ea = ev.select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("emb_a"),
@@ -2056,7 +2056,7 @@ def kmeans_train_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their K×d argmax fold in one task (optimization round 11, guide
     # §2.4/§5 — materialize once, fan the fold out to every core; a
     # cluster-scale scan already arrives wide, spread() no-ops there)
-    emb = spread(emb_table(spark, sf_dir)).localCheckpoint(eager=False)
+    emb = spread(emb_table(spark, sf_dir)).transform(materialize)
     cents = _kmeans_train_lists(emb)
     final = _assign_literal(emb, cents)
     stats = final.groupBy("centroid_id").agg(
@@ -2262,7 +2262,7 @@ def _ivf_roster_report(
     # arm's dominant per-row cost) and the corpus read behind it execute
     # twice per arm (guide §2.4 / §5: materialize a reused intermediate
     # once; at corpus scale this is two full passes saved per arm)
-    assigned = _assign_literal(emb, roster).localCheckpoint(eager=False)
+    assigned = _assign_literal(emb, roster).transform(materialize)
     bstat = (
         assigned.groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("sz"))
@@ -2374,13 +2374,13 @@ def sim_ivf_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bucket sizes are exact integers; the two output ratios are
     single int/int double divisions (parity-safe).
     """
-    emb = spread(emb_table(spark, sf_dir)).localCheckpoint(eager=False)
+    emb = spread(emb_table(spark, sf_dir)).transform(materialize)
     static = _collect_centroid_rows(emb)
     trained = _kmeans_train_lists(emb)
     exact = (
         _bruteforce_topk_from(emb)
         .select("query_id", "vec_id")
-        .localCheckpoint(eager=False)  # feeds both rosters' hit joins
+        .transform(materialize)  # feeds both rosters' hit joins
     )
     return (
         _ivf_roster_report(emb, static, exact, "static")
@@ -2620,7 +2620,7 @@ def _pq_train_state(
             )
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    sub = sub.localCheckpoint(eager=False)  # feeds every round's E-step
+    sub = sub.transform(materialize)  # feeds every round's E-step
 
     # ``donors`` lets the retrain certificate share ONE donor collect
     # between the cb0 init here and its donor arm (the list is already
@@ -2824,7 +2824,7 @@ def _pq_codebook_report(
                 for m in range(PQ_M)
             ],
         )
-        .localCheckpoint(eager=False)  # feeds the ADC rank + distortion
+        .transform(materialize)  # feeds the ADC rank + distortion
     )
     # corpus-weighted mean squared distortion, DECIMAL(18,9) quantized
     # per (vector, subspace) term — the t_unigram_logprob rule
@@ -2910,7 +2910,7 @@ def sim_pq_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect, the query panel, both arms' encodes, and the exact
     # ground truth — materialize it once (spread + lazy checkpoint,
     # the sim_ivf_retrain_recall discipline; guide §2.4/§5)
-    emb = spread(emb_table(spark, sf_dir)).localCheckpoint(eager=False)
+    emb = spread(emb_table(spark, sf_dir)).transform(materialize)
     # ONE donor collect serves both the trainer's cb0 init and the
     # donor arm (previously two identical collect jobs)
     donor_full = _pq_codebook(spark, sf_dir, emb)
@@ -2925,11 +2925,11 @@ def sim_pq_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one normalize pass feeds both arms' encode projections
     normalized = emb.select(
         "vec_id", F.expr(NV_EXPR).alias("_nv")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     exact = (
         _bruteforce_topk_from(emb)
         .select("query_id", "vec_id")
-        .localCheckpoint(eager=False)  # feeds both codebooks' hit joins
+        .transform(materialize)  # feeds both codebooks' hit joins
     )
     return (
         _pq_codebook_report(donor, exact, "donor", normalized, qvecs)
@@ -3067,8 +3067,8 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one materialized corpus feeds the assignment, the query panel,
     # the centroid roster, and the exact ground truth (guide §2.4/§5;
     # the sim_ivf_retrain_recall discipline)
-    emb = spread(emb_table(spark, sf_dir)).localCheckpoint(eager=False)
-    bucketed = assign_buckets(emb).localCheckpoint(eager=False)
+    emb = spread(emb_table(spark, sf_dir)).transform(materialize)
+    bucketed = assign_buckets(emb).transform(materialize)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -3095,7 +3095,7 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         _bruteforce_topk_from(emb)
         .select("query_id", "vec_id")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     hits_by_rank = (
         truth.join(bucketed.select("vec_id", "centroid_id"), "vec_id")

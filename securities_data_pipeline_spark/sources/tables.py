@@ -90,6 +90,54 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
+def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+    """THE choke point for the materialize-once pattern (optimization
+    round 12, VERDICT r11 #7): every corpus-scale reused intermediate
+    in the similarity/dedup families (gated corpora, signatures, band
+    keys, per-arm assignments, component-loop round state) goes
+    through here instead of calling ``localCheckpoint`` directly, so
+    the local-vs-cluster storage decision lives in ONE place.
+
+    Modes (``SPARK_GRAFT_MATERIALIZE``):
+
+    - ``local`` (default) — ``localCheckpoint``: executor-local blocks,
+      lineage truncated. The right choice on this harness and on any
+      cluster where recomputing from parquet after an executor loss is
+      acceptable (these are all intra-QUERY intermediates — a lost
+      block fails the query, the retry recomputes from source).
+    - ``reliable`` — ``DataFrame.checkpoint`` into
+      ``SPARK_GRAFT_CHECKPOINT_DIR`` (shared storage): survives
+      executor loss, the 100 TB choice when a trainer/certificate
+      query runs long enough that mid-query executor churn is expected.
+      Same lineage truncation, so the driver-loop operators keep their
+      O(1)-plan-per-round property.
+
+    ``persist(DISK_ONLY)`` is deliberately NOT offered here: it does
+    not truncate lineage, so the iterative operators behind this choke
+    point (Lloyd loops, star contraction, BPE rounds) would replan a
+    growing tree every round — the exact pathology the checkpoints
+    exist to prevent. Eager/lazy follows the call site: lazy whenever
+    a downstream action (fixpoint count, first arm's job) materializes
+    the frame anyway; eager only where the caller needs the state
+    pinned before branching work.
+
+    SCALE.md §materialize-once documents the rationale."""
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    if mode == "reliable":
+        spark = df.sparkSession
+        ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if ckpt_dir:
+            spark.sparkContext.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def materialize_eager(df: DataFrame) -> DataFrame:
+    """``materialize`` with eager=True — the ``DataFrame.transform``
+    companion for call sites that must pin state before branching."""
+    return materialize(df, eager=True)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Pure ``spark.read.parquet`` — no caching, no hints.
 
