@@ -2072,17 +2072,24 @@ def dedup_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample; the signature pass (the expensive part at scale) is
     shared across all geometries by construction.
     """
-    sig = minhash_signatures(table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
+    sig = minhash_signatures(table(spark, sf_dir, "documents")).transform(
+        materialize
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(N_MINHASH)]
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(N_MINHASH)]
-    )
-    matches = sum(
-        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(N_MINHASH)
+    # agreement over ONE packed signature array per side — the
+    # scored_lsh_pairs form (r11 item 8): the 2×N_MINHASH aliased
+    # columns + N_MINHASH-term equality tree cost repeated Catalyst
+    # analysis per geometry (×3 geometries here — r12). The CASE fold
+    # is also the ORACLE's exact NULL rule (`CASE WHEN sa.mh=sb.mh
+    # THEN 1 ELSE 0`), where the previous cast-sum would have
+    # propagated a NULL slot; no NULL slots occur on gated docs, so
+    # values are unchanged (oracle hash PASS pins it).
+    arr = ", ".join(f"mh{i}" for i in range(N_MINHASH))
+    sa = sig.selectExpr("doc_id AS doc_a", f"array({arr}) AS siga")
+    sb = sig.selectExpr("doc_id AS doc_b", f"array({arr}) AS sigb")
+    matches = F.expr(
+        "aggregate(zip_with(siga, sigb, "
+        "(x, y) -> (CASE WHEN (x = y) THEN 1 ELSE 0 END)), "
+        "0, (acc, v) -> acc + v)"
     )
     out = None
     for bands, rows_ in CURVE_GEOMETRIES:

@@ -844,7 +844,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential folds).
     """
     emb = emb_table(spark, sf_dir)
-    banded = hyperplane_band_keys(spread(emb)).transform(materialize)
+    # ONE spread + materialize feeds both the banded sketch and the
+    # normed verify projection (optimization round 12 — the
+    # embedding_cosine_pairs ADVICE fix applied to its twin here: the
+    # two independent spread(emb) calls each paid a round-robin
+    # shuffle of the same rows)
+    sp = spread(emb).transform(materialize)
+    banded = hyperplane_band_keys(sp).transform(materialize)
     other = banded.select(
         F.col("vec_id").alias("nbr_id"), F.col("band").alias("band"), F.col("key").alias("key")
     )
@@ -857,7 +863,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE normed projection feeds both vector-fetch sides (the
     # embedding_cosine_pairs pattern): previously ea/eb each re-scanned
     # the store and re-ran the norm fold single-task
-    ev = spread(emb).select(
+    ev = sp.select(
         "vec_id", "embedding", _norm("embedding").alias("_n")
     ).transform(materialize)
     ea = ev.select(

@@ -323,3 +323,78 @@ def test_capped_cn_never_exceeds_exact_cn(spark):
     for pair, cn in capped.items():
         assert pair in exact, f"capped invented non-edge {pair}"
         assert cn <= exact[pair], (pair, cn, exact[pair])
+
+
+def test_banding_curve_est_dups_is_per_slot_agreement(spark):
+    """The banding curve's packed-array agreement fold (optimization
+    round 12 — the scored_lsh_pairs form applied to the calibration
+    report) must equal a plain per-slot equality count recomputed in
+    Python: for each geometry, n_est_dups = #candidate pairs whose
+    signatures agree on >= CURVE_EST_MIN slots."""
+    from securities_data_pipeline_spark.operators.dedup import (
+        CURVE_EST_MIN,
+        CURVE_GEOMETRIES,
+        N_MINHASH,
+        banded_signatures,
+        bucket_pairs,
+        dedup_banding_curve,
+        minhash_signatures,
+    )
+    from securities_data_pipeline_spark.sources.tables import table
+
+    docs = table(spark, SF, "documents")
+    sigdf = minhash_signatures(docs)
+    sig = {
+        r["doc_id"]: [r[f"mh{s}"] for s in range(N_MINHASH)]
+        for r in sigdf.collect()
+    }
+    got = {
+        (r.bands, r.rows_per_band): (r.n_candidates, r.n_est_dups)
+        for r in dedup_banding_curve(spark, SF).collect()
+    }
+    assert set(got) == set(CURVE_GEOMETRIES)
+    for bands, rows_ in CURVE_GEOMETRIES:
+        pairs = [
+            (r.doc_a, r.doc_b)
+            for r in bucket_pairs(banded_signatures(sigdf, bands)).collect()
+        ]
+        want_est = sum(
+            1
+            for a, b in pairs
+            if sum(
+                1
+                for x, y in zip(sig[a], sig[b])
+                if x is not None and y is not None and x == y
+            )
+            >= CURVE_EST_MIN
+        )
+        assert got[(bands, rows_)] == (len(pairs), want_est), (
+            bands,
+            rows_,
+            got[(bands, rows_)],
+            (len(pairs), want_est),
+        )
+
+
+def test_materialize_reliable_mode_matches_default(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_MATERIALIZE=reliable must route the materialize-once
+    choke point through DataFrame.checkpoint into
+    SPARK_GRAFT_CHECKPOINT_DIR — same rows as the default
+    localCheckpoint path, with checkpoint files actually written
+    (optimization round 12, VERDICT r11 #7)."""
+    import os
+
+    from securities_data_pipeline_spark.operators.dedup import dedup_components
+
+    want = {(r.doc_id, r.component) for r in dedup_components(spark, SF).collect()}
+    ckpt = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckpt)
+    got = {(r.doc_id, r.component) for r in dedup_components(spark, SF).collect()}
+    assert got == want
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert files, "reliable mode wrote no checkpoint files"
