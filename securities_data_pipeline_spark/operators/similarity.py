@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from securities_data_pipeline_spark.sources.tables import materialize, table
+from securities_data_pipeline_spark.sources.tables import materialize, materialize_eager, table
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 10
@@ -2382,12 +2382,25 @@ def sim_ivf_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = spread(emb_table(spark, sf_dir)).transform(materialize)
     static = _collect_centroid_rows(emb)
-    trained = _kmeans_train_lists(emb)
-    exact = (
-        _bruteforce_topk_from(emb)
-        .select("query_id", "vec_id")
-        .transform(materialize)  # feeds both rosters' hit joins
-    )
+    # the exact ground truth is INDEPENDENT of the training rounds
+    # (both read only the materialized corpus), and the Lloyd loop is
+    # a chain of sequential collect-round jobs that leave the cluster
+    # under-used between collects — so the exact pass runs as a
+    # CONCURRENT job from a driver thread and back-fills those gaps
+    # (guide §2.6, overlap independent jobs; optimization round 12).
+    # Values are untouched: the same exact frame materializes either
+    # way, just eagerly and in parallel with training instead of
+    # lazily inside the final job.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        exact_fut = pool.submit(
+            lambda: _bruteforce_topk_from(emb)
+            .select("query_id", "vec_id")
+            .transform(materialize_eager)  # feeds both rosters' hit joins
+        )
+        trained = _kmeans_train_lists(emb)
+        exact = exact_fut.result()
     return (
         _ivf_roster_report(emb, static, exact, "static")
         .unionByName(_ivf_roster_report(emb, trained, exact, "trained"))
@@ -2920,23 +2933,38 @@ def sim_pq_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE donor collect serves both the trainer's cb0 init and the
     # donor arm (previously two identical collect jobs)
     donor_full = _pq_codebook(spark, sf_dir, emb)
-    trained_rows = pq_train_codebook(
-        spark, sf_dir, emb, donors=donor_full
-    ).select("m", "c", "cw").collect()
+    # the exact ground truth and the query panel are INDEPENDENT of
+    # the subspace-Lloyd rounds (all read only the materialized
+    # corpus), and the trainer is a chain of sequential collect-round
+    # jobs that leave the cluster under-used between collects — run
+    # them as a CONCURRENT job from a driver thread so they back-fill
+    # those gaps (guide §2.6; optimization round 12). Same values,
+    # eagerly and in parallel instead of lazily inside the final job.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ground_truth():
+        qv = _query_nvecs(emb)
+        ex = (
+            _bruteforce_topk_from(emb)
+            .select("query_id", "vec_id")
+            .transform(materialize_eager)  # feeds both codebooks' hit joins
+        )
+        return qv, ex
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        gt_fut = pool.submit(_ground_truth)
+        trained_rows = pq_train_codebook(
+            spark, sf_dir, emb, donors=donor_full
+        ).select("m", "c", "cw").collect()
+        qvecs, exact = gt_fut.result()
     trained = {
         (int(r.m), int(r.c)): [float(x) for x in r.cw] for r in trained_rows
     }
     donor = _cb_subspace(donor_full)
-    qvecs = _query_nvecs(emb)
     # one normalize pass feeds both arms' encode projections
     normalized = emb.select(
         "vec_id", F.expr(NV_EXPR).alias("_nv")
     ).transform(materialize)
-    exact = (
-        _bruteforce_topk_from(emb)
-        .select("query_id", "vec_id")
-        .transform(materialize)  # feeds both codebooks' hit joins
-    )
     return (
         _pq_codebook_report(donor, exact, "donor", normalized, qvecs)
         .unionByName(
